@@ -1,0 +1,223 @@
+"""Outline → chapter kernels: numbering, fuzzy heading match, referee.
+
+Faithful functional re-derivations of:
+
+- ``chapter_number_giver``        /root/reference/libpdf/catalog.py:177-227
+- ``chapter_examiner``            /root/reference/libpdf/textbox.py:298-383
+- ``similarity_referee``          /root/reference/libpdf/textbox.py:386-528
+- ghost-chapter positioning       /root/reference/libpdf/textbox.py:271-296
+
+The reference mutates nested dicts in place and deletes matched textboxes from
+a shared list; here every function is pure — it takes plain dicts/lists and
+returns new values — but the *observable* winners, numbers and positions are
+identical (the referee's quirky whole-dict max-equality comparison is kept
+verbatim because it decides ties).
+"""
+
+from __future__ import annotations
+
+import re
+from difflib import SequenceMatcher
+
+# Supported chapter indices: 1.2.3 | 2.a.i | 2.a.IV | 1.2.3. | A | A.a.2
+# (verbatim from libpdf/catalog.py:208-209)
+CHAPTER_NUMBER_PATTERN = re.compile(
+    r"^(?!\.)((^|\.)(([iIvVxX]{1,8})|[a-zA-Z]|[0-9]+))+\.?(?=[ \t]+\S+)"
+)
+# Standalone-number textbox check (libpdf/textbox.py:446-448)
+STANDALONE_NUMBER_PATTERN = re.compile(
+    r"^(?=\w)((^|\.)(([iIvVxX]{1,8})|[a-zA-Z]|[0-9]+))+\.?(?!.)"
+)
+
+
+def build_outline_tree(flat_outline: list) -> list:
+    """Flat ``{path,title,page,x0,y1}`` rows → nested outline node list.
+
+    ``path`` is the 1-based pre-order position path ("1", "1.2", …) emitted by
+    the source stage; nesting mirrors the First/Next walk of
+    ``libpdf/catalog.py:230-373`` (resolve_outline).
+    """
+    roots: list = []
+    by_path: dict = {}
+    for entry in flat_outline:
+        node = {
+            "title": entry["title"],
+            "number": None,
+            "position": {
+                "page": int(entry["page"]),
+                "x0": float(entry["x0"]),
+                "y1": float(entry["y1"]),
+            },
+            "content": [],
+        }
+        path = entry["path"]
+        by_path[path] = node
+        parent_path = path.rsplit(".", 1)[0] if "." in path else None
+        if parent_path is None:
+            roots.append(node)
+        else:
+            by_path[parent_path]["content"].append(node)
+    return roots
+
+
+def assign_chapter_numbers(chapters: list, virt_hierarchical_level: str = "1") -> None:
+    """Number outline chapters from title text or virtual hierarchy level.
+
+    In-place on the tree (mirrors catalog.py:177-227 exactly): a title whose
+    prefix matches CHAPTER_NUMBER_PATTERN donates its number (stripped from
+    the title); otherwise the chapter gets ``virt.<level path>``.
+    """
+    levels = virt_hierarchical_level.split(".")
+    start_level = int(levels[-1])
+    parent_level = ".".join(levels[:-1])
+    for idx_chapter, chapter in enumerate(chapters):
+        current_level = start_level + idx_chapter
+        new_level = f"{parent_level}.{current_level}" if parent_level else f"{current_level}"
+        chapter_title = chapter["title"].strip()
+        match = CHAPTER_NUMBER_PATTERN.match(chapter["title"].strip())
+        if match:
+            chapter["number"] = match[0]
+            chapter["title"] = chapter_title.replace(match[0], "", 1).strip()
+        else:
+            chapter["number"] = f"virt.{new_level}"
+        if chapter["content"]:
+            assign_chapter_numbers(chapter["content"], f"{new_level}.1")
+
+
+def flatten_outline(tree: list, out: list | None = None) -> list:
+    """Pre-order flatten (libpdf/textbox.py: _flatten_outline)."""
+    if out is None:
+        out = []
+    for node in tree:
+        out.append(node)
+        if node["content"]:
+            flatten_outline(node["content"], out)
+    return out
+
+
+def chapter_examiner(
+    chapter: dict,
+    textboxes: list,
+    page_width: float,
+    page_height: float,
+    min_similarity: float = 0.6,
+    rectangle_extend: float = 20.0,
+) -> list:
+    """Find the textbox(es) on the page that render this outline chapter.
+
+    ``textboxes``: dicts with keys x0,y0,x1,y1,text.  Returns the list of
+    *winner indices* into ``textboxes`` (empty → ghost chapter).  Semantics of
+    libpdf/textbox.py:298-383: candidates are the boxes completely inside a
+    half-page-tall window vertically centred on the outline jump point.
+    """
+    y0w = max(chapter["position"]["y1"] - page_height / 4, 0.0)
+    y1w = min(chapter["position"]["y1"] + page_height / 4, page_height)
+
+    cand_idx = [
+        i
+        for i, tb in enumerate(textboxes)
+        if tb["x0"] >= 0.0
+        and tb["y0"] >= y0w
+        and tb["x1"] <= page_width
+        and tb["y1"] <= y1w
+    ]
+    if not cand_idx:
+        return []
+
+    sims = []
+    for i in cand_idx:
+        text = textboxes[i]["text"].strip()
+        sim_title = SequenceMatcher(None, text, chapter["title"]).ratio()
+        if "virt." in chapter["number"]:
+            sim_number = None
+            sim_content = None
+        else:
+            sim_number = SequenceMatcher(None, text, chapter["number"]).ratio()
+            sim_content = SequenceMatcher(
+                None, text, f"{chapter['number']} {chapter['title']}"
+            ).ratio()
+        sims.append({"title": sim_title, "number": sim_number, "content": sim_content})
+
+    winners_local = _similarity_referee(
+        sims,
+        [textboxes[i] for i in cand_idx],
+        chapter,
+        min_similarity,
+        rectangle_extend,
+    )
+    return [cand_idx[j] for j in winners_local]
+
+
+def _argmax_group(sims: list, boxes: list, chapter: dict, key: str) -> int:
+    """Indices whose whole sim-dict equals the max-by-``key`` element, then
+    min vertical distance to the outline jump point as tie-break
+    (libpdf/textbox.py:406-421 — the whole-dict equality is intentional)."""
+    best = max(sims, key=lambda s: s[key])
+    winner_idx = [i for i, s in enumerate(sims) if s == best]
+    if len(winner_idx) > 1:
+        return min(
+            winner_idx,
+            key=lambda i: abs(boxes[i]["y1"] - chapter["position"]["y1"]),
+        )
+    return winner_idx[0]
+
+
+def _similarity_referee(
+    sims: list,
+    boxes: list,
+    chapter: dict,
+    min_similarity: float,
+    rectangle_extend: float,
+) -> list:
+    """libpdf/textbox.py:386-528, returning local winner indices."""
+    winners: list = []
+    title_winner = _argmax_group(sims, boxes, chapter, "title")
+
+    if "virt." in chapter["number"]:
+        if sims[title_winner]["title"] > min_similarity:
+            winners.append(title_winner)
+            # a standalone number textbox left of the title at the same height
+            potential_number = [
+                i
+                for i, b in enumerate(boxes)
+                if b["x0"] < boxes[title_winner]["x0"]
+                and abs(b["y0"] - boxes[title_winner]["y0"]) < rectangle_extend
+                and abs(b["y1"] - boxes[title_winner]["y1"]) < rectangle_extend
+            ]
+            if len(potential_number) == 1 and STANDALONE_NUMBER_PATTERN.match(
+                boxes[potential_number[0]]["text"].strip()
+            ):
+                winners.append(potential_number[0])
+    else:
+        content_winner = _argmax_group(sims, boxes, chapter, "content")
+        number_winner = _argmax_group(sims, boxes, chapter, "number")
+        if sims[content_winner]["content"] == 1:
+            winners.append(content_winner)
+        elif (
+            sims[content_winner]["content"] < sims[title_winner]["title"]
+            and number_winner != title_winner
+            and sims[number_winner]["number"] > min_similarity
+            and sims[title_winner]["title"] > min_similarity
+        ):
+            # number and title split into two textboxes by layout analysis
+            winners.append(number_winner)
+            winners.append(title_winner)
+        elif (
+            title_winner == content_winner
+            and sims[content_winner]["content"] >= sims[title_winner]["title"]
+            and sims[content_winner]["content"] > min_similarity
+        ):
+            winners.append(content_winner)
+    return winners
+
+
+def ghost_chapter_bbox(
+    chapter: dict, page_width: float, rectangle_extend: float = 20.0
+) -> tuple:
+    """Position of an outline chapter with no matched textbox
+    (libpdf/textbox.py:271-296)."""
+    x0 = chapter["position"]["x0"]
+    y1 = chapter["position"]["y1"]
+    y0 = y1 - rectangle_extend if y1 - rectangle_extend > 0 else 0.0
+    x1 = x0 + rectangle_extend if x0 + rectangle_extend < page_width else page_width
+    return (x0, y0, x1, y1)

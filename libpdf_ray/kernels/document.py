@@ -1,0 +1,445 @@
+"""Per-document extraction orchestrator: sidecar row → ordered span sequence.
+
+This is the functional equivalent of the whole reference dataflow
+``/root/reference/libpdf/extract.py:60-222`` (extract) +
+``libpdf/process.py:189-394`` (merge, outline mapping) +
+``libpdf/process.py:397-536`` (link target resolution), executed for ONE
+document.  At dataset scale this function runs inside
+``Dataset.map_batches`` (see ``libpdf_ray.stages.parse``); nothing in here
+touches Ray, so the whole extraction semantics stay unit-testable.
+
+Span conventions (the engine's span-sequence-equality contract; the fixture
+generator derives expected spans from the same conventions):
+
+- document order: reading-order merge sort by ``(page, page_height - y0)``
+  (process.py:202-207), then outline nesting (process.py:223-294) walked
+  pre-order; offsets are 0-based over the final sequence.
+- kind=chapter  → text ``"{number} {title}"`` (number from the title regex or
+  ``virt.*`` levels, catalog.py:177-227); ghost chapters included.
+- kind=paragraph→ text = textbox text ('\\n'-joined lines, trailing newline
+  stripped, textbox.py:128-133).
+- kind=table   → text = rows joined with '\\n', cells joined with '\\t'
+  (row-major, merged cells keep their empty slot).
+- kind=figure  → text = '\\n'-joined texts of textboxes completely inside the
+  figure bbox; media_ref = ``media/{doc_id}/page_{page}_figure.{k}.png`` with
+  k the 1-based per-page index after filtering (extract.py:647).
+- kind=rect    → text = '\\n'-joined texts of textboxes completely inside the
+  rect bbox + 5pt offset (extract.py:662-731).
+- kind=link    → emitted immediately after the span of the paragraph that
+  carries the annotation, ordered by idx_start; text =
+  ``"{anchor}->{target}"`` where target is the resolved hierarchical uid
+  (element.py:62-81) or ``page.<n>/<x>:<y>`` fallback.
+"""
+
+from __future__ import annotations
+
+from ..config import PipelineConfig
+from .chapters import (
+    assign_chapter_numbers,
+    build_outline_tree,
+    chapter_examiner,
+    flatten_outline,
+    ghost_chapter_bbox,
+)
+from .headerfooter import find_header_footer_eids
+from .links import extract_links_for_textbox, find_target_uid, resolve_named_dest
+from .regions import (
+    boxes_completely_inside,
+    filter_figures,
+    grid_to_table,
+    table_inside_any_figure,
+)
+from .textmodel import is_whitespace_only, textbox_text
+
+
+def _page_map(doc: dict) -> dict:
+    return {int(p["number"]): p for p in (doc.get("pages") or [])}
+
+
+def _smart_crop(elements: list, n_pages: int, page_height: float, cfg) -> list:
+    """Apply smart header/footer removal to one element-type list (the
+    reference filters each type list separately, extract.py:150-188)."""
+    if not elements:
+        return elements
+    hf = [
+        {"eid": i, "page": el["page"], "y0": el["y0"], "y1": el["y1"]}
+        for i, el in enumerate(elements)
+    ]
+    removed = find_header_footer_eids(hf, n_pages, page_height, cfg)
+    return [el for i, el in enumerate(elements) if i not in removed]
+
+
+def extract_document(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> list:
+    """Extract the ordered span list for one sidecar document row."""
+    doc_id = doc["doc_id"]
+    pages = _page_map(doc)
+    if not pages:
+        return []
+    n_pages = len(pages)
+    page_numbers = sorted(pages)
+    first_page = pages[page_numbers[0]]
+    page_height = float(first_page["height"])
+
+    # -- textboxes with assembled text, bucketed per page in layout order --
+    textboxes_by_page: dict = {}
+    for tb in doc.get("textboxes") or []:
+        t = dict(tb)
+        t["page"] = int(t["page"])
+        for k in ("x0", "y0", "x1", "y1"):
+            t[k] = float(t[k])
+        t["text"] = textbox_text(t)
+        textboxes_by_page.setdefault(t["page"], []).append(t)
+
+    annos_by_page: dict = {}
+    if not cfg.no_annotations:
+        for anno in doc.get("annotations") or []:
+            annos_by_page.setdefault(int(anno["page"]), []).append(anno)
+    named_dests = {
+        nd["name"]: (int(nd["page"]), float(nd["x"]), float(nd["y"]))
+        for nd in (doc.get("named_dests") or [])
+    }
+
+    # -- outline tree with chapter numbers (catalog stage) --
+    outline_tree: list = []
+    if not cfg.no_chapters and doc.get("outline"):
+        outline_tree = build_outline_tree(list(doc["outline"]))
+        assign_chapter_numbers(outline_tree)
+
+    # -- figures (extract.py:593-659) --
+    figures: list = []
+    if not cfg.no_figures:
+        figs_by_page: dict = {}
+        for fig in doc.get("figures") or []:
+            figs_by_page.setdefault(int(fig["page"]), []).append(fig)
+        for page_no in page_numbers:
+            kept = filter_figures(
+                figs_by_page.get(page_no, []), cfg.figure_min_width, cfg.figure_min_height
+            )
+            for k, fig in enumerate(kept):
+                bbox = (fig["x0"], fig["y0"], fig["x1"], fig["y1"])
+                inside = boxes_completely_inside(
+                    textboxes_by_page.get(page_no, []), bbox
+                )
+                figures.append(
+                    {
+                        "etype": "figure",
+                        "page": page_no,
+                        "x0": bbox[0],
+                        "y0": bbox[1],
+                        "x1": bbox[2],
+                        "y1": bbox[3],
+                        "text": "\n".join(tb["text"] for tb in inside),
+                        "media_ref": f"media/{doc_id}/page_{page_no}_figure.{k + 1}.png",
+                        "links": [],
+                    }
+                )
+        if cfg.smart_page_crop:
+            figures = _smart_crop(figures, n_pages, page_height, cfg)
+
+    # -- rects (extract.py:662-731) --
+    rects: list = []
+    if not cfg.no_rects:
+        for rect in doc.get("rects") or []:
+            page_no = int(rect["page"])
+            bbox = (
+                float(rect["x0"]),
+                float(rect["y0"]),
+                float(rect["x1"]),
+                float(rect["y1"]),
+            )
+            inside = boxes_completely_inside(
+                textboxes_by_page.get(page_no, []), bbox, margin=cfg.rect_text_offset
+            )
+            ncolor = rect.get("non_stroking_color")
+            rects.append(
+                {
+                    "etype": "rect",
+                    "page": page_no,
+                    "x0": bbox[0],
+                    "y0": bbox[1],
+                    "x1": bbox[2],
+                    "y1": bbox[3],
+                    "text": "\n".join(tb["text"] for tb in inside),
+                    "ncolor": tuple(float(c) for c in ncolor) if ncolor else None,
+                    "links": [],
+                }
+            )
+        if cfg.smart_page_crop:
+            rects = _smart_crop(rects, n_pages, page_height, cfg)
+
+    # -- tables (tables.py:49-204 + figure anti-join 207-234) --
+    tables: list = []
+    if not cfg.no_tables:
+        fig_bboxes_by_page: dict = {}
+        for fig in figures:
+            fig_bboxes_by_page.setdefault(fig["page"], []).append(
+                (fig["x0"], fig["y0"], fig["x1"], fig["y1"])
+            )
+        for grid in doc.get("table_grids") or []:
+            table = grid_to_table(grid)
+            if table_inside_any_figure(
+                table["bbox"],
+                fig_bboxes_by_page.get(table["page"], []),
+                cfg.table_figure_tolerance,
+            ):
+                continue
+            x0, y0, x1, y1 = table["bbox"]
+            tables.append(
+                {
+                    "etype": "table",
+                    "page": table["page"],
+                    "x0": x0,
+                    "y0": y0,
+                    "x1": x1,
+                    "y1": y1,
+                    "text": table["text"],
+                    "cells": table["cells"],
+                    "links": [],
+                }
+            )
+        if cfg.smart_page_crop:
+            tables = _smart_crop(tables, n_pages, page_height, cfg)
+
+    # -- textbox filtering (textbox.py:96-136, 863-902) --
+    region_bboxes_by_page: dict = {}
+    for el in tables + figures:
+        region_bboxes_by_page.setdefault(el["page"], []).append(
+            (el["x0"], el["y0"], el["x1"], el["y1"])
+        )
+    candidates_by_page: dict = {}
+    for page_no in page_numbers:
+        page_candidates = []
+        regions = region_bboxes_by_page.get(page_no, [])
+        for tb in textboxes_by_page.get(page_no, []):
+            inside_region = any(
+                tb["x0"] >= rx0 - cfg.table_margin
+                and tb["x1"] <= rx1 + cfg.table_margin
+                and tb["y0"] >= ry0 - cfg.table_margin
+                and tb["y1"] <= ry1 + cfg.table_margin
+                for rx0, ry0, rx1, ry1 in regions
+            )
+            if inside_region or is_whitespace_only(tb["text"]):
+                continue
+            page_candidates.append(tb)
+        candidates_by_page[page_no] = page_candidates
+
+    # -- chapters (textbox.py:139-296) --
+    chapters: list = []
+    if outline_tree:
+        flat = flatten_outline(outline_tree)
+        chapters_by_page: dict = {}
+        for ch in flat:
+            page_no = ch["position"]["page"]
+            if page_no in pages:
+                chapters_by_page.setdefault(page_no, []).append(ch)
+        for page_no, page_chapters in chapters_by_page.items():
+            page = pages[page_no]
+            cands = candidates_by_page.get(page_no, [])
+            for ch in page_chapters:
+                winner_idx = chapter_examiner(
+                    ch,
+                    cands,
+                    float(page["width"]),
+                    float(page["height"]),
+                    cfg.min_outline_title_similarity,
+                    cfg.chapter_rectangle_extend,
+                )
+                if winner_idx:
+                    winners = [cands[i] for i in winner_idx]
+                    x0 = min(w["x0"] for w in winners)
+                    y0 = min(w["y0"] for w in winners)
+                    x1 = max(w["x1"] for w in winners)
+                    y1 = max(w["y1"] for w in winners)
+                    if len(winners) == 2 and "virt." in ch["number"]:
+                        # number textbox left of the title donates the number
+                        # (textbox.py:204-213)
+                        ch["number"] = min(winners, key=lambda w: w["x0"])[
+                            "text"
+                        ].strip()
+                    for w in winners:
+                        cands.remove(w)
+                else:
+                    x0, y0, x1, y1 = ghost_chapter_bbox(
+                        ch, float(page["width"]), cfg.chapter_rectangle_extend
+                    )
+                chapters.append(
+                    {
+                        "etype": "chapter",
+                        "page": page_no,
+                        "x0": x0,
+                        "y0": y0,
+                        "x1": x1,
+                        "y1": y1,
+                        "number": ch["number"],
+                        "title": ch["title"],
+                        "text": f"{ch['number']} {ch['title']}",
+                        "links": [],
+                        "_outline_node": ch,
+                    }
+                )
+
+    # -- paragraphs (textbox.py:531-600) --
+    paragraphs: list = []
+    if not cfg.no_paragraphs:
+        par_counter = 0
+        for page_no in page_numbers:
+            for tb in candidates_by_page.get(page_no, []):
+                par_counter += 1
+                links = (
+                    extract_links_for_textbox(
+                        tb,
+                        annos_by_page.get(page_no, []),
+                        cfg.anno_x_tolerance,
+                        cfg.anno_y_tolerance,
+                    )
+                    if annos_by_page
+                    else []
+                )
+                paragraphs.append(
+                    {
+                        "etype": "paragraph",
+                        "page": page_no,
+                        "x0": tb["x0"],
+                        "y0": tb["y0"],
+                        "x1": tb["x1"],
+                        "y1": tb["y1"],
+                        "text": tb["text"],
+                        "idx": par_counter,
+                        "links": links,
+                    }
+                )
+        if cfg.smart_page_crop:
+            paragraphs = _smart_crop(paragraphs, n_pages, page_height, cfg)
+
+    # original extraction indices for above-outline uids
+    for i, el in enumerate(tables):
+        el["idx"] = i + 1
+    fig_counter_by_page: dict = {}
+    for el in figures:
+        k = fig_counter_by_page.get(el["page"], 0) + 1
+        fig_counter_by_page[el["page"]] = k
+        el["idx"] = k
+    for i, el in enumerate(rects):
+        el["idx"] = i + 1
+
+    # -- merge + reading order (process.py:189-209) --
+    merged = figures + tables + paragraphs + chapters + rects
+    merged.sort(
+        key=lambda el: (el["page"], float(pages[el["page"]]["height"]) - el["y0"])
+    )
+
+    # -- outline nesting (process.py:223-294) --
+    ordered = _map_elements_outline(merged, outline_tree, cfg.headline_tolerance)
+
+    # -- uid assignment + link target resolution + span emission --
+    _assign_uids(ordered)
+    flat_elements = _flatten_elements(ordered)
+    spans = []
+    for el in flat_elements:
+        spans.append(
+            {
+                "kind": el["etype"],
+                "text": el["text"],
+                "media_ref": el.get("media_ref", ""),
+                "offset": len(spans),
+            }
+        )
+        for link in el.get("links", []):
+            dest = resolve_named_dest(link["dest"], named_dests)
+            target = find_target_uid(dest, flat_elements, cfg.target_coor_tolerance)
+            spans.append(
+                {
+                    "kind": "link",
+                    "text": f"{link['anchor']}->{target}",
+                    "media_ref": "",
+                    "offset": len(spans),
+                }
+            )
+    return spans
+
+
+def _map_elements_outline(merged: list, outline_tree: list, headline_tolerance: float):
+    """process.py:223-294: split at the first outline chapter, fill elements
+    into the nearest preceding chapter, nest chapters per the outline tree.
+
+    Returns a list of top-level nodes; chapter nodes carry ``content``."""
+    if not outline_tree:
+        return list(merged)
+    first = outline_tree[0]["position"]
+    above = [
+        el
+        for el in merged
+        if el["page"] < first["page"]
+        or (
+            el["page"] == first["page"]
+            and el["y1"] > first["y1"] + headline_tolerance
+        )
+    ]
+    inline = [
+        el
+        for el in merged
+        if el["page"] > first["page"]
+        or (
+            el["page"] == first["page"]
+            and el["y1"] < first["y1"] + headline_tolerance
+        )
+    ]
+    # inline must start with a chapter; leading non-chapters move above
+    for i, el in enumerate(inline):
+        if el["etype"] == "chapter":
+            above.extend(inline[:i])
+            del inline[:i]
+            break
+
+    # fill elements into the last-seen chapter (fill_elements_content)
+    current_content = None
+    id_counters: dict = {}
+    for el in inline:
+        if el["etype"] == "chapter":
+            el["content"] = []
+            current_content = el["content"]
+            id_counters = {"table": 1, "figure": 1, "paragraph": 1, "rect": 1}
+        elif current_content is not None:
+            el["idx"] = id_counters[el["etype"]]
+            id_counters[el["etype"]] += 1
+            current_content.append(el)
+
+    flat_chapters = [el for el in inline if el["etype"] == "chapter"]
+
+    # nest chapters following the outline tree (mapping_chapters)
+    def nest(outline_content: list, target: list):
+        for node in outline_content:
+            matches = [
+                ch
+                for ch in flat_chapters
+                if ch["title"] == node["title"] and ch["number"] == node["number"]
+            ]
+            if not matches:
+                continue
+            chapter = matches[0]
+            target.append(chapter)
+            if node["content"]:
+                nest(node["content"], chapter["content"])
+
+    nested: list = []
+    nest(outline_tree, nested)
+    return above + nested
+
+
+def _assign_uids(ordered: list, prefix: str = "") -> None:
+    for el in ordered:
+        if el["etype"] == "chapter":
+            cid = f"chapter.{el['number']}"
+            el["uid"] = f"{prefix}{cid}"
+            _assign_uids(el.get("content", []), prefix=f"{el['uid']}/")
+        else:
+            el["uid"] = f"{prefix}{el['etype']}.{el.get('idx', 1)}"
+
+
+def _flatten_elements(ordered: list) -> list:
+    out = []
+    for el in ordered:
+        out.append(el)
+        if el["etype"] == "chapter":
+            out.extend(_flatten_elements(el.get("content", [])))
+    return out
