@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in ``libpdf_ray``) initialises or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline on /root/testdata/sf0.001 — plain-text
+  documents → canonical span shape (doc_id, spans) + extraction of the
+  synthetic interleaved corpus.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data ops); each takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query.
+  Column names match exactly; all float aggregates are integer-exact
+  (cents/percent scaling, single final division) so Ray and DuckDB produce
+  bit-identical doubles.  Non-SQL-expressible ops (extraction pipeline,
+  LSH/MinHash/SimHash, IVF-ANN, language-ID, media decode) are rows-only.
 """
 
 from __future__ import annotations
@@ -18,27 +20,348 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_QUERY_CORPUS = "/tmp/libpdf_ray_qcorpus"
+_QUERY_CORPUS_DOCS = 96
+
+
+def _query_corpus() -> str:
+    """Deterministic synthetic interleaved corpus for the extraction
+    queries (generator-as-oracle, seed=42; cached across calls)."""
+    from libpdf_ray.fixtures import write_corpus
+
+    return write_corpus(_QUERY_CORPUS, n_docs=_QUERY_CORPUS_DOCS, seed=42,
+                        shards=8, skew_pages=12)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents → span-shaped corpus with metadata."""
+    from libpdf_ray.sources.text_source import read_text_documents
+
+    return read_text_documents("/root/testdata/sf0.001/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# extraction-pipeline queries (rows-only: the span semantics have no SQL
+# form; pytest enforces span-sequence equality against the generator oracle)
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_spans(sf_dir: str):
+    from libpdf_ray.config import SMART_CROP_CONFIG
+    from libpdf_ray.pipelines.extract import extract_spans, read_corpus, spans_table
+
+    return spans_table(extract_spans(read_corpus(_query_corpus()), SMART_CROP_CONFIG))
+
+
+def _q_span_kinds(sf_dir: str):
+    import pandas as pd
+
+    flat = _q_extract_spans(sf_dir)
+    counted = flat.groupby("kind").count()
+    return counted.map_batches(
+        lambda df: pd.DataFrame(
+            {"kind": df["kind"], "n_spans": df["count()"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_media_features(sf_dir: str):
+    from libpdf_ray.ops.multimodal import extract_media_features
+
+    return extract_media_features(_q_extract_spans(sf_dir))
+
+
+def _q_langid(sf_dir: str):
+    import pandas as pd
+    import ray.data as rd
+
+    from libpdf_ray.ops.text import LangIdModel
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    pred = ds.map_batches(LangIdModel, batch_format="pandas", concurrency=2)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = df.groupby(["lang", "lang_pred"], as_index=False).size()
+        return part.rename(columns={"size": "n"})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        pred.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+    return agg
+
+
+def _q_quality_filter(sf_dir: str):
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from libpdf_ray.ops.text import QualityScorer
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    scored = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "kept": df["q_keep"].astype("int64"),
+                "n": 1,
+            }
+        )
+        return part.groupby("lang", as_index=False).sum()
+
+    return (
+        scored.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("kept", alias_name="n_kept"), Sum("n", alias_name="n_docs"))
+    )
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from libpdf_ray.ops.text import add_fingerprint
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda df: add_fingerprint(df)[["doc_id", "fingerprint"]],
+        batch_format="pandas",
+    )
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from libpdf_ray.ops.dedup import SimHasher
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hashed = ds.map_batches(SimHasher, batch_format="pandas", concurrency=2)
+    return hashed.map_batches(
+        lambda df: df[["doc_id", "simhash"]], batch_format="pandas"
+    )
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from libpdf_ray.ops.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from libpdf_ray.ops.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_neardup_pairs(ds, threshold=0.9)
+
+
+def _q_knn_ivf(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from libpdf_ray.ops.similarity import ivf_fit_centroids, knn_ivf
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()[:8]
+    mat = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()[:8]]
+    )
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    centroids = ivf_fit_centroids(ds, n_cells=16)
+    return knn_ivf(ds, {"ids": ids, "matrix": mat}, centroids, k=5, n_probe=4)
+
+
+def _q_text_spans(sf_dir: str):
+    from libpdf_ray.sources.text_source import read_text_documents
+
+    return read_text_documents(f"{sf_dir}/documents.parquet")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from libpdf_ray.ops import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator suite (SQL-checked)
+        "pricing_summary": R.q_pricing_summary,
+        "top_customers": R.q_top_customers,
+        "revenue_by_nation": R.q_revenue_by_nation,
+        "supplier_region": R.q_supplier_region,
+        "order_priority": R.q_order_priority,
+        "parts_by_brand": R.q_parts_by_brand,
+        "events_hourly": R.q_events_hourly,
+        "events_sessions": R.q_events_sessions,
+        "distinct_parts": R.q_distinct_parts,
+        "filter_topk": R.q_filter_topk,
+        # documents / training-data ops (SQL-checked)
+        "doc_stats": R.q_doc_stats,
+        "token_counts": R.q_token_counts,
+        "alpha_quality": R.q_alpha_quality,
+        "exact_dedup": R.q_exact_dedup,
+        "knn_bruteforce": R.q_knn,
+        # extraction pipeline + non-SQL ops (rows-only)
+        "extract_spans": _q_extract_spans,
+        "span_kinds": _q_span_kinds,
+        "media_features": _q_media_features,
+        "langid_confusion": _q_langid,
+        "quality_filter": _q_quality_filter,
+        "fingerprints": _q_fingerprints,
+        "simhash": _q_simhash,
+        "minhash_pairs": _q_minhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "knn_ivf": _q_knn_ivf,
+        "text_spans": _q_text_spans,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS sum_disc_price,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))
+                        * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)/1000000.0 AS sum_charge,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)*1.0/COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0/COUNT(*) AS avg_price,
+                   CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)/100.0/COUNT(*) AS avg_disc,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT o.o_custkey AS c_custkey, c.c_name,
+                   CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_spent,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+            ORDER BY total_spent DESC, c_custkey
+            LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS revenue
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1
+        """,
+        "supplier_region": """
+            SELECT r.r_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(CAST(round(s.s_acctbal*100) AS BIGINT)) AS BIGINT)/100.0 AS total_acctbal
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "parts_by_brand": """
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(p_size) AS BIGINT) AS total_size,
+                   CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_retail
+            FROM part GROUP BY 1
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (
+                SELECT user_id,
+                       epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events
+            )
+            GROUP BY user_id
+        """,
+        "distinct_parts": """
+            SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+            FROM lineitem GROUP BY 1
+        """,
+        "filter_topk": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_extendedprice AS price
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_shipdate >= TIMESTAMP '1997-01-01'
+            ORDER BY price DESC, l_orderkey, l_linenumber
+            LIMIT 15
+        """,
+        "doc_stats": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(n_chars) AS BIGINT)*1.0/COUNT(*) AS avg_chars
+            FROM documents GROUP BY 1
+        """,
+        "token_counts": """
+            SELECT lang,
+                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "alpha_quality": """
+            SELECT source,
+                   CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS alpha_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT)*1.0
+                       / SUM(length(text)) AS alpha_ratio
+            FROM documents GROUP BY 1
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS sim_raw
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id
+                ) AS rn
+                FROM s
+            )
+            WHERE rn <= 5
+        """,
+    }

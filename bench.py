@@ -1,0 +1,148 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec_extract": ...}
+
+``--scaling``: runs the headline extraction twice in fresh processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox proxy for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS = os.environ.get("BENCH_CORPUS", "/tmp/libpdf_ray_bench_corpus")
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "1200"))
+
+
+def _sf_label(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.0
+
+
+def _ensure_corpus() -> str:
+    from libpdf_ray.fixtures import write_corpus
+
+    # ~1200 mixed-family docs incl. the skew tail (40-page manuals)
+    return write_corpus(BENCH_CORPUS, n_docs=BENCH_DOCS, seed=42, shards=16,
+                        skew_pages=40)
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    corpus = _ensure_corpus()
+
+    from libpdf_ray.config import SMART_CROP_CONFIG
+    from libpdf_ray.ops import relational as R
+    from libpdf_ray.pipelines.extract import extract_spans, read_corpus
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    read_corpus(corpus).count()
+
+    timings: dict = {}
+    n_docs = 0
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # headline: full extraction of the interleaved corpus
+    def _extract():
+        ds = extract_spans(read_corpus(corpus), SMART_CROP_CONFIG)
+        return ds.count()
+
+    n_docs = timed("extract", _extract)
+
+    # relational / training-data headliners over $GRAFT_SF_DIR
+    timed("pricing_summary", lambda: R.q_pricing_summary(SF_DIR).to_pandas())
+    timed("top_customers", lambda: R.q_top_customers(SF_DIR).to_pandas())
+    timed("events_sessions", lambda: R.q_events_sessions(SF_DIR).to_pandas())
+    timed("exact_dedup", lambda: R.q_exact_dedup(SF_DIR).count())
+    timed("token_counts", lambda: R.q_token_counts(SF_DIR).to_pandas())
+    timed("knn_bruteforce", lambda: R.q_knn(SF_DIR).to_pandas())
+
+    ray.shutdown()
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline pipelines wall time (extract + relational suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "n_docs_extracted": n_docs,
+        "docs_per_sec_extract": round(n_docs / timings["extract"], 2)
+        if timings.get("extract")
+        else None,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at num_cpus=8 and 32 in fresh processes (N vs 4N proxy)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["extract"]
+    t_hi = r_hi["queries"]["extract"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "extract scaling efficiency (num_cpus 8 -> 32, fresh processes)",
+        "cpus_low": lo,
+        "cpus_high": hi,
+        "extract_sec_low": t_lo,
+        "extract_sec_high": t_hi,
+        "docs_per_sec_low": r_lo["docs_per_sec_extract"],
+        "docs_per_sec_high": r_hi["docs_per_sec_extract"],
+        "scaling_efficiency": round(eff, 3),
+        "total_sec_low": r_lo["value"],
+        "total_sec_high": r_hi["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

@@ -1,0 +1,287 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (the whole point at 100 TB):
+
+- exact: content-hash per batch (vectorized) → ``groupby(hash)`` — the ONE
+  shuffle, over 16-byte keys + doc ids only, never over document bodies.
+- MinHash-LSH: shingle→minhash per batch (numpy) → explode to
+  (band, band_hash, doc_id) rows → ``groupby`` band buckets → candidate
+  pairs verified by signature Jaccard.  Signatures are 8·num_perm bytes per
+  doc; the shuffle moves signatures, not text.
+- SimHash: 64-bit sketch per doc; near-dup = equal sketch buckets (or small
+  Hamming rotations), again a key-only shuffle.
+- embedding near-dup: random-hyperplane LSH bucket → within-bucket cosine.
+
+No driver-side loops: everything is map_batches + groupby/map_groups.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = (1 << 61) - 1
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8", "ignore")).hexdigest()
+
+
+def add_content_hash(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    batch["content_hash"] = [md5_hex(t or "") for t in batch[text_col].fillna("")]
+    return batch
+
+
+def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(content_hash, keep_id, n_copies) — keep_id is the min id per group."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda df: add_content_hash(df, text_col)[["content_hash", id_col]],
+        batch_format="pandas",
+    )
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="keep_id"),
+        Count(alias_name="n_copies"),
+    )
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Return the dataset with exact duplicates removed (keep min id)."""
+    hashed = ds.map_batches(
+        lambda df: add_content_hash(df, text_col), batch_format="pandas"
+    )
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col).head(1)
+
+    return hashed.groupby("content_hash").map_groups(
+        keep_first, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles → stable 61-bit hashes (md5-based, vectorizable
+    per doc)."""
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = (
+            int.from_bytes(hashlib.md5(g.encode("utf-8", "ignore")).digest()[:8], "little")
+            % _MERSENNE
+        )
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: per-document MinHash signatures.
+
+    ``__init__`` draws the permutation coefficients ONCE per worker from a
+    fixed seed (same on every worker → signatures are globally consistent)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        x = _shingle_hashes(text, self.shingle_k)
+        if len(x) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (P, S) permuted hashes → row-min, fully vectorized: multiply-xor
+        # "permutations" in wrapping uint64 arithmetic (not a strict
+        # universal hash family, but i.i.d.-uniform enough for MinHash and
+        # orders of magnitude faster than exact modular hashing)
+        vals = (x[None, :] * self.a[:, None]) ^ self.b[:, None]
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["minhash"] = [
+            self.signature(t or "").tolist() for t in batch["text"].fillna("")
+        ]
+        return batch
+
+
+def _band_rows(df: pd.DataFrame, bands: int, rows: int, id_col: str) -> pd.DataFrame:
+    out_band, out_hash, out_id, out_sig = [], [], [], []
+    for _, row in df.iterrows():
+        sig = row["minhash"]
+        for bi in range(bands):
+            chunk = tuple(sig[bi * rows : (bi + 1) * rows])
+            out_band.append(bi)
+            out_hash.append(hash(chunk) & 0x7FFFFFFFFFFFFFFF)
+            out_id.append(row[id_col])
+            out_sig.append(sig)
+    return pd.DataFrame(
+        {"band": out_band, "band_hash": out_hash, id_col: out_id, "minhash": out_sig}
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+):
+    """Candidate pairs from LSH banding, verified by signature Jaccard.
+
+    Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows = num_perm // bands
+    with_sig = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm},
+        batch_format="pandas",
+        concurrency=4,
+    )
+    exploded = with_sig.map_batches(
+        lambda df: _band_rows(df, bands, rows, id_col), batch_format="pandas"
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        group = group.sort_values(id_col).drop_duplicates(id_col)
+        ids = group[id_col].tolist()
+        sigs = [np.asarray(s, dtype=np.uint64) for s in group["minhash"]]
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jac = float(np.mean(sigs[i] == sigs[j]))
+                if jac >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(round(jac, 4))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    # distinct pairs (a doc pair can collide in several bands)
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        dedup_pairs, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash over whitespace tokens (actor-pool stage)."""
+
+    def __init__(self, bits: int = 64):
+        self.bits = bits
+
+    def simhash(self, text: str) -> int:
+        tokens = text.split()
+        if not tokens:
+            return 0
+        acc = np.zeros(self.bits, dtype=np.int64)
+        for tok in tokens:
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8", "ignore")).digest()[:8], "little"
+            )
+            for bit in range(self.bits):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        out = 0
+        for bit in range(self.bits):
+            if acc[bit] > 0:
+                out |= 1 << bit
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash"] = [
+            f"{self.simhash(t or ''):016x}" for t in batch["text"].fillna("")
+        ]
+        return batch
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard (the verification kernel behind LSH)."""
+    def grams(t):
+        w = t.split()
+        if len(w) < k:
+            return {" ".join(w)} if w else set()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    ga, gb = grams(text_a), grams(text_b)
+    if not ga and not gb:
+        return 1.0
+    inter = len(ga & gb)
+    union = len(ga | gb)
+    return inter / union if union else 0.0
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (random-hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+
+class HyperplaneBucketer:
+    """Sign-bit LSH bucket for embeddings; planes drawn once per worker from
+    a fixed seed so buckets agree across the pool."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 12, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in batch["embedding"]])
+        bits = (emb @ self.planes) > 0
+        batch["bucket"] = [
+            int("".join("1" if b else "0" for b in row), 2) for row in bits
+        ]
+        return batch
+
+
+def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
+                            dim: int = 64, n_planes: int = 12):
+    """(id_a, id_b, cosine) pairs with cosine ≥ threshold, found via
+    hyperplane buckets (near-identical vectors agree on every sign bit)."""
+    bucketed = ds.map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pandas",
+        concurrency=4,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        group = group.sort_values(id_col)
+        ids = group[id_col].tolist()
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in group["embedding"]])
+        norms = np.linalg.norm(emb, axis=1)
+        sims = (emb @ emb.T) / np.outer(norms, norms)
+        out_a, out_b, out_c = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_c.append(round(float(sims[i, j]), 4))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

@@ -1,0 +1,514 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a lazy ``ray.data.Dataset``
+whose result matches the DuckDB oracle in ``__ray_entry__.oracle_sql`` —
+row-for-row, column-name-for-column-name, value-hash-exact.
+
+Engine patterns demonstrated (SURVEY §2 relational coverage):
+
+- column pruning at the read (``read_parquet(columns=...)``) everywhere;
+- partial aggregation: per-batch pandas combiners emit one row per key per
+  batch, the global ``groupby`` shuffles only the partials;
+- broadcast joins: dimension tables (< a few MB) are loaded once driver-side
+  and mapped inside batches — no shuffle join in any query;
+- deterministic float math: every aggregate is integer-exact (cents /
+  percent scaling) with at most one final division, so Ray and DuckDB
+  produce bit-identical doubles regardless of summation order;
+- sort + limit with total tie-break keys for deterministic top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .text import add_text_stats
+
+
+def _cents(col: pd.Series) -> pd.Series:
+    """2-decimal currency → exact integer cents (values are 2dp by
+    construction, so round() only strips float representation noise)."""
+    return (col * 100).round().astype("int64")
+
+
+def _pct(col: pd.Series) -> pd.Series:
+    return (col * 100).round().astype("int64")
+
+
+def _lookup(sf_dir: str, table: str, key: str, val: str) -> dict:
+    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, val])
+    return dict(zip(t.column(key).to_pylist(), t.column(val).to_pylist()))
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary with partial aggregation."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pd.Timestamp("2000-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        price_c = _cents(df["l_extendedprice"])
+        disc_p = _pct(df["l_discount"])
+        tax_p = _pct(df["l_tax"])
+        part = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty_i": df["l_quantity"].round().astype("int64"),
+                "base_i": price_c,
+                "disc_i": price_c * (100 - disc_p),
+                "charge_i": price_c * (100 - disc_p) * (100 + tax_p),
+                "discpct_i": disc_p,
+                "n": np.ones(len(df), dtype="int64"),
+            }
+        )
+        return part.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_i", alias_name="qty_i"),
+            Sum("base_i", alias_name="base_i"),
+            Sum("disc_i", alias_name="disc_i"),
+            Sum("charge_i", alias_name="charge_i"),
+            Sum("discpct_i", alias_name="discpct_i"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["qty_i"].astype("int64"),
+                "sum_base_price": df["base_i"] / 100.0,
+                "sum_disc_price": df["disc_i"] / 10000.0,
+                "sum_charge": df["charge_i"] / 1000000.0,
+                "avg_qty": df["qty_i"] * 1.0 / df["n"],
+                "avg_price": df["base_i"] / 100.0 / df["n"],
+                "avg_disc": df["discpct_i"] / 100.0 / df["n"],
+                "count_order": df["n"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def q_top_customers(sf_dir: str):
+    """Broadcast join (orders ⋈ customer) + grouped sum + deterministic
+    top-10."""
+    names = _lookup(sf_dir, "customer", "c_custkey", "c_name")
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"],
+                "spent_i": _cents(df["o_totalprice"]),
+                "n": np.ones(len(df), dtype="int64"),
+            }
+        )
+        return part.groupby("c_custkey", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("spent_i", alias_name="spent_i"), Sum("n", alias_name="n"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"],
+                "c_name": df["c_custkey"].map(names),
+                "total_spent": df["spent_i"] / 100.0,
+                "n_orders": df["n"].astype("int64"),
+            }
+        )
+
+    return (
+        agg.map_batches(finalize, batch_format="pandas")
+        .sort(["total_spent", "c_custkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Two broadcast lookups (customer→nation→name) folded into the partial
+    combiner: zero shuffle joins."""
+    cust_nation = _lookup(sf_dir, "customer", "c_custkey", "c_nationkey")
+    nation_name = _lookup(sf_dir, "nation", "n_nationkey", "n_name")
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "n_name": df["o_custkey"].map(cust_nation).map(nation_name),
+                "rev_i": _cents(df["o_totalprice"]),
+                "n": np.ones(len(df), dtype="int64"),
+            }
+        )
+        return part.groupby("n_name", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("rev_i", alias_name="rev_i"), Sum("n", alias_name="n"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": df["n_name"],
+                "n_orders": df["n"].astype("int64"),
+                "revenue": df["rev_i"] / 100.0,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def q_supplier_region(sf_dir: str):
+    nation_region = _lookup(sf_dir, "nation", "n_nationkey", "n_regionkey")
+    region_name = _lookup(sf_dir, "region", "r_regionkey", "r_name")
+    ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "r_name": df["s_nationkey"].map(nation_region).map(region_name),
+                "bal_i": _cents(df["s_acctbal"]),
+                "n": np.ones(len(df), dtype="int64"),
+            }
+        )
+        return part.groupby("r_name", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Sum("bal_i", alias_name="bal_i"), Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "r_name": df["r_name"],
+                "n_suppliers": df["n"].astype("int64"),
+                "total_acctbal": df["bal_i"] / 100.0,
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_order_priority(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderdate"]
+    )
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        part = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"], "n": np.ones(len(df), "int64")}
+        )
+        return part.groupby("o_orderpriority", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"], "n_orders": df["n"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_parts_by_brand(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "p_brand": df["p_brand"],
+                "size_i": df["p_size"].astype("int64"),
+                "retail_i": _cents(df["p_retailprice"]),
+                "n": np.ones(len(df), "int64"),
+            }
+        )
+        return part.groupby("p_brand", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("size_i", alias_name="size_i"),
+            Sum("retail_i", alias_name="retail_i"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "p_brand": df["p_brand"],
+                "n_parts": df["n"].astype("int64"),
+                "total_size": df["size_i"].astype("int64"),
+                "total_retail": df["retail_i"] / 100.0,
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    """Streaming-shaped log → keyed tumbling-window counts (the engine's
+    window model: event-time bucketing as a grouped aggregate)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64")  # microseconds since epoch
+        part = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour_bucket": us // 3_600_000_000,
+                "value_i": _cents(df["value"]),
+                "n": np.ones(len(df), "int64"),
+            }
+        )
+        return part.groupby(["event_type", "hour_bucket"], as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Sum("value_i", alias_name="value_i"), Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour_bucket": df["hour_bucket"].astype("int64"),
+                "n_events": df["n"].astype("int64"),
+                "total_value": df["value_i"] / 100.0,
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_events_sessions(sf_dir: str, gap_seconds: int = 1800):
+    """Sessionization: per-key ordered gap detection via
+    ``groupby(user).map_groups`` (the documented ordering assumption: events
+    are sorted by ts within the group before windowing)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    gap_us = gap_seconds * 1_000_000
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        us = group["ts"].astype("int64").sort_values().to_numpy()
+        gaps = np.diff(us)
+        return pd.DataFrame(
+            {
+                "user_id": [group["user_id"].iloc[0]],
+                "n_events": np.asarray([len(us)], "int64"),
+                "n_sessions": np.asarray([1 + int((gaps > gap_us).sum())], "int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_distinct_parts(sf_dir: str):
+    """COUNT(DISTINCT) as two grouped passes: dedupe (flag, part) pairs,
+    then count pairs per flag — both shuffles carry keys only."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_partkey"])
+        .count()
+    )
+    counted = pairs.groupby("l_returnflag").count()
+    return counted.map_batches(
+        lambda df: pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"], "n_parts": df["count()"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_filter_topk(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1997-01-01")
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_discount"] >= 0.05) & (df["l_shipdate"] >= cutoff)]
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "l_linenumber": df["l_linenumber"].astype("int64"),
+                "price": df["l_extendedprice"],
+            }
+        )
+
+    return (
+        ds.map_batches(filt, batch_format="pandas")
+        .sort(["price", "l_orderkey", "l_linenumber"], descending=[True, False, False])
+        .limit(15)
+    )
+
+
+# --- documents table ---
+
+
+def q_doc_stats(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "chars_i": df["n_chars"].astype("int64"),
+                "n": np.ones(len(df), "int64"),
+            }
+        )
+        return part.groupby("lang", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("chars_i", alias_name="chars_i"), Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "n_docs": df["n"].astype("int64"),
+                "total_chars": df["chars_i"].astype("int64"),
+                "avg_chars": df["chars_i"] * 1.0 / df["n"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_token_counts(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = add_text_stats(df)
+        part = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "tok_i": df["token_count"],
+                "n": np.ones(len(df), "int64"),
+            }
+        )
+        return part.groupby("lang", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("tok_i", alias_name="tok_i"), Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "total_tokens": df["tok_i"].astype("int64"),
+                "n_docs": df["n"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_alpha_quality(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = add_text_stats(df)
+        part = pd.DataFrame(
+            {
+                "source": df["source"],
+                "alpha_i": df["alpha_chars"],
+                "len_i": df["len_chars"],
+            }
+        )
+        return part.groupby("source", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("alpha_i", alias_name="alpha_i"), Sum("len_i", alias_name="len_i"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "source": df["source"],
+                "alpha_chars": df["alpha_i"].astype("int64"),
+                "total_chars": df["len_i"].astype("int64"),
+                "alpha_ratio": df["alpha_i"] * 1.0 / df["len_i"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    from .dedup import exact_dedup_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_stats(ds)
+
+
+def q_knn(sf_dir: str, n_queries: int = 8, k: int = 5):
+    from .similarity import knn_bruteforce
+
+    queries_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = [i for i, v in enumerate(queries_t.column("vec_id").to_pylist()) if v < n_queries]
+    q_ids = [queries_t.column("vec_id")[i].as_py() for i in mask]
+    q_mat = np.stack(
+        [np.asarray(queries_t.column("embedding")[i].as_py(), dtype=np.float64) for i in mask]
+    )
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_bruteforce(ds, {"ids": q_ids, "matrix": q_mat}, k=k)

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns.
+
+- :func:`knn_bruteforce` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch computes a numpy matmul against it and
+  emits per-block partial top-k rows; a tiny ``groupby(query_id)`` merge
+  produces the global top-k.  The shuffle moves k·n_blocks rows per query,
+  never the corpus.
+- :func:`knn_ivf` — the scale path: k-means-style coarse quantizer (fit on a
+  sample, centroids broadcast) assigns each vector to a cell; queries probe
+  only the nearest cells.  On 10^12 rows this turns a full scan into a
+  ~(n_probe/n_cells) partial scan at the cost of approximate recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(e, dtype=np.float64) for e in col])
+
+
+class _PartialTopK:
+    """Per-batch exact cosine partials against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, exclude_self: bool):
+        import ray
+
+        q = ray.get(queries_ref)  # once per actor / task-arg fetch
+        self.q_ids = np.asarray(q["ids"])
+        qm = np.asarray(q["matrix"], dtype=np.float64)
+        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+        self.id_col = id_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        emb = _as_matrix(batch["embedding"])
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        ids = batch[self.id_col].to_numpy()
+        sims = self.qm @ emb.T  # (Q, B)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            row = sims[qi]
+            mask = ids != qid if self.exclude_self else np.ones(len(ids), bool)
+            cand = np.where(mask)[0]
+            if len(cand) == 0:
+                continue
+            take = min(self.k, len(cand))
+            top = cand[np.argpartition(-row[cand], take - 1)[:take]]
+            out_q.extend([qid] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+        )
+
+
+def knn_bruteforce(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
+                   exclude_self: bool = True):
+    """Exact cosine top-k.  ``queries`` = {"ids": [...], "matrix": ndarray}.
+
+    Returns (query_id, neighbor_id, sim) with sim rounded to 4 decimals and
+    deterministic tie-break (sim desc, neighbor_id asc)."""
+    import ray
+
+    queries_ref = ray.put(queries)
+    partials = ds.map_batches(
+        _PartialTopK,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "k": k,
+            "id_col": id_col,
+            "exclude_self": exclude_self,
+        },
+        batch_format="pandas",
+        concurrency=4,
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        top = group.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        top = top.copy()
+        top["sim"] = top["sim"].round(4)
+        return top
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class _IVFAssign:
+    def __init__(self, centroids_ref):
+        import ray
+
+        c = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        self.c = c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        emb = _as_matrix(batch["embedding"])
+        emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        batch["ivf_cell"] = np.argmax(emb_n @ self.c.T, axis=1).astype("int64")
+        return batch
+
+
+def ivf_fit_centroids(ds, n_cells: int = 16, sample_rows: int = 2048,
+                      iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Coarse quantizer fit on a driver-side sample (the sample is small and
+    bounded; the corpus itself is never materialized)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    x = _as_matrix(sample["embedding"])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / (np.linalg.norm(v) or 1.0)
+    return centroids
+
+
+def knn_ivf(ds, queries: dict, centroids: np.ndarray, k: int = 5,
+            n_probe: int = 4, id_col: str = "vec_id", exclude_self: bool = True):
+    """Approximate top-k: assign cells, then brute-force only the probed
+    cells.  Returns the same shape as :func:`knn_bruteforce`."""
+    import ray
+
+    centroids_ref = ray.put(centroids)
+    assigned = ds.map_batches(
+        _IVFAssign,
+        fn_constructor_kwargs={"centroids_ref": centroids_ref},
+        batch_format="pandas",
+        concurrency=4,
+    )
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qm = np.asarray(queries["matrix"], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]
+    probed_cells = sorted({int(c) for row in probe for c in row})
+    subset = assigned.filter(
+        expr=f"ivf_cell in {probed_cells}"
+    )
+    return knn_bruteforce(subset, queries, k=k, id_col=id_col,
+                          exclude_self=exclude_self)

@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are vectorized batch transforms over the ``documents`` table
+shape ``(doc_id, text, lang, source, n_chars)``.  Stateful pieces (compiled
+regexes, stopword tables) live in callable classes → actor pools via
+``map_batches(Cls, concurrency=N)``; nothing here touches the driver.
+
+Aggregate outputs follow the integer-exact discipline: every aggregate is a
+sum/count of integers, with at most one final division — so the DuckDB
+oracle computes bit-identical values (no float-association drift).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+TOKEN_SPLIT = re.compile(r"\s+")
+# a BPE-ish subword proxy: runs of letters, digits, or single punctuation —
+# the cheap deterministic stand-in for a real tokenizer's piece count
+BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+# tiny per-language stopword tables for the n-gram/stopword language-ID
+# heuristic (public-knowledge word lists)
+LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "for", "on", "with"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"},
+    "es": {"el", "la", "los", "y", "de", "un", "una", "es", "para", "en"},
+}
+
+
+def add_text_stats(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Vectorized per-document counters: token_count (whitespace tokens),
+    alpha_chars ([A-Za-z]), digit_chars, bpe_ish_tokens, len_chars."""
+    text = batch[text_col].fillna("")
+    stripped = text.str.strip()
+    batch["token_count"] = np.where(
+        stripped == "", 0, stripped.str.split(TOKEN_SPLIT).str.len()
+    ).astype("int64")
+    batch["alpha_chars"] = text.str.count(r"[A-Za-z]").astype("int64")
+    batch["digit_chars"] = text.str.count(r"[0-9]").astype("int64")
+    batch["bpe_ish_tokens"] = text.str.count(BPE_ISH).astype("int64")
+    batch["len_chars"] = text.str.len().astype("int64")
+    return batch
+
+
+class LangIdModel:
+    """Stopword/character-class language identifier (actor-pool stage).
+
+    ``__init__`` builds the lookup tables once per actor; ``__call__`` scores
+    batches.  CJK detection falls back to a unicode-range ratio."""
+
+    def __init__(self):
+        self.tables = {lang: frozenset(ws) for lang, ws in LANG_STOPWORDS.items()}
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.cjk_re = re.compile(r"[一-鿿]")
+
+    def predict_one(self, text: str) -> str:
+        if not text:
+            return "und"
+        cjk = len(self.cjk_re.findall(text))
+        if cjk * 2 > len(text.replace(" ", "")):
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "und"
+        best_lang, best_hits = "und", 0
+        for lang, table in self.tables.items():
+            hits = sum(1 for w in words if w in table)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang if best_hits > 0 else "en"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["lang_pred"] = [self.predict_one(t) for t in batch["text"].fillna("")]
+        return batch
+
+
+class QualityScorer:
+    """Heuristic document-quality scoring (length / punctuation / stopword
+    ratios) — the usual pre-training filter features, one actor-pool stage."""
+
+    def __init__(self):
+        self.stop_all = frozenset().union(*LANG_STOPWORDS.values())
+        self.token_re = re.compile(r"\S+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        n_tokens, stop_hits, mean_len = [], [], []
+        for t in texts:
+            toks = self.token_re.findall(t)
+            n_tokens.append(len(toks))
+            stop_hits.append(sum(1 for w in toks if w.lower() in self.stop_all))
+            mean_len.append(
+                sum(len(w) for w in toks) / len(toks) if toks else 0.0
+            )
+        batch["q_tokens"] = np.asarray(n_tokens, dtype="int64")
+        batch["q_stop_hits"] = np.asarray(stop_hits, dtype="int64")
+        batch["q_mean_token_len"] = np.asarray(mean_len)
+        batch["q_keep"] = (
+            (batch["q_tokens"] >= 5)
+            & (batch["q_mean_token_len"] >= 2.0)
+            & (batch["q_mean_token_len"] <= 12.0)
+        )
+        return batch
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_64(data: bytes) -> int:
+    """FNV-1a 64-bit — the deterministic, dependency-free content hash used
+    for fingerprints and shingles (public-domain algorithm)."""
+    h = _FNV_OFFSET
+    for b in data:
+        h = np.uint64(h ^ np.uint64(b)) * _FNV_PRIME
+    return int(h)
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Document fingerprint: min of FNV-1a over sliding char windows — a
+    cheap locality-sensitive rolling-hash sketch for near-identity probes."""
+    data = text.encode("utf-8", "ignore")
+    if len(data) <= window:
+        return fnv1a_64(data)
+    best = None
+    step = max(1, window // 2)
+    for i in range(0, len(data) - window + 1, step):
+        h = fnv1a_64(data[i : i + window])
+        if best is None or h < best:
+            best = h
+    return best
+
+
+def add_fingerprint(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    batch["fingerprint"] = [
+        rolling_fingerprint(t or "") for t in batch[text_col].fillna("")
+    ]
+    # store as string: uint64 does not round-trip pandas→Arrow cleanly
+    batch["fingerprint"] = batch["fingerprint"].map(lambda v: f"{v:016x}")
+    return batch

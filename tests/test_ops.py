@@ -1,0 +1,213 @@
+"""Tests for training-data ops: dedup, similarity, text analysis, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from libpdf_ray.ops.dedup import (
+    MinHasher,
+    SimHasher,
+    md5_hex,
+    ngram_jaccard,
+)
+from libpdf_ray.ops.multimodal import MediaFeatureExtractor
+from libpdf_ray.ops.text import (
+    LangIdModel,
+    QualityScorer,
+    add_text_stats,
+    rolling_fingerprint,
+)
+
+
+class TestTextOps:
+    def test_token_count_matches_python_split(self):
+        df = pd.DataFrame({"text": ["a b  c", "", "  ", "one"]})
+        out = add_text_stats(df)
+        assert out["token_count"].tolist() == [3, 0, 0, 1]
+
+    def test_alpha_chars_ascii_only(self):
+        df = pd.DataFrame({"text": ["ab1 汉字 c!"]})
+        out = add_text_stats(df)
+        assert out["alpha_chars"].tolist() == [3]
+        assert out["digit_chars"].tolist() == [1]
+
+    def test_langid_heuristic(self):
+        model = LangIdModel()
+        assert model.predict_one("the cat and the dog is on a mat") == "en"
+        assert model.predict_one("der Hund und die Katze ist für mich") == "de"
+        assert model.predict_one("汉字汉字汉字汉字") == "zh"
+        assert model.predict_one("") == "und"
+
+    def test_quality_scorer(self):
+        df = pd.DataFrame({"text": ["the quick brown fox jumps over it", "x"]})
+        out = QualityScorer()(df)
+        assert bool(out["q_keep"][0]) is True
+        assert bool(out["q_keep"][1]) is False
+
+    def test_fingerprint_deterministic_and_local(self):
+        a = rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+        b = rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+        assert a == b
+
+
+class TestDedupKernels:
+    def test_md5_matches_duckdb(self):
+        import duckdb
+
+        text = "hello dedup"
+        assert md5_hex(text) == duckdb.sql(f"SELECT md5('{text}')").fetchone()[0]
+
+    def test_minhash_similarity_tracks_jaccard(self):
+        mh = MinHasher(num_perm=128)
+        a = "the quick brown fox jumps over the lazy dog again and again"
+        b = "the quick brown fox jumps over the lazy dog again and once"
+        c = "completely different words everywhere nothing shared at all here"
+        sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+        sim_ab = float(np.mean(sa == sb))
+        sim_ac = float(np.mean(sa == sc))
+        true_ab = ngram_jaccard(a, b)
+        assert sim_ab > sim_ac
+        assert abs(sim_ab - true_ab) < 0.25  # MinHash estimates Jaccard
+
+    def test_minhash_identical_texts(self):
+        mh = MinHasher()
+        t = "same text same text same text"
+        assert np.array_equal(mh.signature(t), mh.signature(t))
+
+    def test_simhash_near_vs_far(self):
+        sh = SimHasher()
+        a = sh.simhash("the quick brown fox jumps over the lazy dog " * 3)
+        b = sh.simhash("the quick brown fox jumps over the lazy cat " * 3)
+        c = sh.simhash("totally unrelated content about databases and engines")
+        def hamming(x, y):
+            return bin(x ^ y).count("1")
+        assert hamming(a, b) < hamming(a, c)
+
+    def test_ngram_jaccard_bounds(self):
+        assert ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+class TestDedupDatasets:
+    def test_exact_dedup(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import exact_dedup, exact_dedup_stats
+
+        rows = [
+            {"doc_id": 1, "text": "duplicate body"},
+            {"doc_id": 2, "text": "duplicate body"},
+            {"doc_id": 3, "text": "unique body"},
+        ]
+        ds = rd.from_items(rows)
+        stats = exact_dedup_stats(ds).to_pandas()
+        assert stats["n_copies"].sum() == 3
+        dup_row = stats[stats["n_copies"] == 2].iloc[0]
+        assert dup_row["keep_id"] == 1
+        deduped = exact_dedup(ds).to_pandas()
+        assert sorted(deduped["doc_id"]) == [1, 3]
+
+    def test_minhash_lsh_finds_near_dups(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import minhash_lsh_pairs
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away home"
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("home", "tonight")},
+            {"doc_id": 3, "text": "completely different content with other words entirely present"},
+        ]
+        pairs = minhash_lsh_pairs(rd.from_items(rows), threshold=0.5).to_pandas()
+        assert {(1, 2)} == set(zip(pairs["id_a"], pairs["id_b"]))
+
+    def test_embedding_neardup(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import embedding_neardup_pairs
+
+        rng = np.random.default_rng(7)
+        v = rng.standard_normal(64)
+        rows = [
+            {"vec_id": 1, "embedding": v.tolist()},
+            {"vec_id": 2, "embedding": (v + 0.001 * rng.standard_normal(64)).tolist()},
+            {"vec_id": 3, "embedding": rng.standard_normal(64).tolist()},
+        ]
+        pairs = embedding_neardup_pairs(
+            rd.from_items(rows), threshold=0.99
+        ).to_pandas()
+        assert set(zip(pairs["id_a"], pairs["id_b"])) == {(1, 2)}
+
+
+class TestSimilarity:
+    def test_knn_bruteforce_exact(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.similarity import knn_bruteforce
+
+        rng = np.random.default_rng(3)
+        mat = rng.standard_normal((50, 16))
+        rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(50)]
+        ds = rd.from_items(rows)
+        out = knn_bruteforce(
+            ds, {"ids": [0], "matrix": mat[:1]}, k=3
+        ).to_pandas()
+        # numpy reference
+        n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = n @ n[0]
+        sims[0] = -np.inf
+        expect = set(np.argsort(-sims)[:3].tolist())
+        assert set(out["neighbor_id"]) == expect
+
+    def test_knn_ivf_recall(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.similarity import ivf_fit_centroids, knn_ivf
+
+        rng = np.random.default_rng(5)
+        mat = rng.standard_normal((120, 16))
+        rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(120)]
+        ds = rd.from_items(rows)
+        centroids = ivf_fit_centroids(ds, n_cells=4, sample_rows=120)
+        out = knn_ivf(
+            ds, {"ids": [0], "matrix": mat[:1]}, centroids, k=3, n_probe=2
+        ).to_pandas()
+        assert len(out) == 3  # probed cells returned a full top-k
+        n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = n @ n[0]
+        sims[0] = -np.inf
+        top1 = int(np.argmax(sims))
+        assert top1 in set(out["neighbor_id"])  # recall@top1 with 2 probes
+
+
+class TestMultimodal:
+    def test_fake_decode_plumbing(self):
+        df = pd.DataFrame({"media_ref": ["media/doc-1/page_1_figure.1.png", ""]})
+        out = MediaFeatureExtractor()(df)
+        assert out["media_width"][0] > 0
+        assert out["media_error"][0] == ""
+        # poison row: empty ref → error column, not an exception
+        assert out["media_width"][1] == 0
+        assert "ValueError" in out["media_error"][1]
+        # deterministic features
+        again = MediaFeatureExtractor()(
+            pd.DataFrame({"media_ref": ["media/doc-1/page_1_figure.1.png"]})
+        )
+        assert again["media_features"][0] == out["media_features"][0]
+
+    def test_strict_mode_raises(self):
+        with pytest.raises(ValueError):
+            MediaFeatureExtractor(strict=True)(pd.DataFrame({"media_ref": [""]}))
+
+    def test_media_pipeline(self, ray_session, small_corpus_dir):
+        from libpdf_ray.config import SMART_CROP_CONFIG
+        from libpdf_ray.ops.multimodal import extract_media_features
+        from libpdf_ray.pipelines.extract import extract_spans, read_corpus, spans_table
+
+        spans = spans_table(
+            extract_spans(read_corpus(small_corpus_dir), SMART_CROP_CONFIG)
+        )
+        feats = extract_media_features(spans).to_pandas()
+        assert len(feats) > 0
+        assert (feats["media_error"] == "").all()
+        assert feats["media_ref"].str.startswith("media/").all()
