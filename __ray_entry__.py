@@ -57,7 +57,7 @@ def _q_span_kinds(sf_dir: str):
     import pandas as pd
 
     flat = _q_extract_spans(sf_dir)
-    counted = flat.groupby("kind").count()
+    counted = flat.groupby("kind", num_partitions=4).count()
     return counted.map_batches(
         lambda df: pd.DataFrame(
             {"kind": df["kind"], "n_spans": df["count()"].astype("int64")}
@@ -89,7 +89,7 @@ def _q_langid(sf_dir: str):
 
     agg = (
         pred.map_batches(partial, batch_format="pandas")
-        .groupby(["lang", "lang_pred"])
+        .groupby(["lang", "lang_pred"], num_partitions=4)
         .aggregate(Sum("n", alias_name="n_docs"))
     )
     return agg
@@ -117,7 +117,7 @@ def _q_quality_filter(sf_dir: str):
 
     return (
         scored.map_batches(partial, batch_format="pandas")
-        .groupby("lang")
+        .groupby("lang", num_partitions=4)
         .aggregate(Sum("kept", alias_name="n_kept"), Sum("n", alias_name="n_docs"))
     )
 
@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.q_events_sessions,
         "distinct_parts": R.q_distinct_parts,
         "filter_topk": R.q_filter_topk,
+        "priority_revenue": R.q_priority_revenue,
+        "top_event_per_user": R.q_top_event_per_user,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -302,6 +304,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY user_id
+        """,
+        "priority_revenue": """
+            SELECT o.o_orderpriority,
+                   CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
+        """,
+        "top_event_per_user": """
+            SELECT user_id, event_id, value
+            FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY value DESC, event_id
+                       ) AS rn
+                FROM events
+            )
+            WHERE rn = 1
         """,
         "distinct_parts": """
             SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts

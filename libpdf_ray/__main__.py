@@ -1,0 +1,87 @@
+"""CLI: ``python -m libpdf_ray <input_dir> -o <out_dir> [flags]``.
+
+The engine analog of ``python -m libpdf <pdf> -o out.yaml``
+(/root/reference/libpdf/core.py:281-533): same feature toggles, but the unit
+of work is a corpus directory of sidecar parquet shards and the output is
+partitioned span parquet with resume manifests.
+
+The CLI owns the Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m libpdf_ray",
+        description="Ray-Data-native structured-document span extraction",
+    )
+    p.add_argument("input_dir", help="corpus directory of sidecar parquet shards")
+    p.add_argument("-o", "--output", required=True, help="output directory")
+    p.add_argument("--page-range", default="", help="e.g. '3-5,7' (default: all)")
+    p.add_argument("--smart-page-crop", action="store_true")
+    for flag in ("annotations", "chapters", "paragraphs", "tables", "figures", "rects"):
+        p.add_argument(f"--no-{flag}", action="store_true")
+    p.add_argument("--media-dir", default="", help="also export figure media objects")
+    p.add_argument("--num-cpus", type=int, default=0, help="0 = let Ray decide")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--concurrency", type=int, default=0,
+                   help="actor-pool size for the parser (0 = stateless tasks)")
+    p.add_argument("--files-per-partition", type=int, default=1,
+                   help="input shards per resume partition")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    init_kwargs = dict(
+        address="local", include_dashboard=False, ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    if args.num_cpus:
+        init_kwargs["num_cpus"] = args.num_cpus
+    if not ray.is_initialized():
+        ray.init(**init_kwargs)
+
+    from libpdf_ray.config import PipelineConfig
+    from libpdf_ray.pipelines.checkpoint import run_resumable
+
+    cfg = PipelineConfig(
+        page_range=args.page_range,
+        smart_page_crop=args.smart_page_crop,
+        no_annotations=args.no_annotations,
+        no_chapters=args.no_chapters,
+        no_paragraphs=args.no_paragraphs,
+        no_tables=args.no_tables,
+        no_figures=args.no_figures,
+        no_rects=args.no_rects,
+        parse_batch_size=args.batch_size,
+        parse_concurrency=args.concurrency,
+    )
+    summary = run_resumable(
+        args.input_dir, args.output, cfg,
+        files_per_partition=args.files_per_partition,
+    )
+    if args.media_dir:
+        from libpdf_ray.pipelines.extract import extract_spans, read_corpus, spans_table
+        from libpdf_ray.state.media_store import export_media
+
+        manifest = export_media(
+            spans_table(extract_spans(read_corpus(args.input_dir), cfg)),
+            args.media_dir,
+        )
+        summary["media_objects"] = manifest.count()
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

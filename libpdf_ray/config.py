@@ -60,6 +60,7 @@ class PipelineConfig:
     unique_header_or_footer_elements_percentage: float = 0.05
 
     # --- feature toggles (libpdf/core.py:23-45) ---
+    page_range: str = ""  # e.g. "3-5,7" (libpdf/core.py:536-553); "" = all
     no_annotations: bool = False
     no_chapters: bool = False
     no_paragraphs: bool = False
@@ -68,7 +69,12 @@ class PipelineConfig:
     no_rects: bool = False
 
     # --- Ray execution knobs (engine-only; no reference analog) ---
-    parse_batch_size: int = 8  # docs per batch for the parser actor pool
+    # docs per parse batch.  Measured on this node (BENCH notes,
+    # BASELINE.md): batch_size=8 → 150 tiny tasks whose scheduling overhead
+    # dwarfs the ~1 ms/doc kernel (40 s cold); 64 amortizes it (≈2 s).  For
+    # corpora with a heavy manual tail, pair with repartition_by_cost so a
+    # batch stays page-bounded rather than doc-count-bounded.
+    parse_batch_size: int = 64
     parse_concurrency: int | tuple = 0  # 0 → let Ray use stateless tasks
     target_pages_per_block: int = 512  # cost-aware repartition target
 

@@ -73,6 +73,13 @@ def extract_document(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> list:
     """Extract the ordered span list for one sidecar document row."""
     doc_id = doc["doc_id"]
     pages = _page_map(doc)
+    if cfg.page_range:
+        # page-range selection (libpdf/core.py:536-553 + extract.py:98-120):
+        # unselected pages drop out of every downstream stage
+        from .meta import parse_page_range
+
+        selected = parse_page_range(cfg.page_range)
+        pages = {n: p for n, p in pages.items() if n in selected}
     if not pages:
         return []
     n_pages = len(pages)
@@ -141,6 +148,8 @@ def extract_document(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> list:
     if not cfg.no_rects:
         for rect in doc.get("rects") or []:
             page_no = int(rect["page"])
+            if page_no not in pages:
+                continue
             bbox = (
                 float(rect["x0"]),
                 float(rect["y0"]),
@@ -176,6 +185,8 @@ def extract_document(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> list:
                 (fig["x0"], fig["y0"], fig["x1"], fig["y1"])
             )
         for grid in doc.get("table_grids") or []:
+            if int(grid["page"]) not in pages:
+                continue
             table = grid_to_table(grid)
             if table_inside_any_figure(
                 table["bbox"],

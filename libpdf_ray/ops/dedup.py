@@ -43,7 +43,7 @@ def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
         lambda df: add_content_hash(df, text_col)[["content_hash", id_col]],
         batch_format="pandas",
     )
-    return hashed.groupby("content_hash").aggregate(
+    return hashed.groupby("content_hash", num_partitions=16).aggregate(
         Min(id_col, alias_name="keep_id"),
         Count(alias_name="n_copies"),
     )
@@ -58,7 +58,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(id_col).head(1)
 
-    return hashed.groupby("content_hash").map_groups(
+    return hashed.groupby("content_hash", num_partitions=16).map_groups(
         keep_first, batch_format="pandas"
     )
 
@@ -170,7 +170,7 @@ def minhash_lsh_pairs(
                     out_j.append(round(jac, 4))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+    pairs = exploded.groupby(["band", "band_hash"], num_partitions=16).map_groups(
         bucket_pairs, batch_format="pandas"
     )
 
@@ -178,7 +178,7 @@ def minhash_lsh_pairs(
     def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
         return group.head(1)
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
+    return pairs.groupby(["id_a", "id_b"], num_partitions=8).map_groups(
         dedup_pairs, batch_format="pandas"
     )
 
@@ -284,4 +284,4 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
                     out_c.append(round(float(sims[i, j]), 4))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return bucketed.groupby("bucket", num_partitions=8).map_groups(bucket_pairs, batch_format="pandas")

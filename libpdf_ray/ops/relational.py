@@ -85,7 +85,7 @@ def q_pricing_summary(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=4)
         .aggregate(
             Sum("qty_i", alias_name="qty_i"),
             Sum("base_i", alias_name="base_i"),
@@ -135,7 +135,7 @@ def q_top_customers(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("c_custkey")
+        .groupby("c_custkey", num_partitions=16)
         .aggregate(Sum("spent_i", alias_name="spent_i"), Sum("n", alias_name="n"))
     )
 
@@ -149,10 +149,13 @@ def q_top_customers(sf_dir: str):
             }
         )
 
-    return (
-        agg.map_batches(finalize, batch_format="pandas")
-        .sort(["total_spent", "c_custkey"], descending=[True, False])
-        .limit(10)
+    from .util import topk
+
+    return topk(
+        agg.map_batches(finalize, batch_format="pandas"),
+        ["total_spent", "c_custkey"],
+        descending=[True, False],
+        k=10,
     )
 
 
@@ -177,7 +180,7 @@ def q_revenue_by_nation(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("n_name")
+        .groupby("n_name", num_partitions=4)
         .aggregate(Sum("rev_i", alias_name="rev_i"), Sum("n", alias_name="n"))
     )
 
@@ -212,7 +215,7 @@ def q_supplier_region(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("r_name")
+        .groupby("r_name", num_partitions=4)
         .aggregate(Sum("bal_i", alias_name="bal_i"), Sum("n", alias_name="n"))
     )
     return agg.map_batches(
@@ -242,7 +245,7 @@ def q_order_priority(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("o_orderpriority")
+        .groupby("o_orderpriority", num_partitions=4)
         .aggregate(Sum("n", alias_name="n"))
     )
     return agg.map_batches(
@@ -271,7 +274,7 @@ def q_parts_by_brand(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("p_brand")
+        .groupby("p_brand", num_partitions=4)
         .aggregate(
             Sum("size_i", alias_name="size_i"),
             Sum("retail_i", alias_name="retail_i"),
@@ -312,7 +315,7 @@ def q_events_hourly(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "hour_bucket"])
+        .groupby(["event_type", "hour_bucket"], num_partitions=8)
         .aggregate(Sum("value_i", alias_name="value_i"), Sum("n", alias_name="n"))
     )
     return agg.map_batches(
@@ -346,30 +349,30 @@ def q_events_sessions(sf_dir: str, gap_seconds: int = 1800):
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return ds.groupby("user_id", num_partitions=8).map_groups(sessions, batch_format="pandas")
 
 
 def q_distinct_parts(sf_dir: str):
-    """COUNT(DISTINCT) as two grouped passes: dedupe (flag, part) pairs,
-    then count pairs per flag — both shuffles carry keys only."""
+    """COUNT(DISTINCT) with ONE shuffle: per-batch pair dedup (the
+    combiner), then ``groupby(flag).map_groups(nunique)`` — the shuffle
+    carries only the per-batch-distinct (flag, partkey) pairs."""
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
     )
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
-
-    pairs = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_partkey"])
-        .count()
+    deduped = ds.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
     )
-    counted = pairs.groupby("l_returnflag").count()
-    return counted.map_batches(
-        lambda df: pd.DataFrame(
-            {"l_returnflag": df["l_returnflag"], "n_parts": df["count()"].astype("int64")}
-        ),
-        batch_format="pandas",
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "n_parts": np.asarray([g["l_partkey"].nunique()], "int64"),
+            }
+        )
+
+    return deduped.groupby("l_returnflag", num_partitions=4).map_groups(
+        nunique, batch_format="pandas"
     )
 
 
@@ -390,11 +393,111 @@ def q_filter_topk(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(filt, batch_format="pandas")
-        .sort(["price", "l_orderkey", "l_linenumber"], descending=[True, False, False])
-        .limit(15)
+    from .util import topk
+
+    return topk(
+        ds.map_batches(filt, batch_format="pandas"),
+        ["price", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+        k=15,
     )
+
+
+def q_priority_revenue(sf_dir: str, num_buckets: int = 8):
+    """Large⋈large hash join: lineitem ⋈ orders on orderkey, as ONE explicit
+    hash-partitioned shuffle.
+
+    Pattern (measured: chaining two shuffle stages costs 25-60 s in actor
+    startup alone, see BASELINE.md bench notes):
+
+    1. pre-aggregate the fact side per join key inside ``map_batches`` —
+       the shuffle then carries one row per key, not the raw fact table;
+    2. tag both sides, union, add ``bucket = key % B`` and co-group with a
+       single ``groupby(bucket).map_groups`` that merges and pre-aggregates
+       per bucket (≤ n_priorities rows out per bucket);
+    3. combine the ≤ B·n_priorities survivors in one single-block task —
+       no second shuffle.
+
+    Skewed keys would be salted into sub-buckets here; orderkey is uniform
+    so B=8 plain buckets suffice."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = _cents(df["l_extendedprice"])
+        disc_p = _pct(df["l_discount"])
+        part = pd.DataFrame(
+            {
+                "key": df["l_orderkey"],
+                "rev_i": price_c * (100 - disc_p),
+                "n": np.ones(len(df), "int64"),
+            }
+        )
+        agg = part.groupby("key", as_index=False).sum()
+        agg["side"] = 0
+        agg["o_orderpriority"] = ""
+        return agg[["key", "rev_i", "n", "side", "o_orderpriority"]]
+
+    left = li.map_batches(partial, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"],
+                "rev_i": np.zeros(len(df), "int64"),
+                "n": np.zeros(len(df), "int64"),
+                "side": np.ones(len(df), "int64"),
+                "o_orderpriority": df["o_orderpriority"],
+            }
+        )
+
+    right = orders.map_batches(tag_right, batch_format="pandas")
+    tagged = left.union(right).map_batches(
+        lambda df: df.assign(bucket=(df["key"] % num_buckets).astype("int64")),
+        batch_format="pandas",
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0]
+        r = g[g["side"] == 1][["key", "o_orderpriority"]]
+        m = l.merge(r, on="key", how="inner", suffixes=("_x", ""))
+        return m.groupby("o_orderpriority", as_index=False)[["rev_i", "n"]].sum()
+
+    partials = tagged.groupby("bucket", num_partitions=4).map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("o_orderpriority", as_index=False)[["rev_i", "n"]].sum()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": agg["o_orderpriority"],
+                "revenue": agg["rev_i"] / 10000.0,
+                "n_items": agg["n"].astype("int64"),
+            }
+        )
+
+    return partials.repartition(1).map_batches(combine, batch_format="pandas")
+
+
+def q_top_event_per_user(sf_dir: str):
+    """Per-key argmax (window row_number()=1 analog) via
+    groupby().map_groups with a total ordering."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+
+    def top1(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(1)[["user_id", "event_id", "value"]]
+
+    return ds.groupby("user_id", num_partitions=8).map_groups(top1, batch_format="pandas")
 
 
 # --- documents table ---
@@ -415,7 +518,7 @@ def q_doc_stats(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("lang")
+        .groupby("lang", num_partitions=4)
         .aggregate(Sum("chars_i", alias_name="chars_i"), Sum("n", alias_name="n"))
     )
     return agg.map_batches(
@@ -447,7 +550,7 @@ def q_token_counts(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("lang")
+        .groupby("lang", num_partitions=4)
         .aggregate(Sum("tok_i", alias_name="tok_i"), Sum("n", alias_name="n"))
     )
     return agg.map_batches(
@@ -478,7 +581,7 @@ def q_alpha_quality(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("source")
+        .groupby("source", num_partitions=4)
         .aggregate(Sum("alpha_i", alias_name="alpha_i"), Sum("len_i", alias_name="len_i"))
     )
     return agg.map_batches(

@@ -86,7 +86,7 @@ def knn_bruteforce(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
         top["sim"] = top["sim"].round(4)
         return top
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("query_id", num_partitions=4).map_groups(merge, batch_format="pandas")
 
 
 class _IVFAssign:

@@ -1,0 +1,32 @@
+"""Shared dataset helpers: partition-tuned aggregates and shuffle-free top-k.
+
+Two systematic wins over naive Dataset usage (measured on this node — see
+BENCH notes in BASELINE.md):
+
+- ``groupby(...)`` defaults to a partition count meant for huge key spaces;
+  a 6-row aggregate then pays for hundreds of empty shuffle tasks (10-15 s
+  → ~2 s with a key-cardinality-sized ``num_partitions``).  Every grouped
+  op in the engine takes an explicit ``num_partitions``.
+- global top-k via ``sort().limit(k)`` range-shuffles the whole dataset
+  (~20 s for 15 k rows); :func:`topk` instead takes per-block partial
+  top-k (embarrassingly parallel) and merges the ≤ k·n_blocks survivors in
+  one single-block task.  At 100 TB the partial pass is the only stage that
+  touches the data.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def topk(ds, keys, descending, k: int):
+    """Deterministic global top-k: ``keys`` must be a total order (include
+    tie-break columns).  ``descending`` is a list of bools per key."""
+    ascending = [not d for d in descending]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(keys, ascending=ascending).head(k)
+
+    survivors = ds.map_batches(partial, batch_format="pandas")
+    # ≤ k rows per input block survive; one small task finishes the job
+    return survivors.repartition(1).map_batches(partial, batch_format="pandas")
