@@ -183,6 +183,30 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, {"ids": ids, "matrix": mat}, centroids, k=5, n_probe=4)
 
 
+def _q_elements(sf_dir: str):
+    from libpdf_ray.config import SMART_CROP_CONFIG
+    from libpdf_ray.pipelines.extract import read_corpus
+    from libpdf_ray.stages.elements import elements_table
+
+    return elements_table(read_corpus(_query_corpus()), SMART_CROP_CONFIG)
+
+
+def _q_file_meta(sf_dir: str):
+    import ray.data as rd
+
+    from libpdf_ray.stages.meta import file_meta_table
+
+    return file_meta_table(rd.read_parquet(_query_corpus()))
+
+
+def _q_pages(sf_dir: str):
+    import ray.data as rd
+
+    from libpdf_ray.stages.meta import pages_table
+
+    return pages_table(rd.read_parquet(_query_corpus(), columns=["doc_id", "pages"]))
+
+
 def _q_text_spans(sf_dir: str):
     from libpdf_ray.sources.text_source import read_text_documents
 
@@ -224,6 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf": _q_knn_ivf,
         "text_spans": _q_text_spans,
+        "elements": _q_elements,
+        "file_meta": _q_file_meta,
+        "pages": _q_pages,
     }
 
 

@@ -24,7 +24,8 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CORPUS = os.environ.get("BENCH_CORPUS", "/tmp/libpdf_ray_bench_corpus")
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "1200"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "4200"))
+BENCH_SKEW_PAGES = int(os.environ.get("BENCH_SKEW_PAGES", "100"))
 
 
 def _sf_label(path: str) -> float:
@@ -35,11 +36,18 @@ def _sf_label(path: str) -> float:
 
 
 def _ensure_corpus() -> str:
-    from libpdf_ray.fixtures import write_corpus
+    from libpdf_ray.fixtures import DEFAULT_FAMILIES, write_corpus
 
-    # ~1200 mixed-family docs incl. the skew tail (40-page manuals)
-    return write_corpus(BENCH_CORPUS, n_docs=BENCH_DOCS, seed=42, shards=16,
-                        skew_pages=40)
+    # mixed corpus with a heavy skew tail: ~21% are 100-page outlined
+    # manuals (~216 ms extraction each — difflib chapter matching), the
+    # rest 1-3 page docs (~1 ms) — the 1-page-flyer / 5000-page-manual
+    # shape of the north rule at test scale
+    families = DEFAULT_FAMILIES + ("skew", "skew")
+    # dir keyed by params: a stale corpus with different params must never
+    # share a directory (read_parquet globs every shard in the dir)
+    out = f"{BENCH_CORPUS}_n{BENCH_DOCS}_k{BENCH_SKEW_PAGES}"
+    return write_corpus(out, n_docs=BENCH_DOCS, seed=42, shards=16,
+                        skew_pages=BENCH_SKEW_PAGES, families=families)
 
 
 def run_benchmarks() -> dict:

@@ -515,12 +515,17 @@ def _fam_colors(b: FlowBuilder, rng):
 
 
 def _fam_skew(b: FlowBuilder, rng, n_pages: int = 40):
-    # 40-page manual next to 1-page flyers: the skew tail of the north rule
-    for p in range(n_pages):
-        if p > 0:
+    # the skew tail of the north rule: a long outlined manual (chapters on
+    # every page — the realistic shape; fuzzy chapter matching is the
+    # dominant per-page extraction cost) next to 1-page flyers
+    for p in range(1, n_pages + 1):
+        if p > 1:
             b.new_page()
-        for _ in range(4):
-            b.add_par()
+        for k in (1, 2):
+            num = f"{p}.{k}"
+            b.add_heading(f"{2 * (p - 1) + k}", f"{num} {_title(rng)}")
+            for _ in range(3):
+                b.add_par()
 
 
 FAMILY_BUILDERS = {

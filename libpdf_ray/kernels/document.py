@@ -71,6 +71,15 @@ def _smart_crop(elements: list, n_pages: int, page_height: float, cfg) -> list:
 
 def extract_document(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> list:
     """Extract the ordered span list for one sidecar document row."""
+    return extract_document_full(doc, cfg)[0]
+
+
+def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> tuple:
+    """Like :func:`extract_document` but also returns the flat element list
+    (doc-ordered dicts with etype/page/bbox/uid/links) — the engine's
+    analog of the reference's ``ApiObjects`` escape hatch
+    (libpdf/apiobjects.py:56-68): downstream users get the full element
+    geometry, not just the span projection."""
     doc_id = doc["doc_id"]
     pages = _page_map(doc)
     if cfg.page_range:
@@ -81,7 +90,7 @@ def extract_document(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> list:
         selected = parse_page_range(cfg.page_range)
         pages = {n: p for n, p in pages.items() if n in selected}
     if not pages:
-        return []
+        return [], []
     n_pages = len(pages)
     page_numbers = sorted(pages)
     first_page = pages[page_numbers[0]]
@@ -366,7 +375,7 @@ def extract_document(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> list:
                     "offset": len(spans),
                 }
             )
-    return spans
+    return spans, flat_elements
 
 
 def _map_elements_outline(merged: list, outline_tree: list, headline_tolerance: float):
