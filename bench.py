@@ -71,7 +71,12 @@ def run_benchmarks() -> dict:
     from libpdf_ray.ops import relational as R
     from libpdf_ray.pipelines.extract import extract_spans, read_corpus
 
-    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    # warm-up (untimed): spin up the full Python worker pool (worker
+    # cold-start is ~2-5 s per process and would otherwise land inside the
+    # first timed pipeline) and pull the corpus through the OS page cache
+    ray.data.range(
+        NUM_CPUS * 1000, override_num_blocks=NUM_CPUS * 2
+    ).map_batches(lambda b: b, batch_format="pyarrow").count()
     read_corpus(corpus).count()
 
     timings: dict = {}

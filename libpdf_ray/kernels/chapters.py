@@ -124,18 +124,31 @@ def chapter_examiner(
     if not cand_idx:
         return []
 
+    # SequenceMatcher preprocesses seq2 (b2j) once per object — reuse one
+    # matcher per comparison target across all candidate boxes.  Values are
+    # bit-identical to constructing a fresh matcher per pair (the reference
+    # does the latter, textbox.py:357-371; this is the hot path of manual
+    # parsing, ~60 µs per ratio call).
+    is_virt = "virt." in chapter["number"]
+    m_title = SequenceMatcher(None, "", chapter["title"])
+    if not is_virt:
+        m_number = SequenceMatcher(None, "", chapter["number"])
+        m_content = SequenceMatcher(
+            None, "", f"{chapter['number']} {chapter['title']}"
+        )
     sims = []
     for i in cand_idx:
         text = textboxes[i]["text"].strip()
-        sim_title = SequenceMatcher(None, text, chapter["title"]).ratio()
-        if "virt." in chapter["number"]:
+        m_title.set_seq1(text)
+        sim_title = m_title.ratio()
+        if is_virt:
             sim_number = None
             sim_content = None
         else:
-            sim_number = SequenceMatcher(None, text, chapter["number"]).ratio()
-            sim_content = SequenceMatcher(
-                None, text, f"{chapter['number']} {chapter['title']}"
-            ).ratio()
+            m_number.set_seq1(text)
+            sim_number = m_number.ratio()
+            m_content.set_seq1(text)
+            sim_content = m_content.ratio()
         sims.append({"title": sim_title, "number": sim_number, "content": sim_content})
 
     winners_local = _similarity_referee(

@@ -41,11 +41,12 @@ class TestMetaKernels:
 
 class TestPageRange:
     def test_page_range_drops_unselected_pages(self):
-        doc = build_document(11, "skew", skew_pages=6)  # 6 pages, 4 pars each
+        # 6-page outlined manual: 2 chapters + 6 paragraphs per page
+        doc = build_document(11, "skew", skew_pages=6)
         full = extract_document(doc, PipelineConfig())
         limited = extract_document(doc, PipelineConfig(page_range="2-3"))
-        assert len(full) == 24
-        assert len(limited) == 8  # pages 2-3 only
+        assert len(full) == 48
+        assert len(limited) == 16  # pages 2-3 only
 
     def test_page_range_empty_selection(self):
         doc = build_document(0, "plain")
