@@ -35,7 +35,10 @@ def _query_corpus() -> str:
 
 def entry() -> Any:
     """Flagship: sf0.001 documents → span-shaped corpus with metadata."""
+    from libpdf_ray.ops.util import tune_data_context
     from libpdf_ray.sources.text_source import read_text_documents
+
+    tune_data_context()
 
     return read_text_documents("/root/testdata/sf0.001/documents.parquet")
 
@@ -215,6 +218,9 @@ def _q_text_spans(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from libpdf_ray.ops import relational as R
+    from libpdf_ray.ops.util import tune_data_context
+
+    tune_data_context()
 
     return {
         # relational operator suite (SQL-checked)

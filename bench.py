@@ -65,6 +65,10 @@ def run_benchmarks() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    from libpdf_ray.ops.util import tune_data_context
+
+    tune_data_context()
+
     corpus = _ensure_corpus()
 
     from libpdf_ray.config import SMART_CROP_CONFIG
@@ -95,6 +99,20 @@ def run_benchmarks() -> dict:
 
     n_docs = timed("extract", _extract)
 
+    if os.environ.get("BENCH_ONLY") == "extract":
+        ray.shutdown()
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "extraction headline wall time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_label(SF_DIR),
+            "num_cpus": NUM_CPUS,
+            "n_docs_extracted": n_docs,
+            "docs_per_sec_extract": round(n_docs / timings["extract"], 2),
+        }
+
     # relational / training-data headliners over $GRAFT_SF_DIR
     timed("pricing_summary", lambda: R.q_pricing_summary(SF_DIR).to_pandas())
     timed("top_customers", lambda: R.q_top_customers(SF_DIR).to_pandas())
@@ -121,10 +139,19 @@ def run_benchmarks() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job at num_cpus=8 and 32 in fresh processes (N vs 4N proxy)."""
+    """Same job at num_cpus=N and 4N in fresh processes.
+
+    Default levels are 4 → 16 (override with SCALE_CPUS_LOW/HIGH): a pure
+    multiprocessing control shows this VM delivers only ~22 effective cores
+    at 32 procs (8→32 ceiling 0.84, BASELINE.md), so 4→16 is the regime
+    where the ratio measures the ENGINE rather than host oversubscription.
+    Both levels plus the control are reported in BASELINE.md.
+    """
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling compares the headline extraction only ("run the headline
+        # pipeline twice"); the full suite runs in the plain mode
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY="extract")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
@@ -135,13 +162,14 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("SCALE_CPUS_LOW", "4"))
+    hi = int(os.environ.get("SCALE_CPUS_HIGH", "16"))
     r_lo, r_hi = run(lo), run(hi)
     t_lo = r_lo["queries"]["extract"]
     t_hi = r_hi["queries"]["extract"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "extract scaling efficiency (num_cpus 8 -> 32, fresh processes)",
+        "metric": f"extract scaling efficiency (num_cpus {lo} -> {hi}, fresh processes)",
         "cpus_low": lo,
         "cpus_high": hi,
         "extract_sec_low": t_lo,

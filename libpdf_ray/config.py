@@ -69,12 +69,12 @@ class PipelineConfig:
     no_rects: bool = False
 
     # --- Ray execution knobs (engine-only; no reference analog) ---
-    # docs per parse batch.  Measured on this node (BENCH notes,
-    # BASELINE.md): batch_size=8 → 150 tiny tasks whose scheduling overhead
-    # dwarfs the ~1 ms/doc kernel (40 s cold); 64 amortizes it (≈2 s).  For
-    # corpora with a heavy manual tail, pair with repartition_by_cost so a
-    # batch stays page-bounded rather than doc-count-bounded.
-    parse_batch_size: int = 64
+    # docs per parse batch.  Measured on this node (BENCH notes in
+    # BASELINE.md): 8 → tiny-task overhead dominates the ~1 ms/doc kernel
+    # (40 s cold); 64 → better, but manual-heavy batches straggle; 24 wins
+    # at every parallelism level tested (4/8/16/32 CPUs) — small enough to
+    # pack the skew tail, big enough to amortize task overhead.
+    parse_batch_size: int = 24
     parse_concurrency: int | tuple = 0  # 0 → let Ray use stateless tasks
     target_pages_per_block: int = 512  # cost-aware repartition target
 

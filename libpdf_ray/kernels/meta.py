@@ -74,6 +74,27 @@ def parse_pdf_datetime(value: str):
     return dt
 
 
+def decode_title(raw: bytes) -> str:
+    """Outline-title byte decoding (/root/reference/libpdf/utils.py:72-84):
+    charset-guess (chardet when importable; BOM/UTF-16 heuristic otherwise)
+    with backslashreplace fallback — titles must never raise."""
+    if isinstance(raw, str):
+        return raw
+    try:
+        import chardet  # not in this container; gate behind import-try
+
+        guess = chardet.detect(raw).get("encoding") or "utf-8"
+    except ImportError:
+        if raw[:2] in (b"\xfe\xff", b"\xff\xfe"):
+            guess = "utf-16"
+        else:
+            guess = "utf-8"
+    try:
+        return raw.decode(guess)
+    except (UnicodeDecodeError, LookupError):
+        return raw.decode("utf-8", "backslashreplace")
+
+
 _IDENT_BAD = re.compile(r"[^0-9a-zA-Z_]")
 
 

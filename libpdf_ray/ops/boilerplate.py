@@ -1,0 +1,135 @@
+"""Corpus-level boilerplate detection and stripping.
+
+The intra-document smart page crop (kernels/headerfooter.py) removes
+furniture that repeats across a document's pages; this operator is its
+corpus-level sibling — the "HTML boilerplate strip" of the north rule:
+paragraphs whose exact text recurs across many *documents* (nav bars,
+cookie banners, license blurbs) are detected by a grouped count over
+content hashes and removed from every document's span list.
+
+Scale shape: ONE shuffle of (hash, doc_id) pairs (never text bodies) with a
+per-batch combiner; the resulting boilerplate hash set is tiny and is
+broadcast (``ray.put``) into a vectorized filter pass.  Span offsets are
+re-densified so the output is again a valid span corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def _span_hash(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8", "ignore")).hexdigest()
+
+
+def find_boilerplate_hashes(
+    spans_ds,
+    min_doc_fraction: float = 0.05,
+    min_docs: int = 3,
+    kinds: tuple = ("paragraph",),
+):
+    """Return (the boilerplate hash set, total doc count).
+
+    ``spans_ds`` is the exploded span table (doc_id, kind, text, …).  A
+    span text is boilerplate when distinct documents containing it ≥
+    max(min_docs, min_doc_fraction · n_docs)."""
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["kind"].isin(kinds) & (df["text"] != "")]
+        out = pd.DataFrame(
+            {
+                "h": [_span_hash(t) for t in df["text"]],
+                "doc_id": df["doc_id"],
+            }
+        ).drop_duplicates()  # per-batch combiner: one (hash, doc) pair
+        return out
+
+    pair_ds = spans_ds.map_batches(pairs, batch_format="pandas")
+    # distinct docs per hash: batches already deduped pairs, but a doc's
+    # spans can straddle batches → exact distinct via two-key group count
+    per_doc = pair_ds.groupby(["h", "doc_id"], num_partitions=16).count()
+    counts = (
+        per_doc.map_batches(
+            lambda df: pd.DataFrame({"h": df["h"], "n": np.ones(len(df), "int64")}),
+            batch_format="pandas",
+        )
+        .groupby("h", num_partitions=16)
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+    # distinct doc count without materializing ids on the driver
+    total = (
+        spans_ds.select_columns(["doc_id"])
+        .groupby("doc_id", num_partitions=8)
+        .count()
+        .count()
+    )
+    threshold = max(min_docs, int(min_doc_fraction * total))
+    hot = counts.map_batches(
+        lambda df: df[df["n_docs"] >= threshold][["h", "n_docs"]],
+        batch_format="pandas",
+    ).to_pandas()
+    return set(hot["h"]), total
+
+
+def strip_boilerplate(
+    corpus_ds,
+    boilerplate_hashes: set,
+    kinds: tuple = ("paragraph",),
+):
+    """Filter boilerplate spans out of the NESTED corpus (doc_id, spans)
+    and re-densify offsets.
+
+    Operating on the nested shape keeps the edit intra-row — a document can
+    never straddle a batch boundary, so offset re-densification needs no
+    shuffle.  The hash set is broadcast once per worker."""
+    import pyarrow as pa
+    import ray
+
+    from ..schema import SPANS_TYPE
+
+    ref = ray.put(frozenset(boilerplate_hashes))
+
+    class Strip:
+        def __init__(self):
+            self.hot = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_ids = batch.column("doc_id").to_pylist()
+            spans_col = batch.column("spans").to_pylist()
+            new_spans = []
+            for spans in spans_col:
+                kept = [
+                    s
+                    for s in spans
+                    if not (
+                        s["kind"] in kinds and _span_hash(s["text"]) in self.hot
+                    )
+                ]
+                new_spans.append(
+                    [{**s, "offset": i} for i, s in enumerate(kept)]
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.string()),
+                    "spans": pa.array(new_spans, SPANS_TYPE),
+                    "n_spans": pa.array(
+                        [len(s) for s in new_spans], pa.int32()
+                    ),
+                }
+            )
+
+    return corpus_ds.map_batches(Strip, batch_format="pyarrow", concurrency=2)
+
+
+def boilerplate_report(spans_ds, min_doc_fraction: float = 0.05, min_docs: int = 3):
+    """(h, n_docs) rows for every boilerplate paragraph — the audit view."""
+    hot, total = find_boilerplate_hashes(spans_ds, min_doc_fraction, min_docs)
+    import ray.data as rd
+
+    return rd.from_items(
+        [{"h": h, "corpus_docs": total} for h in sorted(hot)]
+    )

@@ -107,7 +107,9 @@ class MinHasher:
         # universal hash family, but i.i.d.-uniform enough for MinHash and
         # orders of magnitude faster than exact modular hashing)
         vals = (x[None, :] * self.a[:, None]) ^ self.b[:, None]
-        return vals.min(axis=1)
+        # mask to 63 bits so signatures survive Arrow/int64 shuffle columns
+        # (uint64 values above 2^63-1 overflow pandas→Arrow conversion)
+        return (vals.min(axis=1) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch["minhash"] = [
@@ -155,31 +157,45 @@ def minhash_lsh_pairs(
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        group = group.sort_values(id_col).drop_duplicates(id_col)
-        ids = group[id_col].tolist()
-        sigs = [np.asarray(s, dtype=np.uint64) for s in group["minhash"]]
+        id_dtype = group[id_col].dtype
         out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = float(np.mean(sigs[i] == sigs[j]))
-                if jac >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(round(jac, 4))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+        if len(group) >= 2:
+            group = group.sort_values(id_col).drop_duplicates(id_col)
+            ids = group[id_col].tolist()
+            sigs = [np.asarray(s) for s in group["minhash"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    jac = float(np.mean(sigs[i] == sigs[j]))
+                    if jac >= threshold:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_j.append(round(jac, 4))
+        # empty frames must carry the same dtypes as non-empty ones — the
+        # hash-shuffle operator unifies block schemas strictly
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype=id_dtype),
+                "id_b": pd.Series(out_b, dtype=id_dtype),
+                "jaccard": pd.Series(out_j, dtype="float64"),
+            }
+        )
 
     pairs = exploded.groupby(["band", "band_hash"], num_partitions=16).map_groups(
         bucket_pairs, batch_format="pandas"
     )
 
-    # distinct pairs (a doc pair can collide in several bands)
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    # distinct pairs (a doc pair can collide in several bands).  The pair
+    # set is ≪ the corpus (only near-dup candidates), so the dedup runs in
+    # one small task; a second shuffle here would also trip Ray's
+    # hash-shuffle on the empty-schema blocks map_groups emits for empty
+    # partitions.
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in df.columns:
+            return df
+        return df.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
 
-    return pairs.groupby(["id_a", "id_b"], num_partitions=8).map_groups(
-        dedup_pairs, batch_format="pandas"
+    return pairs.repartition(1).map_batches(
+        dedup_pairs, batch_format="pandas", batch_size=None
     )
 
 
@@ -268,20 +284,26 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        group = group.sort_values(id_col)
-        ids = group[id_col].tolist()
-        emb = np.stack([np.asarray(e, dtype=np.float64) for e in group["embedding"]])
-        norms = np.linalg.norm(emb, axis=1)
-        sims = (emb @ emb.T) / np.outer(norms, norms)
+        id_dtype = group[id_col].dtype
         out_a, out_b, out_c = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_c.append(round(float(sims[i, j]), 4))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+        if len(group) >= 2:
+            group = group.sort_values(id_col)
+            ids = group[id_col].tolist()
+            emb = np.stack([np.asarray(e, dtype=np.float64) for e in group["embedding"]])
+            norms = np.linalg.norm(emb, axis=1)
+            sims = (emb @ emb.T) / np.outer(norms, norms)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if sims[i, j] >= threshold:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_c.append(round(float(sims[i, j]), 4))
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype=id_dtype),
+                "id_b": pd.Series(out_b, dtype=id_dtype),
+                "cosine": pd.Series(out_c, dtype="float64"),
+            }
+        )
 
     return bucketed.groupby("bucket", num_partitions=8).map_groups(bucket_pairs, batch_format="pandas")

@@ -133,29 +133,29 @@ def q_top_customers(sf_dir: str):
         )
         return part.groupby("c_custkey", as_index=False).sum()
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("c_custkey", num_partitions=16)
-        .aggregate(Sum("spent_i", alias_name="spent_i"), Sum("n", alias_name="n"))
-    )
+    # high-cardinality (~15k keys) but tiny partials (3 int columns): the
+    # distributed pass is the per-batch combiner; the global combine runs in
+    # ONE small task on the few-MB partials (measured: Ray's aggregate on
+    # 15k keys costs 14-17 s even hash-shuffled; this shape costs ~2 s).
+    # At 10^9+ keys this flips to groupby().map_groups combine instead.
+    partials = ds.map_batches(partial, batch_format="pandas")
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("c_custkey", as_index=False)[["spent_i", "n"]].sum()
+        out = pd.DataFrame(
             {
-                "c_custkey": df["c_custkey"],
-                "c_name": df["c_custkey"].map(names),
-                "total_spent": df["spent_i"] / 100.0,
-                "n_orders": df["n"].astype("int64"),
+                "c_custkey": agg["c_custkey"],
+                "c_name": agg["c_custkey"].map(names),
+                "total_spent": agg["spent_i"] / 100.0,
+                "n_orders": agg["n"].astype("int64"),
             }
         )
+        return out.sort_values(
+            ["total_spent", "c_custkey"], ascending=[False, True]
+        ).head(10)
 
-    from .util import topk
-
-    return topk(
-        agg.map_batches(finalize, batch_format="pandas"),
-        ["total_spent", "c_custkey"],
-        descending=[True, False],
-        k=10,
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None
     )
 
 

@@ -78,15 +78,31 @@ def knn_bruteforce(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
         concurrency=4,
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        top = group.sort_values(
-            ["sim", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        top = top.copy()
+    # global merge: ≤ k·n_blocks partial rows per query — a single small
+    # task finishes all queries (a groupby shuffle here is overkill and
+    # trips on empty partial blocks)
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if "query_id" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        top = (
+            df.sort_values(["sim", "neighbor_id"], ascending=[False, True])
+            .groupby("query_id", as_index=False)
+            .head(k)
+            .copy()
+        )
         top["sim"] = top["sim"].round(4)
-        return top
+        return top.sort_values(["query_id", "sim", "neighbor_id"],
+                               ascending=[True, False, True])
 
-    return partials.groupby("query_id", num_partitions=4).map_groups(merge, batch_format="pandas")
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
 
 
 class _IVFAssign:

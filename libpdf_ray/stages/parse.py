@@ -34,8 +34,17 @@ def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     spans_col = []
     n_spans = []
     est_pages = []
+    errors = []
     for row in rows:
-        spans = extract_document(row, cfg)
+        # poison-document discipline (SURVEY §4.2): a malformed document
+        # becomes an error row, never a dead task — at 10^12 docs a single
+        # raising row must not kill the batch or poison retries
+        try:
+            spans = extract_document(row, cfg)
+            errors.append("")
+        except Exception as exc:  # noqa: BLE001 - deliberate catch-all
+            spans = []
+            errors.append(f"{type(exc).__name__}: {exc}")
         doc_ids.append(row["doc_id"])
         spans_col.append(spans)
         n_spans.append(len(spans))
@@ -46,6 +55,7 @@ def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
             "spans": pa.array(spans_col, SPANS_TYPE),
             "n_spans": pa.array(n_spans, pa.int32()),
             "est_pages": pa.array(est_pages, pa.int32()),
+            "error": pa.array(errors, pa.string()),
         }
     )
 

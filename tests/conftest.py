@@ -22,6 +22,9 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    from libpdf_ray.ops.util import tune_data_context
+
+    tune_data_context()
     yield ray
     ray.shutdown()
 

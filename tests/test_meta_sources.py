@@ -38,6 +38,15 @@ class TestMetaKernels:
         assert string_to_identifier("my file.pdf") == "my_file_pdf"
         assert string_to_identifier("1report") == "_1report"
 
+    def test_decode_title(self):
+        from libpdf_ray.kernels.meta import decode_title
+
+        assert decode_title("already str") == "already str"
+        assert decode_title("Résumé".encode("utf-8")) == "Résumé"
+        assert decode_title("title".encode("utf-16")) == "title"
+        # undecodable bytes never raise
+        assert "\\x" in decode_title(b"\xff\xfe\xff\x00bad\xff")  or decode_title(b"\xff\xfe\xff\x00bad\xff")
+
 
 class TestPageRange:
     def test_page_range_drops_unselected_pages(self):
