@@ -51,13 +51,13 @@ def find_boilerplate_hashes(
     pair_ds = spans_ds.map_batches(pairs, batch_format="pandas")
     # distinct docs per hash: batches already deduped pairs, but a doc's
     # spans can straddle batches → exact distinct via two-key group count
-    per_doc = pair_ds.groupby(["h", "doc_id"], num_partitions=16).count()
+    per_doc = pair_ds.groupby(["h", "doc_id"], num_partitions=8).count()
     counts = (
         per_doc.map_batches(
             lambda df: pd.DataFrame({"h": df["h"], "n": np.ones(len(df), "int64")}),
             batch_format="pandas",
         )
-        .groupby("h", num_partitions=16)
+        .groupby("h", num_partitions=8)
         .aggregate(Sum("n", alias_name="n_docs"))
     )
     # distinct doc count without materializing ids on the driver

@@ -36,29 +36,59 @@ def add_content_hash(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFram
 
 
 def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """(content_hash, keep_id, n_copies) — keep_id is the min id per group."""
-    from ray.data.aggregate import Count, Min
+    """(content_hash, keep_id, n_copies) — keep_id is the min id per group.
 
-    hashed = ds.map_batches(
-        lambda df: add_content_hash(df, text_col)[["content_hash", id_col]],
-        batch_format="pandas",
-    )
-    return hashed.groupby("content_hash", num_partitions=16).aggregate(
-        Min(id_col, alias_name="keep_id"),
-        Count(alias_name="n_copies"),
+    Shape: per-batch combiner (min-id + count per hash within the batch) →
+    ONE hash shuffle → pandas combine per partition.  ``Dataset.aggregate``
+    is avoided on purpose: measured 14-55 s on 15k-50k-key groupbys where
+    this shape costs a few seconds (BASELINE.md bench notes)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = add_content_hash(df, text_col)
+        g = df.groupby("content_hash", as_index=False).agg(
+            keep_id=(id_col, "min"), n_copies=(id_col, "size")
+        )
+        g["n_copies"] = g["n_copies"].astype("int64")
+        # bucket key: co-group by hash prefix so the combine runs one
+        # vectorized pandas groupby per BUCKET, not one call per key
+        g["bucket"] = [int(h[:2], 16) % 16 for h in g["content_hash"]]
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("content_hash", as_index=False).agg(
+            keep_id=("keep_id", "min"), n_copies=("n_copies", "sum")
+        )
+        out["n_copies"] = out["n_copies"].astype("int64")
+        return out
+
+    return partials.groupby("bucket", num_partitions=8).map_groups(
+        combine, batch_format="pandas"
     )
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Return the dataset with exact duplicates removed (keep min id)."""
-    hashed = ds.map_batches(
-        lambda df: add_content_hash(df, text_col), batch_format="pandas"
-    )
+    """Return the dataset with exact duplicates removed (keep min id).
+
+    Bucketed co-group (see exact_dedup_stats): one vectorized
+    drop_duplicates per bucket partition."""
+
+    def hash_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = add_content_hash(df, text_col)
+        df["bucket"] = [int(h[:2], 16) % 16 for h in df["content_hash"]]
+        return df
+
+    hashed = ds.map_batches(hash_bucket, batch_format="pandas")
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+        return (
+            group.sort_values(id_col)
+            .drop_duplicates("content_hash")
+            .drop(columns=["bucket"])
+        )
 
-    return hashed.groupby("content_hash", num_partitions=16).map_groups(
+    return hashed.groupby("bucket", num_partitions=8).map_groups(
         keep_first, batch_format="pandas"
     )
 
@@ -180,7 +210,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    pairs = exploded.groupby(["band", "band_hash"], num_partitions=16).map_groups(
+    pairs = exploded.groupby(["band", "band_hash"], num_partitions=8).map_groups(
         bucket_pairs, batch_format="pandas"
     )
 
