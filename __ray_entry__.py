@@ -216,6 +216,41 @@ def _q_text_spans(sf_dir: str):
     return read_text_documents(f"{sf_dir}/documents.parquet")
 
 
+def _q_distinct_sketch(sf_dir: str):
+    import ray.data as rd
+
+    from libpdf_ray.ops.sketch import distinct_count_sketch
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return distinct_count_sketch(ds, "l_partkey")
+
+
+def _q_price_quantiles(sf_dir: str):
+    import ray.data as rd
+
+    from libpdf_ray.ops.sketch import quantile_sketch
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return quantile_sketch(ds, "l_extendedprice")
+
+
+def _q_boilerplate(sf_dir: str):
+    from libpdf_ray.config import SMART_CROP_CONFIG
+    from libpdf_ray.ops.boilerplate import find_boilerplate_hashes
+    from libpdf_ray.pipelines.extract import extract_spans, read_corpus, spans_table
+    import ray.data as rd
+
+    spans = spans_table(
+        extract_spans(read_corpus(_query_corpus()), SMART_CROP_CONFIG)
+    )
+    hot, total = find_boilerplate_hashes(spans, min_doc_fraction=0.5, min_docs=5)
+    return rd.from_items(
+        [{"n_boilerplate_texts": len(hot), "corpus_docs": total}]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from libpdf_ray.ops import relational as R
     from libpdf_ray.ops.util import tune_data_context
@@ -232,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": R.q_parts_by_brand,
         "events_hourly": R.q_events_hourly,
         "events_sessions": R.q_events_sessions,
+        "events_sliding": R.q_events_sliding,
         "distinct_parts": R.q_distinct_parts,
         "filter_topk": R.q_filter_topk,
         "priority_revenue": R.q_priority_revenue,
@@ -257,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "elements": _q_elements,
         "file_meta": _q_file_meta,
         "pages": _q_pages,
+        "distinct_sketch": _q_distinct_sketch,
+        "price_quantiles": _q_price_quantiles,
+        "boilerplate": _q_boilerplate,
     }
 
 
@@ -326,6 +365,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts)/3600) AS BIGINT) - o.off AS window_hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+            GROUP BY 1, 2
         """,
         "events_sessions": """
             SELECT user_id,

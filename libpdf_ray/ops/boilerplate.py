@@ -36,8 +36,6 @@ def find_boilerplate_hashes(
     ``spans_ds`` is the exploded span table (doc_id, kind, text, …).  A
     span text is boilerplate when distinct documents containing it ≥
     max(min_docs, min_doc_fraction · n_docs)."""
-    from ray.data.aggregate import Count, Sum
-
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["kind"].isin(kinds) & (df["text"] != "")]
         out = pd.DataFrame(
@@ -49,16 +47,29 @@ def find_boilerplate_hashes(
         return out
 
     pair_ds = spans_ds.map_batches(pairs, batch_format="pandas")
-    # distinct docs per hash: batches already deduped pairs, but a doc's
-    # spans can straddle batches → exact distinct via two-key group count
-    per_doc = pair_ds.groupby(["h", "doc_id"], num_partitions=8).count()
-    counts = (
-        per_doc.map_batches(
-            lambda df: pd.DataFrame({"h": df["h"], "n": np.ones(len(df), "int64")}),
-            batch_format="pandas",
-        )
-        .groupby("h", num_partitions=8)
-        .aggregate(Sum("n", alias_name="n_docs"))
+    # distinct docs per hash: per-batch pairs are deduped, but a doc's
+    # spans can straddle batches → bucket co-group by hash prefix, then
+    # one vectorized drop_duplicates + value_counts per bucket (avoids
+    # Ray aggregate on high-cardinality keys AND chained shuffles —
+    # BASELINE.md bench notes)
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if "h" not in g.columns or not len(g):
+            return pd.DataFrame(
+                {
+                    "h": pd.Series([], dtype="object"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                }
+            )
+        distinct = g.drop_duplicates(["h", "doc_id"])
+        vc = distinct["h"].value_counts()
+        return pd.DataFrame({"h": vc.index, "n_docs": vc.to_numpy().astype("int64")})
+
+    bucketed = pair_ds.map_batches(
+        lambda df: df.assign(bucket=[int(h[:2], 16) % 8 for h in df["h"]]),
+        batch_format="pandas",
+    )
+    counts = bucketed.groupby("bucket", num_partitions=8).map_groups(
+        count_bucket, batch_format="pandas"
     )
     # distinct doc count without materializing ids on the driver
     total = (
@@ -68,10 +79,18 @@ def find_boilerplate_hashes(
         .count()
     )
     threshold = max(min_docs, int(min_doc_fraction * total))
-    hot = counts.map_batches(
-        lambda df: df[df["n_docs"] >= threshold][["h", "n_docs"]],
-        batch_format="pandas",
-    ).to_pandas()
+
+    def hot_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if "h" not in df.columns:  # empty-schema block from empty partition
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype="object"),
+                 "n_docs": pd.Series([], dtype="int64")}
+            )
+        return df[df["n_docs"] >= threshold][["h", "n_docs"]]
+
+    hot = counts.map_batches(hot_filter, batch_format="pandas").to_pandas()
+    if "h" not in hot.columns:  # nothing crossed the threshold
+        return set(), total
     return set(hot["h"]), total
 
 

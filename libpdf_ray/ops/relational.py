@@ -352,6 +352,45 @@ def q_events_sessions(sf_dir: str, gap_seconds: int = 1800):
     return ds.groupby("user_id", num_partitions=8).map_groups(sessions, batch_format="pandas")
 
 
+def q_events_sliding(sf_dir: str, window_hours: int = 2):
+    """Sliding event-time windows (size 2h, step 1h): each event lands in
+    ``window_hours`` buckets; expressed as a vectorized per-batch expansion
+    + one grouped sum — the engine's sliding-window model."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = df["ts"].astype("int64") // 3_600_000_000
+        frames = []
+        for off in range(window_hours):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": df["event_type"],
+                        "window_hour": hour - off,
+                        "n": np.ones(len(df), "int64"),
+                    }
+                )
+            )
+        both = pd.concat(frames, ignore_index=True)
+        return both.groupby(["event_type", "window_hour"], as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "window_hour"], num_partitions=8)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "window_hour": df["window_hour"].astype("int64"),
+                "n_events": df["n"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_distinct_parts(sf_dir: str):
     """COUNT(DISTINCT) with ONE shuffle: per-batch pair dedup (the
     combiner), then ``groupby(flag).map_groups(nunique)`` — the shuffle
