@@ -492,6 +492,27 @@ def _fam_linked(b: FlowBuilder, rng):
     ]
 
 
+def _fam_twocolumn(b: FlowBuilder, rng):
+    """two_colums_sampe.pdf analog: the reference has NO column detection —
+    reading order is strictly (page, height − y0) (process.py:202-207), so
+    side-by-side columns interleave by y.  The expected spans encode that
+    quirk deliberately."""
+    left_x, right_x = MARGIN_X, 330.0
+    placed = []  # (y0, lines)
+    cursor_l, cursor_r = TOP_Y, TOP_Y - float(int(rng.integers(5, 20)))
+    for _ in range(3):
+        lines = [_body_line(b.rng)]
+        b.raw_textbox(1, left_x, cursor_l, lines)
+        placed.append((cursor_l - LINE_H, lines))
+        cursor_l -= LINE_H + b._gap()
+        lines = [_body_line(b.rng)]
+        b.raw_textbox(1, right_x, cursor_r, lines)
+        placed.append((cursor_r - LINE_H, lines))
+        cursor_r -= LINE_H + b._gap()
+    for _y0, lines in sorted(placed, key=lambda p: -p[0]):
+        b.span("paragraph", "\n".join(lines))
+
+
 def _fam_colors(b: FlowBuilder, rng):
     # ncolor / fontname lifting (horizontal_box.py:85-92,137-144,190-196);
     # spans are unaffected — tests assert the hbox model directly
@@ -541,6 +562,7 @@ FAMILY_BUILDERS = {
     "linked": _fam_linked,
     "colors": _fam_colors,
     "skew": _fam_skew,
+    "twocolumn": _fam_twocolumn,
 }
 
 
@@ -583,8 +605,11 @@ def write_corpus(
     """Write the corpus as ``shards`` parquet files (the resume/partition
     unit of the pipeline).  Idempotent for a given (n_docs, seed, shards)."""
     os.makedirs(out_dir, exist_ok=True)
+    import hashlib
+
+    fam_tag = hashlib.md5(",".join(families).encode()).hexdigest()[:8]
     marker = os.path.join(
-        out_dir, f"_done_n{n_docs}_s{seed}_p{shards}_k{skew_pages}"
+        out_dir, f"_done_n{n_docs}_s{seed}_p{shards}_k{skew_pages}_f{fam_tag}"
     )
     if os.path.exists(marker):
         return out_dir
