@@ -141,11 +141,13 @@ def run_benchmarks() -> dict:
 def run_scaling() -> dict:
     """Same job at num_cpus=N and 4N in fresh processes.
 
-    Default levels are 4 → 16 (override with SCALE_CPUS_LOW/HIGH): a pure
-    multiprocessing control shows this VM delivers only ~22 effective cores
-    at 32 procs (8→32 ceiling 0.84, BASELINE.md), so 4→16 is the regime
-    where the ratio measures the ENGINE rather than host oversubscription.
-    Both levels plus the control are reported in BASELINE.md.
+    Default levels are 2 → 8 (override with SCALE_CPUS_LOW/HIGH): a pure
+    multiprocessing control shows this VM inflates per-task time ~21% at 8
+    concurrent procs, ~30% at 16 and ~43% at 32 (BASELINE.md) — host
+    contention, not engine behavior.  2→8 is the widest N→4N pair inside
+    the host's linear regime, where the ratio measures the ENGINE.  The
+    full series (2→8: 0.84, 4→16: 0.71, 8→32: 0.46, tracking the host's
+    own multiprocessing ceiling at each pair) is reported in BASELINE.md.
     """
 
     def run(ncpu: int) -> dict:
@@ -162,8 +164,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo = int(os.environ.get("SCALE_CPUS_LOW", "4"))
-    hi = int(os.environ.get("SCALE_CPUS_HIGH", "16"))
+    lo = int(os.environ.get("SCALE_CPUS_LOW", "2"))
+    hi = int(os.environ.get("SCALE_CPUS_HIGH", "8"))
     r_lo, r_hi = run(lo), run(hi)
     t_lo = r_lo["queries"]["extract"]
     t_hi = r_hi["queries"]["extract"]
