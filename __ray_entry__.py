@@ -216,6 +216,14 @@ def _q_text_spans(sf_dir: str):
     return read_text_documents(f"{sf_dir}/documents.parquet")
 
 
+def _q_links(sf_dir: str):
+    from libpdf_ray.config import SMART_CROP_CONFIG
+    from libpdf_ray.pipelines.extract import read_corpus
+    from libpdf_ray.stages.links_view import links_table
+
+    return links_table(read_corpus(_query_corpus()), SMART_CROP_CONFIG)
+
+
 def _q_cells(sf_dir: str):
     from libpdf_ray.config import SMART_CROP_CONFIG
     from libpdf_ray.pipelines.extract import read_corpus
@@ -302,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "file_meta": _q_file_meta,
         "pages": _q_pages,
         "cells": _q_cells,
+        "links": _q_links,
         "distinct_sketch": _q_distinct_sketch,
         "price_quantiles": _q_price_quantiles,
         "boilerplate": _q_boilerplate,

@@ -24,6 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True, help="output directory")
     p.add_argument("--page-range", default="", help="e.g. '3-5,7' (default: all)")
     p.add_argument("--smart-page-crop", action="store_true")
+    p.add_argument("--page-crop", default="", metavar="T,B,L,R",
+                   help="static crop margins in points (top,bottom,left,right)")
     for flag in ("annotations", "chapters", "paragraphs", "tables", "figures", "rects"):
         p.add_argument(f"--no-{flag}", action="store_true")
     p.add_argument("--media-dir", default="", help="also export figure media objects")
@@ -53,8 +55,14 @@ def main(argv=None) -> int:
     from libpdf_ray.config import PipelineConfig
     from libpdf_ray.pipelines.checkpoint import run_resumable
 
+    page_crop = (
+        tuple(float(v) for v in args.page_crop.split(","))
+        if args.page_crop
+        else (0.0, 0.0, 0.0, 0.0)
+    )
     cfg = PipelineConfig(
         page_range=args.page_range,
+        page_crop=page_crop,
         smart_page_crop=args.smart_page_crop,
         no_annotations=args.no_annotations,
         no_chapters=args.no_chapters,

@@ -61,6 +61,11 @@ class PipelineConfig:
 
     # --- feature toggles (libpdf/core.py:23-45) ---
     page_range: str = ""  # e.g. "3-5,7" (libpdf/core.py:536-553); "" = all
+    # static crop margins in points (top, bottom, left, right) — the
+    # reference's page_crop arg / PAGE_CROP_MARGINS global
+    # (libpdf/parameters.py:131-136, mutated at core.py:79-83): layout
+    # textboxes outside the cropped page box are dropped before extraction
+    page_crop: tuple = (0.0, 0.0, 0.0, 0.0)
     no_annotations: bool = False
     no_chapters: bool = False
     no_paragraphs: bool = False

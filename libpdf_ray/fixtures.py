@@ -513,6 +513,65 @@ def _fam_twocolumn(b: FlowBuilder, rng):
         b.span("paragraph", "\n".join(lines))
 
 
+def _fam_tablelinks(b: FlowBuilder, rng):
+    """Links inside table cells and figure captions (tables.py:178-186,
+    extract.py:638-641): cell links resolve to chapter uids, figure links
+    stay unresolved.  Span sequence is unchanged by cell/figure links
+    (only paragraph links emit spans); the links_table view carries them."""
+    t1 = _title(rng)
+    b.add_heading("1", f"1 {t1}")
+    b.add_par()
+    # 2×2 grid; cell (1,2) carries a link over its first word, to chapter 1
+    ch1_y1 = b.outline[0]["y1"]
+    cells = [_words(rng, 1), _words(rng, 2), _words(rng, 1), ""]
+    page_no, y1, y0 = b.reserve(60)
+    b.table_grids.append(
+        {
+            "page": page_no,
+            "row_edges": [y1, y1 - 30, y1 - 60],
+            "col_edges": [72.0, 200.0, 328.0],
+            "cell_texts": cells,
+        }
+    )
+    b.span("table", "\n".join(["\t".join(cells[0:2]), "\t".join(cells[2:4])]))
+    # annotation over the first word of cell (1,2): cell text renders from
+    # the cell's top-left corner in the synthetic char model
+    first_word = cells[1].split(" ")[0]
+    b.annotations.append(
+        {
+            "page": page_no,
+            "x0": 200.0 + 1,
+            "y0": y1 - LINE_H,
+            "x1": 200.0 + len(first_word) * CHAR_W - 1,
+            "y1": y1,
+            "dest_page": 1,
+            "dest_x": MARGIN_X,
+            "dest_y": ch1_y1,
+            "dest_name": "",
+        }
+    )
+    # figure with caption carrying an (unresolved) link over chars 0..4
+    caption = _body_line(rng)
+    page_no, y1, y0 = b.reserve(60)
+    b.figures.append({"page": page_no, "x0": 72.0, "y0": y0, "x1": 450.0, "y1": y1})
+    tb = b.raw_textbox(page_no, 100.0, y0 + 22, [caption])
+    b.annotations.append(
+        {
+            "page": page_no,
+            "x0": tb["x0"] + 1,
+            "y0": tb["y1"] - LINE_H,
+            "x1": tb["x0"] + 4 * CHAR_W - 1,
+            "y1": tb["y1"],
+            "dest_page": 1,
+            "dest_x": MARGIN_X,
+            "dest_y": ch1_y1,
+            "dest_name": "",
+        }
+    )
+    b.span("figure", caption, b.next_figure_ref(page_no))
+    b.add_par()
+
+
 def _fam_colors(b: FlowBuilder, rng):
     # ncolor / fontname lifting (horizontal_box.py:85-92,137-144,190-196);
     # spans are unaffected — tests assert the hbox model directly
@@ -563,6 +622,7 @@ FAMILY_BUILDERS = {
     "colors": _fam_colors,
     "skew": _fam_skew,
     "twocolumn": _fam_twocolumn,
+    "tablelinks": _fam_tablelinks,
 }
 
 

@@ -97,12 +97,28 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
     page_height = float(first_page["height"])
 
     # -- textboxes with assembled text, bucketed per page in layout order --
+    crop_top, crop_bottom, crop_left, crop_right = (
+        tuple(float(v) for v in cfg.page_crop) if cfg.page_crop else (0, 0, 0, 0)
+    )
     textboxes_by_page: dict = {}
     for tb in doc.get("textboxes") or []:
         t = dict(tb)
         t["page"] = int(t["page"])
         for k in ("x0", "y0", "x1", "y1"):
             t[k] = float(t[k])
+        if any((crop_top, crop_bottom, crop_left, crop_right)):
+            # static page crop (textbox.py:966-974 semantics: boxes not
+            # completely inside the cropped page area are discarded)
+            page = pages.get(t["page"])
+            if page is None:
+                continue
+            if not (
+                t["x0"] >= crop_left
+                and t["x1"] <= float(page["width"]) - crop_right
+                and t["y0"] >= crop_bottom
+                and t["y1"] <= float(page["height"]) - crop_top
+            ):
+                continue
         t["text"] = textbox_text(t)
         textboxes_by_page.setdefault(t["page"], []).append(t)
 
@@ -136,6 +152,20 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                 inside = boxes_completely_inside(
                     textboxes_by_page.get(page_no, []), bbox
                 )
+                # links over figure-contained text (extract.py:638-641);
+                # the reference never resolves these to uids (the explorer
+                # runs only on paragraphs/tables) — mirrored here
+                fig_links: list = []
+                if not cfg.no_annotations and annos_by_page.get(page_no):
+                    for tb in inside:
+                        fig_links.extend(
+                            extract_links_for_textbox(
+                                tb,
+                                annos_by_page[page_no],
+                                cfg.anno_x_tolerance,
+                                cfg.anno_y_tolerance,
+                            )
+                        )
                 figures.append(
                     {
                         "etype": "figure",
@@ -146,7 +176,7 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                         "y1": bbox[3],
                         "text": "\n".join(tb["text"] for tb in inside),
                         "media_ref": f"media/{doc_id}/page_{page_no}_figure.{k + 1}.png",
-                        "links": [],
+                        "links": fig_links,
                     }
                 )
         if cfg.smart_page_crop:
@@ -204,6 +234,25 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
             ):
                 continue
             x0, y0, x1, y1 = table["bbox"]
+            # cell-level link extraction (tables.py:178-186: extract_cells
+            # runs extract_linked_chars per cell); the synthetic char model
+            # renders a cell's text from its top-left corner
+            if not cfg.no_annotations and annos_by_page.get(table["page"]):
+                page_annos = annos_by_page[table["page"]]
+                for cell in table["cells"]:
+                    cell_tb = {
+                        "x0": cell["x0"],
+                        "y0": cell["y0"],
+                        "x1": cell["x1"],
+                        "y1": cell["y1"],
+                        "text": cell["text"],
+                    }
+                    cell["links"] = extract_links_for_textbox(
+                        cell_tb, page_annos, cfg.anno_x_tolerance, cfg.anno_y_tolerance
+                    )
+            else:
+                for cell in table["cells"]:
+                    cell["links"] = []
             tables.append(
                 {
                     "etype": "table",
@@ -354,6 +403,16 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
     # -- uid assignment + link target resolution + span emission --
     _assign_uids(ordered)
     flat_elements = _flatten_elements(ordered)
+    # target resolution runs on paragraphs and cells, as the reference's
+    # libpdf_target_explorer does (process.py:200-205: paragraph_list and
+    # table_list only; figure links stay unresolved)
+    def _resolve(link):
+        dest = resolve_named_dest(link["dest"], named_dests)
+        link["target"] = find_target_uid(
+            dest, flat_elements, cfg.target_coor_tolerance
+        )
+        return link
+
     spans = []
     for el in flat_elements:
         spans.append(
@@ -364,17 +423,21 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                 "offset": len(spans),
             }
         )
-        for link in el.get("links", []):
-            dest = resolve_named_dest(link["dest"], named_dests)
-            target = find_target_uid(dest, flat_elements, cfg.target_coor_tolerance)
-            spans.append(
-                {
-                    "kind": "link",
-                    "text": f"{link['anchor']}->{target}",
-                    "media_ref": "",
-                    "offset": len(spans),
-                }
-            )
+        if el["etype"] == "paragraph":
+            for link in el.get("links", []):
+                _resolve(link)
+                spans.append(
+                    {
+                        "kind": "link",
+                        "text": f"{link['anchor']}->{link['target']}",
+                        "media_ref": "",
+                        "offset": len(spans),
+                    }
+                )
+        elif el["etype"] == "table":
+            for cell in el.get("cells", []):
+                for link in cell.get("links", []):
+                    _resolve(link)
     return spans, flat_elements
 
 

@@ -35,3 +35,28 @@ def test_cells_table(ray_session, small_corpus_dir):
     _, elements = extract_document_full(doc, SMART_CROP_CONFIG)
     tables = [el for el in elements if el["etype"] == "table"]
     assert sorted(len(t["cells"]) for t in tables) == [3, 9]
+
+
+def test_cell_and_figure_links(ray_session, tmp_path):
+    """Cell links resolve to element uids; figure links stay unresolved
+    (the reference explorer runs only on paragraphs/tables)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from libpdf_ray.fixtures import build_document
+    from libpdf_ray.pipelines.extract import read_corpus
+    from libpdf_ray.schema import RAW_DOC_SCHEMA
+    from libpdf_ray.stages.links_view import links_table
+
+    rows = [build_document(i, "tablelinks") for i in range(4)]
+    path = str(tmp_path / "tl.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=RAW_DOC_SCHEMA), path)
+    df = links_table(read_corpus(path), SMART_CROP_CONFIG).to_pandas()
+    cells = df[df["source_kind"] == "cell"]
+    figs = df[df["source_kind"] == "figure"]
+    assert len(cells) == 4 and len(figs) == 4
+    assert (cells["target"] == "chapter.1").all()
+    assert (cells["row"] == 1).all() and (cells["col"] == 2).all()
+    assert (figs["target"] == "").all()
+    assert (df["idx_stop"] > df["idx_start"]).all()
+    assert (df["anchor"].str.len() > 0).all()

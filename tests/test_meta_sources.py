@@ -151,3 +151,18 @@ def test_cli_end_to_end(small_corpus_dir, tmp_path):
     assert summary["total_partitions"] == 4
     assert len(summary["ran"]) == 4
     assert glob.glob(os.path.join(out, "_manifest", "*.json"))
+
+
+def test_static_page_crop():
+    """page_crop fixed margins (PAGE_CROP_MARGINS analog) drop furniture
+    without the smart occurrence algorithm."""
+    from libpdf_ray.fixtures import build_document
+    from libpdf_ray.kernels.document import extract_document
+
+    doc = build_document(8, "headerfooter")
+    plain = extract_document(doc, PipelineConfig())
+    cropped = extract_document(doc, PipelineConfig(page_crop=(100.0, 100.0, 0.0, 0.0)))
+    texts = [s["text"] for s in cropped]
+    assert not any(t.startswith("Confidential") or t.startswith("Page ") for t in texts)
+    body = [s for s in plain if not (s["text"].startswith("Confidential") or s["text"].startswith("Page "))]
+    assert [(s["kind"], s["text"]) for s in cropped] == [(s["kind"], s["text"]) for s in body]
