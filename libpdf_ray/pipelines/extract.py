@@ -44,7 +44,26 @@ PARSE_COLUMNS = [
 
 
 def read_corpus(paths, columns=PARSE_COLUMNS, **kwargs) -> "ray.data.Dataset":
-    """Read the sidecar corpus with column pruning at the read."""
+    """Read the sidecar corpus with column pruning at the read.
+
+    Optional sidecar columns (rects, figures, annotations, …) may be
+    absent in lean corpora; the projection intersects with the actual file
+    schema so such corpora parse with the matching stages as no-ops."""
+    if columns:
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        probe = paths
+        if isinstance(paths, (list, tuple)):
+            probe = paths[0]
+        if _os.path.isdir(probe):
+            files = sorted(_glob.glob(_os.path.join(probe, "*.parquet")))
+            probe = files[0] if files else None
+        if probe and _os.path.isfile(probe):
+            available = set(_pq.ParquetFile(probe).schema_arrow.names)
+            columns = [c for c in columns if c in available]
     return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 
