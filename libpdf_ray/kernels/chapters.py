@@ -43,6 +43,7 @@ def build_outline_tree(flat_outline: list) -> list:
         node = {
             "title": entry["title"],
             "number": None,
+            "path": entry["path"],
             "position": {
                 "page": int(entry["page"]),
                 "x0": float(entry["x0"]),

@@ -8,6 +8,24 @@ document.  At dataset scale this function runs inside
 ``Dataset.map_batches`` (see ``libpdf_ray.stages.parse``); nothing in here
 touches Ray, so the whole extraction semantics stay unit-testable.
 
+The dataflow is factored into two phases so huge documents can be
+page-split across workers (``pipelines.split``):
+
+- :func:`prepare_pages` — everything page-local: textbox assembly and
+  filtering, figure/rect/table region extraction, fuzzy chapter matching
+  against the (deterministically numbered) outline, paragraph rendering
+  with link char spans.  Embarrassingly parallel across page ranges.
+- :func:`finish_document` — the light document-level tail: smart
+  header/footer crop, global indices, reading-order merge, outline
+  nesting, uid paths, link target resolution, span emission.
+
+``extract_document_full`` = prepare(all pages) + finish — the reference's
+single-document semantics exactly (the monolithic path applies the smart
+crop to figure/rect/table lists inside prepare, preserving the reference's
+stage order; the split path defers those crops to finish, which is
+observably identical unless repeating page furniture is itself a
+figure/rect/table that overlaps other regions).
+
 Span conventions (the engine's span-sequence-equality contract; the fixture
 generator derives expected spans from the same conventions):
 
@@ -28,7 +46,9 @@ generator derives expected spans from the same conventions):
 - kind=link    → emitted immediately after the span of the paragraph that
   carries the annotation, ordered by idx_start; text =
   ``"{anchor}->{target}"`` where target is the resolved hierarchical uid
-  (element.py:62-81) or ``page.<n>/<x>:<y>`` fallback.
+  (element.py:62-81) or ``page.<n>/<x>:<y>`` fallback.  Cell links are
+  resolved but not span-emitted; figure links stay unresolved
+  (process.py:200-205).
 """
 
 from __future__ import annotations
@@ -56,6 +76,18 @@ def _page_map(doc: dict) -> dict:
     return {int(p["number"]): p for p in (doc.get("pages") or [])}
 
 
+def selected_pages(doc: dict, cfg: PipelineConfig) -> dict:
+    """Page map after page-range selection (libpdf/core.py:536-553 +
+    extract.py:98-120: unselected pages drop out of every stage)."""
+    pages = _page_map(doc)
+    if cfg.page_range:
+        from .meta import parse_page_range
+
+        sel = parse_page_range(cfg.page_range)
+        pages = {n: p for n, p in pages.items() if n in sel}
+    return pages
+
+
 def _smart_crop(elements: list, n_pages: int, page_height: float, cfg) -> list:
     """Apply smart header/footer removal to one element-type list (the
     reference filters each type list separately, extract.py:150-188)."""
@@ -69,32 +101,31 @@ def _smart_crop(elements: list, n_pages: int, page_height: float, cfg) -> list:
     return [el for i, el in enumerate(elements) if i not in removed]
 
 
-def extract_document(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> list:
-    """Extract the ordered span list for one sidecar document row."""
-    return extract_document_full(doc, cfg)[0]
+def numbered_outline(doc: dict, cfg: PipelineConfig) -> list:
+    """Outline tree with deterministic chapter numbers (catalog stage) —
+    pure function of the outline column, so every page split derives the
+    identical tree."""
+    if cfg.no_chapters or not doc.get("outline"):
+        return []
+    tree = build_outline_tree(list(doc["outline"]))
+    assign_chapter_numbers(tree)
+    return tree
 
 
-def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> tuple:
-    """Like :func:`extract_document` but also returns the flat element list
-    (doc-ordered dicts with etype/page/bbox/uid/links) — the engine's
-    analog of the reference's ``ApiObjects`` escape hatch
-    (libpdf/apiobjects.py:56-68): downstream users get the full element
-    geometry, not just the span projection."""
-    doc_id = doc["doc_id"]
-    pages = _page_map(doc)
-    if cfg.page_range:
-        # page-range selection (libpdf/core.py:536-553 + extract.py:98-120):
-        # unselected pages drop out of every downstream stage
-        from .meta import parse_page_range
-
-        selected = parse_page_range(cfg.page_range)
-        pages = {n: p for n, p in pages.items() if n in selected}
-    if not pages:
-        return [], []
+def prepare_pages(
+    doc: dict,
+    pages: dict,
+    cfg: PipelineConfig,
+    page_subset=None,
+    defer_smart_crop: bool = False,
+) -> dict:
+    """Phase 1: all page-local extraction for ``page_subset`` (default: all
+    selected pages).  Returns plain lists/dicts, serialization-safe."""
+    page_numbers = sorted(pages if page_subset is None else page_subset)
+    subset = set(page_numbers)
     n_pages = len(pages)
-    page_numbers = sorted(pages)
-    first_page = pages[page_numbers[0]]
-    page_height = float(first_page["height"])
+    page_height = float(pages[sorted(pages)[0]]["height"])
+    doc_id = doc["doc_id"]
 
     # -- textboxes with assembled text, bucketed per page in layout order --
     crop_top, crop_bottom, crop_left, crop_right = (
@@ -104,6 +135,8 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
     for tb in doc.get("textboxes") or []:
         t = dict(tb)
         t["page"] = int(t["page"])
+        if t["page"] not in subset:
+            continue
         for k in ("x0", "y0", "x1", "y1"):
             t[k] = float(t[k])
         if any((crop_top, crop_bottom, crop_left, crop_right)):
@@ -125,17 +158,10 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
     annos_by_page: dict = {}
     if not cfg.no_annotations:
         for anno in doc.get("annotations") or []:
-            annos_by_page.setdefault(int(anno["page"]), []).append(anno)
-    named_dests = {
-        nd["name"]: (int(nd["page"]), float(nd["x"]), float(nd["y"]))
-        for nd in (doc.get("named_dests") or [])
-    }
+            if int(anno["page"]) in subset:
+                annos_by_page.setdefault(int(anno["page"]), []).append(anno)
 
-    # -- outline tree with chapter numbers (catalog stage) --
-    outline_tree: list = []
-    if not cfg.no_chapters and doc.get("outline"):
-        outline_tree = build_outline_tree(list(doc["outline"]))
-        assign_chapter_numbers(outline_tree)
+    outline_tree = numbered_outline(doc, cfg)
 
     # -- figures (extract.py:593-659) --
     figures: list = []
@@ -153,8 +179,8 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                     textboxes_by_page.get(page_no, []), bbox
                 )
                 # links over figure-contained text (extract.py:638-641);
-                # the reference never resolves these to uids (the explorer
-                # runs only on paragraphs/tables) — mirrored here
+                # never uid-resolved (the explorer runs only on
+                # paragraphs/tables) — mirrored in finish_document
                 fig_links: list = []
                 if not cfg.no_annotations and annos_by_page.get(page_no):
                     for tb in inside:
@@ -179,7 +205,7 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                         "links": fig_links,
                     }
                 )
-        if cfg.smart_page_crop:
+        if cfg.smart_page_crop and not defer_smart_crop:
             figures = _smart_crop(figures, n_pages, page_height, cfg)
 
     # -- rects (extract.py:662-731) --
@@ -187,7 +213,7 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
     if not cfg.no_rects:
         for rect in doc.get("rects") or []:
             page_no = int(rect["page"])
-            if page_no not in pages:
+            if page_no not in subset:
                 continue
             bbox = (
                 float(rect["x0"]),
@@ -212,7 +238,7 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                     "links": [],
                 }
             )
-        if cfg.smart_page_crop:
+        if cfg.smart_page_crop and not defer_smart_crop:
             rects = _smart_crop(rects, n_pages, page_height, cfg)
 
     # -- tables (tables.py:49-204 + figure anti-join 207-234) --
@@ -224,7 +250,7 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                 (fig["x0"], fig["y0"], fig["x1"], fig["y1"])
             )
         for grid in doc.get("table_grids") or []:
-            if int(grid["page"]) not in pages:
+            if int(grid["page"]) not in subset:
                 continue
             table = grid_to_table(grid)
             if table_inside_any_figure(
@@ -234,9 +260,8 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
             ):
                 continue
             x0, y0, x1, y1 = table["bbox"]
-            # cell-level link extraction (tables.py:178-186: extract_cells
-            # runs extract_linked_chars per cell); the synthetic char model
-            # renders a cell's text from its top-left corner
+            # cell-level link extraction (tables.py:178-186); the synthetic
+            # char model renders a cell's text from its top-left corner
             if not cfg.no_annotations and annos_by_page.get(table["page"]):
                 page_annos = annos_by_page[table["page"]]
                 for cell in table["cells"]:
@@ -266,7 +291,7 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                     "links": [],
                 }
             )
-        if cfg.smart_page_crop:
+        if cfg.smart_page_crop and not defer_smart_crop:
             tables = _smart_crop(tables, n_pages, page_height, cfg)
 
     # -- textbox filtering (textbox.py:96-136, 863-902) --
@@ -294,12 +319,13 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
 
     # -- chapters (textbox.py:139-296) --
     chapters: list = []
+    adopted_numbers: dict = {}
     if outline_tree:
         flat = flatten_outline(outline_tree)
         chapters_by_page: dict = {}
         for ch in flat:
             page_no = ch["position"]["page"]
-            if page_no in pages:
+            if page_no in subset:
                 chapters_by_page.setdefault(page_no, []).append(ch)
         for page_no, page_chapters in chapters_by_page.items():
             page = pages[page_no]
@@ -320,11 +346,12 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                     x1 = max(w["x1"] for w in winners)
                     y1 = max(w["y1"] for w in winners)
                     if len(winners) == 2 and "virt." in ch["number"]:
-                        # number textbox left of the title donates the number
-                        # (textbox.py:204-213)
+                        # number textbox left of the title donates the
+                        # number (textbox.py:204-213)
                         ch["number"] = min(winners, key=lambda w: w["x0"])[
                             "text"
                         ].strip()
+                        adopted_numbers[ch["path"]] = ch["number"]
                     for w in winners:
                         cands.remove(w)
                 else:
@@ -343,17 +370,14 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                         "title": ch["title"],
                         "text": f"{ch['number']} {ch['title']}",
                         "links": [],
-                        "_outline_node": ch,
                     }
                 )
 
-    # -- paragraphs (textbox.py:531-600) --
+    # -- paragraphs (textbox.py:531-600), idx assigned in finish --
     paragraphs: list = []
     if not cfg.no_paragraphs:
-        par_counter = 0
         for page_no in page_numbers:
             for tb in candidates_by_page.get(page_no, []):
-                par_counter += 1
                 links = (
                     extract_links_for_textbox(
                         tb,
@@ -373,12 +397,51 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                         "x1": tb["x1"],
                         "y1": tb["y1"],
                         "text": tb["text"],
-                        "idx": par_counter,
                         "links": links,
                     }
                 )
-        if cfg.smart_page_crop:
-            paragraphs = _smart_crop(paragraphs, n_pages, page_height, cfg)
+
+    return {
+        "figures": figures,
+        "rects": rects,
+        "tables": tables,
+        "chapters": chapters,
+        "paragraphs": paragraphs,
+        "adopted_numbers": adopted_numbers,
+    }
+
+
+def finish_document(
+    doc: dict,
+    pages: dict,
+    prepared_list: list,
+    cfg: PipelineConfig,
+    crop_deferred: bool = False,
+) -> tuple:
+    """Phase 2: merge prepared page-range parts (in page order) and run the
+    document-level tail.  Returns (spans, flat_elements)."""
+    n_pages = len(pages)
+    page_height = float(pages[sorted(pages)[0]]["height"])
+
+    figures = [el for p in prepared_list for el in p["figures"]]
+    rects = [el for p in prepared_list for el in p["rects"]]
+    tables = [el for p in prepared_list for el in p["tables"]]
+    chapters = [el for p in prepared_list for el in p["chapters"]]
+    paragraphs = [el for p in prepared_list for el in p["paragraphs"]]
+    adopted: dict = {}
+    for p in prepared_list:
+        adopted.update(p["adopted_numbers"])
+
+    if cfg.smart_page_crop and crop_deferred:
+        figures = _smart_crop(figures, n_pages, page_height, cfg)
+        rects = _smart_crop(rects, n_pages, page_height, cfg)
+        tables = _smart_crop(tables, n_pages, page_height, cfg)
+
+    # paragraph doc-wide running idx, then smart crop (extract.py:186-188)
+    for i, el in enumerate(paragraphs):
+        el["idx"] = i + 1
+    if cfg.smart_page_crop:
+        paragraphs = _smart_crop(paragraphs, n_pages, page_height, cfg)
 
     # original extraction indices for above-outline uids
     for i, el in enumerate(tables):
@@ -390,6 +453,18 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
         el["idx"] = k
     for i, el in enumerate(rects):
         el["idx"] = i + 1
+
+    # outline tree (deterministic rebuild) + numbers adopted in phase 1
+    outline_tree = numbered_outline(doc, cfg)
+    if adopted:
+        for node in flatten_outline(outline_tree):
+            if node["path"] in adopted:
+                node["number"] = adopted[node["path"]]
+
+    named_dests = {
+        nd["name"]: (int(nd["page"]), float(nd["x"]), float(nd["y"]))
+        for nd in (doc.get("named_dests") or [])
+    }
 
     # -- merge + reading order (process.py:189-209) --
     merged = figures + tables + paragraphs + chapters + rects
@@ -403,9 +478,10 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
     # -- uid assignment + link target resolution + span emission --
     _assign_uids(ordered)
     flat_elements = _flatten_elements(ordered)
+
     # target resolution runs on paragraphs and cells, as the reference's
-    # libpdf_target_explorer does (process.py:200-205: paragraph_list and
-    # table_list only; figure links stay unresolved)
+    # libpdf_target_explorer does (process.py:200-205); figure links stay
+    # unresolved
     def _resolve(link):
         dest = resolve_named_dest(link["dest"], named_dests)
         link["target"] = find_target_uid(
@@ -439,6 +515,23 @@ def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> 
                 for link in cell.get("links", []):
                     _resolve(link)
     return spans, flat_elements
+
+
+def extract_document(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> list:
+    """Extract the ordered span list for one sidecar document row."""
+    return extract_document_full(doc, cfg)[0]
+
+
+def extract_document_full(doc: dict, cfg: PipelineConfig = PipelineConfig()) -> tuple:
+    """Like :func:`extract_document` but also returns the flat element list
+    (doc-ordered dicts with etype/page/bbox/uid/links) — the engine's
+    analog of the reference's ``ApiObjects`` escape hatch
+    (libpdf/apiobjects.py:56-68)."""
+    pages = selected_pages(doc, cfg)
+    if not pages:
+        return [], []
+    prepared = prepare_pages(doc, pages, cfg)
+    return finish_document(doc, pages, [prepared], cfg, crop_deferred=False)
 
 
 def _map_elements_outline(merged: list, outline_tree: list, headline_tolerance: float):

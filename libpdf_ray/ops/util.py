@@ -32,6 +32,13 @@ def tune_data_context() -> None:
 
     ctx = DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # aggregator actors default to 1 CPU each: a num_partitions=8 shuffle
+    # then reserves 8 whole CPUs for the lifetime of the pipeline and
+    # starves upstream map tasks on small clusters (measured: the split
+    # pipeline's prepare stage serialized behind them).  Fractional CPUs
+    # keep the aggregators schedulable without monopolizing the node.
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
 
 
 def topk(ds, keys, descending, k: int):
