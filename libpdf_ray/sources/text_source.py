@@ -9,7 +9,6 @@ segment text into paragraph spans, attach quality/token metadata.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 from ..schema import SPANS_TYPE

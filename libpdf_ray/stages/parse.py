@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..kernels.document import extract_document
-from ..schema import SPAN_STRUCT, SPANS_TYPE
+from ..schema import SPANS_TYPE
 
 
 def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
