@@ -181,6 +181,7 @@ def minhash_lsh_pairs(
         fn_constructor_kwargs={"num_perm": num_perm},
         batch_format="pandas",
         concurrency=4,
+        num_cpus=0.5,
     )
     exploded = with_sig.map_batches(
         lambda df: _band_rows(df, bands, rows, id_col), batch_format="pandas"
@@ -311,6 +312,7 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
         batch_format="pandas",
         concurrency=4,
+        num_cpus=0.5,
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:

@@ -76,6 +76,7 @@ def knn_bruteforce(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
         },
         batch_format="pandas",
         concurrency=4,
+        num_cpus=0.5,  # fractional: a full-CPU pool starves reads on small sessions
     )
 
     # global merge: ≤ k·n_blocks partial rows per query — a single small
@@ -150,6 +151,7 @@ def knn_ivf(ds, queries: dict, centroids: np.ndarray, k: int = 5,
         fn_constructor_kwargs={"centroids_ref": centroids_ref},
         batch_format="pandas",
         concurrency=4,
+        num_cpus=0.5,
     )
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     qm = np.asarray(queries["matrix"], dtype=np.float64)

@@ -1,0 +1,64 @@
+"""DuckDB-oracle parity inside the pytest gate.
+
+The driver runs the full 33-query comparison at sf=0.01; this in-suite
+version checks a representative subset at sf=0.001 so `python -m pytest
+-x -q` exercises the same bit-exact contract (sorted columns, sorted rows,
+exact value equality including doubles)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+CHECKED = [
+    "pricing_summary",
+    "top_customers",
+    "revenue_by_nation",
+    "events_sessions",
+    "events_sliding",
+    "distinct_parts",
+    "priority_revenue",
+    "exact_dedup",
+    "knn_bruteforce",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_duckdb(ray_session, duck, name):
+    import __ray_entry__ as entrymod
+
+    got = _canon(entrymod.queries()[name](SF).to_pandas())
+    exp = _canon(duck.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns)
+    assert got.shape == exp.shape
+    for col in got.columns:
+        a, b = got[col].to_numpy(), exp[col].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert (a == b).all(), f"{name}.{col}: float values differ"
+        else:
+            assert (
+                pd.Series(a).astype(str) == pd.Series(b).astype(str)
+            ).all(), f"{name}.{col}: values differ"
+
+
+def test_every_oracle_key_has_a_query():
+    import __ray_entry__ as entrymod
+
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert len(sqls) >= 18
