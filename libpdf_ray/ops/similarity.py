@@ -157,9 +157,13 @@ def knn_ivf(ds, queries: dict, centroids: np.ndarray, k: int = 5,
     qm = np.asarray(queries["matrix"], dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     probe = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]
-    probed_cells = sorted({int(c) for row in probe for c in row})
-    subset = assigned.filter(
-        expr=f"ivf_cell in {probed_cells}"
+    probed_cells = frozenset(int(c) for row in probe for c in row)
+    # pandas-side filter: an expression filter would round-trip the
+    # embedding column through Arrow, and pandas batches store it as a
+    # tensor-ish object dtype that Arrow cannot re-infer
+    subset = assigned.map_batches(
+        lambda df: df[df["ivf_cell"].isin(probed_cells)],
+        batch_format="pandas",
     )
     return knn_bruteforce(subset, queries, k=k, id_col=id_col,
                           exclude_self=exclude_self)
