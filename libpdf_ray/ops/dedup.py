@@ -300,6 +300,12 @@ class HyperplaneBucketer:
         batch["bucket"] = [
             int("".join("1" if b else "0" for b in row), 2) for row in bits
         ]
+        # re-wrap embeddings as plain python lists: the downstream bucket
+        # shuffle converts the block to Arrow, which cannot re-infer the
+        # per-cell numpy.ndarray dtype pandas gives Arrow list columns
+        batch["embedding"] = [
+            [float(v) for v in row] for row in emb
+        ]
         return batch
 
 
