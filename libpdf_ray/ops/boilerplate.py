@@ -35,6 +35,14 @@ def find_boilerplate_hashes(
     ``spans_ds`` is the exploded span table (doc_id, kind, text, …).  A
     span text is boilerplate when distinct documents containing it ≥
     max(min_docs, min_doc_fraction · n_docs)."""
+    from .util import shuffle_partitions
+
+    # two consumers fan out below (pair counting + the distinct-doc count);
+    # without this, Ray re-executes the WHOLE upstream pipeline — including
+    # the extraction that produced the spans — once per consumer
+    spans_ds = spans_ds.materialize()
+    n_parts = shuffle_partitions()
+
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["kind"].isin(kinds) & (df["text"] != "")]
         out = pd.DataFrame(
@@ -64,16 +72,16 @@ def find_boilerplate_hashes(
         return pd.DataFrame({"h": vc.index, "n_docs": vc.to_numpy().astype("int64")})
 
     bucketed = pair_ds.map_batches(
-        lambda df: df.assign(bucket=[int(h[:2], 16) % 8 for h in df["h"]]),
+        lambda df: df.assign(bucket=[int(h[:2], 16) % (4 * n_parts) for h in df["h"]]),
         batch_format="pandas",
     )
-    counts = bucketed.groupby("bucket", num_partitions=8).map_groups(
+    counts = bucketed.groupby("bucket", num_partitions=n_parts).map_groups(
         count_bucket, batch_format="pandas"
     )
     # distinct doc count without materializing ids on the driver
     total = (
         spans_ds.select_columns(["doc_id"])
-        .groupby("doc_id", num_partitions=8)
+        .groupby("doc_id", num_partitions=n_parts)
         .count()
         .count()
     )

@@ -26,6 +26,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from .text import add_text_stats
+from .util import file_bytes, shuffle_partitions
 
 
 def _cents(col: pd.Series) -> pd.Series:
@@ -39,7 +40,19 @@ def _pct(col: pd.Series) -> pd.Series:
 
 
 def _lookup(sf_dir: str, table: str, key: str, val: str) -> dict:
-    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, val])
+    """Broadcast-side dimension lookup, size-guarded: beyond the cap a
+    driver-built dict is a memory hazard and the caller must use the
+    bucketed hash-join pattern (see q_priority_revenue)."""
+    from .util import BROADCAST_LOOKUP_ROW_LIMIT, parquet_row_count
+
+    path = f"{sf_dir}/{table}.parquet"
+    n = parquet_row_count(path)
+    if n > BROADCAST_LOOKUP_ROW_LIMIT:
+        raise ValueError(
+            f"{table} has {n} rows — too large for a broadcast lookup; "
+            "use the bucketed hash join (q_priority_revenue pattern)"
+        )
+    t = pq.read_table(path, columns=[key, val])
     return dict(zip(t.column(key).to_pylist(), t.column(val).to_pylist()))
 
 
@@ -85,7 +98,7 @@ def q_pricing_summary(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"], num_partitions=4)
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=shuffle_partitions(est_keys=8))
         .aggregate(
             Sum("qty_i", alias_name="qty_i"),
             Sum("base_i", alias_name="base_i"),
@@ -116,9 +129,23 @@ def q_pricing_summary(sf_dir: str):
 
 
 def q_top_customers(sf_dir: str):
-    """Broadcast join (orders ⋈ customer) + grouped sum + deterministic
-    top-10."""
-    names = _lookup(sf_dir, "customer", "c_custkey", "c_name")
+    """Grouped sum per customer + deterministic top-10, with the combine
+    strategy driven by key cardinality (customer-table row count from
+    parquet metadata — a pure-metadata estimate):
+
+    - small key space: per-batch combiner → ONE small combine task
+      (measured ~2 s where Ray's aggregate on 15k keys costs 14-17 s);
+    - large key space: the same partials flow into a bucketed
+      ``groupby(bucket).map_groups`` combine with per-bucket top-10, then a
+      final ≤ 10·buckets-row merge — no task ever holds all keys.
+
+    Customer names are attached to the FINAL 10 rows only (filtered parquet
+    read inside the last map), never broadcast — at 10^9 customers a
+    broadcast name map is exactly the anti-pattern the size guard in
+    ``_lookup`` rejects."""
+    from .util import combine_partials, parquet_row_count, topk
+
+    est_keys = parquet_row_count(f"{sf_dir}/customer.parquet")
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
@@ -133,30 +160,41 @@ def q_top_customers(sf_dir: str):
         )
         return part.groupby("c_custkey", as_index=False).sum()
 
-    # high-cardinality (~15k keys) but tiny partials (3 int columns): the
-    # distributed pass is the per-batch combiner; the global combine runs in
-    # ONE small task on the few-MB partials (measured: Ray's aggregate on
-    # 15k keys costs 14-17 s even hash-shuffled; this shape costs ~2 s).
-    # At 10^9+ keys this flips to groupby().map_groups combine instead.
     partials = ds.map_batches(partial, batch_format="pandas")
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         agg = df.groupby("c_custkey", as_index=False)[["spent_i", "n"]].sum()
-        out = pd.DataFrame(
-            {
-                "c_custkey": agg["c_custkey"],
-                "c_name": agg["c_custkey"].map(names),
-                "total_spent": agg["spent_i"] / 100.0,
-                "n_orders": agg["n"].astype("int64"),
-            }
-        )
-        return out.sort_values(
-            ["total_spent", "c_custkey"], ascending=[False, True]
+        # keep only this task's top-10 — correct per key-disjoint bucket,
+        # and the global top-10 merge below sees ≤ 10 rows per task
+        return agg.sort_values(
+            ["spent_i", "c_custkey"], ascending=[False, True]
         ).head(10)
 
-    return partials.repartition(1).map_batches(
-        combine, batch_format="pandas", batch_size=None
+    combined = combine_partials(
+        partials, combine, key_cols="c_custkey", est_keys=est_keys
     )
+    top = topk(
+        combined, ["spent_i", "c_custkey"], descending=[True, False], k=10
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["c_custkey"].tolist()
+        t = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name"],
+            filters=[("c_custkey", "in", keys)],
+        )
+        names = dict(zip(t.column("c_custkey").to_pylist(), t.column("c_name").to_pylist()))
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"],
+                "c_name": df["c_custkey"].map(names),
+                "total_spent": df["spent_i"] / 100.0,
+                "n_orders": df["n"].astype("int64"),
+            }
+        )
+
+    return top.map_batches(finalize, batch_format="pandas", batch_size=None)
 
 
 def q_revenue_by_nation(sf_dir: str):
@@ -180,7 +218,7 @@ def q_revenue_by_nation(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("n_name", num_partitions=4)
+        .groupby("n_name", num_partitions=shuffle_partitions(est_keys=32))
         .aggregate(Sum("rev_i", alias_name="rev_i"), Sum("n", alias_name="n"))
     )
 
@@ -215,7 +253,7 @@ def q_supplier_region(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("r_name", num_partitions=4)
+        .groupby("r_name", num_partitions=shuffle_partitions(est_keys=8))
         .aggregate(Sum("bal_i", alias_name="bal_i"), Sum("n", alias_name="n"))
     )
     return agg.map_batches(
@@ -245,7 +283,7 @@ def q_order_priority(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("o_orderpriority", num_partitions=4)
+        .groupby("o_orderpriority", num_partitions=shuffle_partitions(est_keys=8))
         .aggregate(Sum("n", alias_name="n"))
     )
     return agg.map_batches(
@@ -274,7 +312,7 @@ def q_parts_by_brand(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("p_brand", num_partitions=4)
+        .groupby("p_brand", num_partitions=shuffle_partitions(est_keys=64))
         .aggregate(
             Sum("size_i", alias_name="size_i"),
             Sum("retail_i", alias_name="retail_i"),
@@ -315,7 +353,7 @@ def q_events_hourly(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "hour_bucket"], num_partitions=8)
+        .groupby(["event_type", "hour_bucket"], num_partitions=shuffle_partitions(est_keys=100_000))
         .aggregate(Sum("value_i", alias_name="value_i"), Sum("n", alias_name="n"))
     )
     return agg.map_batches(
@@ -336,6 +374,7 @@ def q_events_sessions(sf_dir: str, gap_seconds: int = 1800):
     ``groupby(user).map_groups`` (the documented ordering assumption: events
     are sorted by ts within the group before windowing)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
     gap_us = gap_seconds * 1_000_000
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
@@ -349,7 +388,7 @@ def q_events_sessions(sf_dir: str, gap_seconds: int = 1800):
             }
         )
 
-    return ds.groupby("user_id", num_partitions=8).map_groups(sessions, batch_format="pandas")
+    return ds.groupby("user_id", num_partitions=n_parts).map_groups(sessions, batch_format="pandas")
 
 
 def q_events_sliding(sf_dir: str, window_hours: int = 2):
@@ -376,7 +415,7 @@ def q_events_sliding(sf_dir: str, window_hours: int = 2):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "window_hour"], num_partitions=8)
+        .groupby(["event_type", "window_hour"], num_partitions=shuffle_partitions(est_keys=200_000))
         .aggregate(Sum("n", alias_name="n"))
     )
     return agg.map_batches(
@@ -401,6 +440,7 @@ def q_distinct_parts(sf_dir: str):
     deduped = ds.map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas"
     )
+    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/lineitem.parquet"))
 
     def nunique(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -410,7 +450,7 @@ def q_distinct_parts(sf_dir: str):
             }
         )
 
-    return deduped.groupby("l_returnflag", num_partitions=4).map_groups(
+    return deduped.groupby("l_returnflag", num_partitions=n_parts).map_groups(
         nunique, batch_format="pandas"
     )
 
@@ -442,7 +482,7 @@ def q_filter_topk(sf_dir: str):
     )
 
 
-def q_priority_revenue(sf_dir: str, num_buckets: int = 8):
+def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
     """Large⋈large hash join: lineitem ⋈ orders on orderkey, as ONE explicit
     hash-partitioned shuffle.
 
@@ -459,6 +499,11 @@ def q_priority_revenue(sf_dir: str, num_buckets: int = 8):
 
     Skewed keys would be salted into sub-buckets here; orderkey is uniform
     so B=8 plain buckets suffice."""
+    if num_buckets is None:
+        num_buckets = shuffle_partitions(
+            est_bytes=file_bytes(f"{sf_dir}/lineitem.parquet")
+            + file_bytes(f"{sf_dir}/orders.parquet")
+        )
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -507,7 +552,7 @@ def q_priority_revenue(sf_dir: str, num_buckets: int = 8):
         m = l.merge(r, on="key", how="inner", suffixes=("_x", ""))
         return m.groupby("o_orderpriority", as_index=False)[["rev_i", "n"]].sum()
 
-    partials = tagged.groupby("bucket", num_partitions=4).map_groups(
+    partials = tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
         merge_bucket, batch_format="pandas"
     )
 
@@ -530,13 +575,14 @@ def q_top_event_per_user(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
     )
+    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
 
     def top1(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(
             ["value", "event_id"], ascending=[False, True]
         ).head(1)[["user_id", "event_id", "value"]]
 
-    return ds.groupby("user_id", num_partitions=8).map_groups(top1, batch_format="pandas")
+    return ds.groupby("user_id", num_partitions=n_parts).map_groups(top1, batch_format="pandas")
 
 
 # --- documents table ---
@@ -557,7 +603,7 @@ def q_doc_stats(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("lang", num_partitions=4)
+        .groupby("lang", num_partitions=shuffle_partitions(est_keys=16))
         .aggregate(Sum("chars_i", alias_name="chars_i"), Sum("n", alias_name="n"))
     )
     return agg.map_batches(
@@ -589,7 +635,7 @@ def q_token_counts(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("lang", num_partitions=4)
+        .groupby("lang", num_partitions=shuffle_partitions(est_keys=16))
         .aggregate(Sum("tok_i", alias_name="tok_i"), Sum("n", alias_name="n"))
     )
     return agg.map_batches(
@@ -620,7 +666,7 @@ def q_alpha_quality(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("source", num_partitions=4)
+        .groupby("source", num_partitions=shuffle_partitions(est_keys=64))
         .aggregate(Sum("alpha_i", alias_name="alpha_i"), Sum("len_i", alias_name="len_i"))
     )
     return agg.map_batches(
