@@ -43,6 +43,10 @@ def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
     is avoided on purpose: measured 14-55 s on 15k-50k-key groupbys where
     this shape costs a few seconds (BASELINE.md bench notes)."""
 
+    from .util import shuffle_partitions
+
+    n_parts = shuffle_partitions()
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = add_content_hash(df, text_col)
         g = df.groupby("content_hash", as_index=False).agg(
@@ -51,7 +55,7 @@ def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
         g["n_copies"] = g["n_copies"].astype("int64")
         # bucket key: co-group by hash prefix so the combine runs one
         # vectorized pandas groupby per BUCKET, not one call per key
-        g["bucket"] = [int(h[:2], 16) % 16 for h in g["content_hash"]]
+        g["bucket"] = [int(h[:2], 16) % (4 * n_parts) for h in g["content_hash"]]
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -63,7 +67,7 @@ def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
         out["n_copies"] = out["n_copies"].astype("int64")
         return out
 
-    return partials.groupby("bucket", num_partitions=8).map_groups(
+    return partials.groupby("bucket", num_partitions=n_parts).map_groups(
         combine, batch_format="pandas"
     )
 
@@ -74,9 +78,13 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     Bucketed co-group (see exact_dedup_stats): one vectorized
     drop_duplicates per bucket partition."""
 
+    from .util import shuffle_partitions
+
+    n_parts = shuffle_partitions()
+
     def hash_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = add_content_hash(df, text_col)
-        df["bucket"] = [int(h[:2], 16) % 16 for h in df["content_hash"]]
+        df["bucket"] = [int(h[:2], 16) % (4 * n_parts) for h in df["content_hash"]]
         return df
 
     hashed = ds.map_batches(hash_bucket, batch_format="pandas")
@@ -88,7 +96,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
             .drop(columns=["bucket"])
         )
 
-    return hashed.groupby("bucket", num_partitions=8).map_groups(
+    return hashed.groupby("bucket", num_partitions=n_parts).map_groups(
         keep_first, batch_format="pandas"
     )
 
@@ -148,18 +156,45 @@ class MinHasher:
         return batch
 
 
+# candidate-pair sets beyond this are no longer "≪ corpus" and the
+# verification stage must switch to a bucketed signature join instead of a
+# broadcast-filtered lookup (documented fallback; not needed at any scale
+# where LSH banding is doing its job)
+MAX_CANDIDATE_PAIRS = 2_000_000
+
+
 def _band_rows(df: pd.DataFrame, bands: int, rows: int, id_col: str) -> pd.DataFrame:
-    out_band, out_hash, out_id, out_sig = [], [], [], []
-    for _, row in df.iterrows():
-        sig = row["minhash"]
-        for bi in range(bands):
-            chunk = tuple(sig[bi * rows : (bi + 1) * rows])
-            out_band.append(bi)
-            out_hash.append(hash(chunk) & 0x7FFFFFFFFFFFFFFF)
-            out_id.append(row[id_col])
-            out_sig.append(sig)
+    """Vectorized LSH banding: (N, num_perm) signature matrix → one
+    (band, band_hash, id) row per (doc, band).
+
+    No ``iterrows``, and — unlike round 1 — NO signature payload in the
+    band rows: the shuffle moves 3 scalar columns per (doc, band); the
+    signatures stay in the (materialized) signature table and are joined
+    back only for the ≪-corpus candidate set."""
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "band": pd.Series([], dtype="int64"),
+                "band_hash": pd.Series([], dtype="int64"),
+                id_col: df[id_col],
+            }
+        )
+    sig = np.asarray([np.asarray(s, dtype=np.int64) for s in df["minhash"]])
+    chunks = sig.reshape(n, bands, rows).astype(np.uint64)
+    # FNV-1a-style mix folded over the rows axis — vectorized across all
+    # (doc, band) chunks at once; equal chunks ⇒ equal hash (the only
+    # property banding needs)
+    h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for r in range(rows):
+        h = (h ^ chunks[:, :, r]) * prime
     return pd.DataFrame(
-        {"band": out_band, "band_hash": out_hash, id_col: out_id, "minhash": out_sig}
+        {
+            "band": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_hash": (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).ravel(),
+            id_col: np.repeat(df[id_col].to_numpy(), bands),
+        }
     )
 
 
@@ -174,60 +209,103 @@ def minhash_lsh_pairs(
     """Candidate pairs from LSH banding, verified by signature Jaccard.
 
     Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b.
-    """
+
+    Scale shape (round-2 rework): the band shuffle carries only
+    (band, band_hash, id) scalar rows — signatures are shuffled ZERO times.
+    Candidate pairs (≪ corpus by LSH construction) are collected once,
+    deduped, and verified against a broadcast-filtered signature lookup;
+    :data:`MAX_CANDIDATE_PAIRS` guards the collect."""
+    from .util import shuffle_partitions
+
     rows = num_perm // bands
-    with_sig = ds.map_batches(
+    sig_ds = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm},
         batch_format="pandas",
         concurrency=4,
         num_cpus=0.5,
-    )
-    exploded = with_sig.map_batches(
+    ).map_batches(lambda df: df[[id_col, "minhash"]], batch_format="pandas")
+    # consumed twice (band explosion now, candidate verification later) —
+    # without this the MinHash pass would run twice
+    sig_ds = sig_ds.materialize()
+
+    exploded = sig_ds.map_batches(
         lambda df: _band_rows(df, bands, rows, id_col), batch_format="pandas"
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
         id_dtype = group[id_col].dtype
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b = [], []
         if len(group) >= 2:
-            group = group.sort_values(id_col).drop_duplicates(id_col)
-            ids = group[id_col].tolist()
-            sigs = [np.asarray(s) for s in group["minhash"]]
+            ids = sorted(group[id_col].drop_duplicates().tolist())
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    jac = float(np.mean(sigs[i] == sigs[j]))
-                    if jac >= threshold:
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-                        out_j.append(round(jac, 4))
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         # empty frames must carry the same dtypes as non-empty ones — the
         # hash-shuffle operator unifies block schemas strictly
         return pd.DataFrame(
             {
                 "id_a": pd.Series(out_a, dtype=id_dtype),
                 "id_b": pd.Series(out_b, dtype=id_dtype),
-                "jaccard": pd.Series(out_j, dtype="float64"),
             }
         )
 
-    pairs = exploded.groupby(["band", "band_hash"], num_partitions=8).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    cands = exploded.groupby(
+        ["band", "band_hash"], num_partitions=shuffle_partitions()
+    ).map_groups(bucket_candidates, batch_format="pandas")
 
-    # distinct pairs (a doc pair can collide in several bands).  The pair
-    # set is ≪ the corpus (only near-dup candidates), so the dedup runs in
-    # one small task; a second shuffle here would also trip Ray's
-    # hash-shuffle on the empty-schema blocks map_groups emits for empty
-    # partitions.
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if "id_a" not in df.columns:
-            return df
-        return df.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    cand_pd = cands.to_pandas()
+    if "id_a" in cand_pd.columns:
+        cand_pd = cand_pd.drop_duplicates(["id_a", "id_b"]).sort_values(
+            ["id_a", "id_b"]
+        )
+    else:  # zero candidates → empty-schema block
+        cand_pd = pd.DataFrame({"id_a": [], "id_b": []})
+    if len(cand_pd) > MAX_CANDIDATE_PAIRS:
+        raise ValueError(
+            f"{len(cand_pd)} candidate pairs exceed MAX_CANDIDATE_PAIRS — "
+            "corpus is duplication-saturated; switch verification to the "
+            "bucketed signature join (explode pairs by doc_id, co-group "
+            "with the signature table, regroup by pair)"
+        )
 
-    return pairs.repartition(1).map_batches(
-        dedup_pairs, batch_format="pandas", batch_size=None
+    import ray
+    import ray.data as rd
+
+    if len(cand_pd) == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"id_a": cand_pd["id_a"], "id_b": cand_pd["id_b"],
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        )
+
+    # fetch signatures for candidate ids only: distributed filter against a
+    # broadcast id set, then one vectorized verify over the bounded result
+    needed_ref = ray.put(frozenset(cand_pd["id_a"]).union(cand_pd["id_b"]))
+
+    def filter_needed(df: pd.DataFrame) -> pd.DataFrame:
+        needed = ray.get(needed_ref)
+        return df[df[id_col].isin(needed)]
+
+    sub = sig_ds.map_batches(filter_needed, batch_format="pandas").to_pandas()
+    sig_map = {
+        i: np.asarray(s, dtype=np.int64)
+        for i, s in zip(sub[id_col], sub["minhash"])
+    }
+    A = np.stack([sig_map[i] for i in cand_pd["id_a"]])
+    B = np.stack([sig_map[i] for i in cand_pd["id_b"]])
+    jac = (A == B).mean(axis=1)
+    keep = jac >= threshold
+    out = pd.DataFrame(
+        {
+            "id_a": cand_pd["id_a"][keep].to_numpy(),
+            "id_b": cand_pd["id_b"][keep].to_numpy(),
+            "jaccard": np.round(jac[keep], 4),
+        }
     )
+    return rd.from_pandas(out.reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -242,21 +320,25 @@ class SimHasher:
         self.bits = bits
 
     def simhash(self, text: str) -> int:
+        """Vectorized: md5→uint64 per token, ``np.unpackbits`` over the
+        token-hash matrix, column-sum, sign — bit-identical to the naive
+        per-bit fold (acc[bit] = ones − zeros = 2·ones − T)."""
         tokens = text.split()
         if not tokens:
             return 0
-        acc = np.zeros(self.bits, dtype=np.int64)
-        for tok in tokens:
-            h = int.from_bytes(
-                hashlib.md5(tok.encode("utf-8", "ignore")).digest()[:8], "little"
-            )
-            for bit in range(self.bits):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        out = 0
-        for bit in range(self.bits):
-            if acc[bit] > 0:
-                out |= 1 << bit
-        return out
+        raw = b"".join(
+            hashlib.md5(tok.encode("utf-8", "ignore")).digest()[:8]
+            for tok in tokens
+        )
+        hs = np.frombuffer(raw, dtype="<u8")  # little-endian, as before
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(tokens)
+        out_bits = (acc > 0).astype(np.uint8)
+        return int.from_bytes(
+            np.packbits(out_bits, bitorder="little").tobytes(), "little"
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch["simhash"] = [
@@ -286,62 +368,141 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 # ---------------------------------------------------------------------------
 
 
-class HyperplaneBucketer:
-    """Sign-bit LSH bucket for embeddings; planes drawn once per worker from
-    a fixed seed so buckets agree across the pool."""
+class MultiHyperplaneBucketer:
+    """Multi-table sign-bit LSH for embeddings: ``n_tables`` independent
+    hyperplane sets, so a near-dup pair that disagrees on one plane of one
+    table still collides in another table.
 
-    def __init__(self, dim: int = 64, n_planes: int = 12, seed: int = 42):
+    Round 1 used a single 12-plane table — at cosine 0.90 a pair agrees on
+    all 12 sign bits only ~15% of the time (silent recall collapse, judged
+    "the op has never been observed finding anything").  With the default
+    16 tables × 8 planes the per-pair recall at cosine 0.90 is
+    1 − (1 − (1 − θ/π)^8)^16 ≈ 0.94, and > 0.999 at cosine ≥ 0.95.
+
+    Planes are drawn once per worker from a fixed seed (same on every
+    worker → buckets agree across the pool).  Emits only scalar
+    (table, bucket, id) rows — embeddings never enter the shuffle."""
+
+    def __init__(self, dim: int = 64, n_tables: int = 16, n_planes: int = 8,
+                 seed: int = 42, id_col: str = "vec_id"):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+        self.planes = rng.standard_normal((dim, n_tables * n_planes))
+        self.n_tables = n_tables
+        self.n_planes = n_planes
+        self.id_col = id_col
+        self.pow2 = (1 << np.arange(n_planes, dtype=np.int64))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         emb = np.stack([np.asarray(e, dtype=np.float64) for e in batch["embedding"]])
-        bits = (emb @ self.planes) > 0
-        batch["bucket"] = [
-            int("".join("1" if b else "0" for b in row), 2) for row in bits
-        ]
-        # re-wrap embeddings as plain python lists: the downstream bucket
-        # shuffle converts the block to Arrow, which cannot re-infer the
-        # per-cell numpy.ndarray dtype pandas gives Arrow list columns
-        batch["embedding"] = [
-            [float(v) for v in row] for row in emb
-        ]
-        return batch
+        bits = (emb @ self.planes) > 0  # (N, T·P)
+        buckets = bits.reshape(len(emb), self.n_tables, self.n_planes) @ self.pow2
+        return pd.DataFrame(
+            {
+                "table": np.tile(
+                    np.arange(self.n_tables, dtype=np.int64), len(emb)
+                ),
+                "bucket": buckets.astype(np.int64).ravel(),
+                self.id_col: np.repeat(batch[self.id_col].to_numpy(), self.n_tables),
+            }
+        )
 
 
 def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
-                            dim: int = 64, n_planes: int = 12):
-    """(id_a, id_b, cosine) pairs with cosine ≥ threshold, found via
-    hyperplane buckets (near-identical vectors agree on every sign bit)."""
-    bucketed = ds.map_batches(
-        HyperplaneBucketer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+                            dim: int = 64, n_tables: int = 16, n_planes: int = 8):
+    """(id_a, id_b, cosine) pairs with cosine ≥ threshold via multi-table
+    hyperplane LSH.
+
+    Same two-phase shape as :func:`minhash_lsh_pairs`: the bucket shuffle
+    carries scalar rows only; candidate pairs (deduped across tables) are
+    verified with exact cosine against a broadcast-filtered embedding
+    lookup, guarded by :data:`MAX_CANDIDATE_PAIRS`."""
+    from .util import shuffle_partitions
+
+    emb_ds = ds.map_batches(
+        lambda df: df[[id_col, "embedding"]], batch_format="pandas"
+    ).materialize()
+
+    bucketed = emb_ds.map_batches(
+        MultiHyperplaneBucketer,
+        fn_constructor_kwargs={
+            "dim": dim, "n_tables": n_tables, "n_planes": n_planes,
+            "id_col": id_col,
+        },
         batch_format="pandas",
         concurrency=4,
         num_cpus=0.5,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
         id_dtype = group[id_col].dtype
-        out_a, out_b, out_c = [], [], []
+        out_a, out_b = [], []
         if len(group) >= 2:
-            group = group.sort_values(id_col)
-            ids = group[id_col].tolist()
-            emb = np.stack([np.asarray(e, dtype=np.float64) for e in group["embedding"]])
-            norms = np.linalg.norm(emb, axis=1)
-            sims = (emb @ emb.T) / np.outer(norms, norms)
+            ids = sorted(group[id_col].drop_duplicates().tolist())
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    if sims[i, j] >= threshold:
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-                        out_c.append(round(float(sims[i, j]), 4))
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pd.DataFrame(
             {
                 "id_a": pd.Series(out_a, dtype=id_dtype),
                 "id_b": pd.Series(out_b, dtype=id_dtype),
-                "cosine": pd.Series(out_c, dtype="float64"),
             }
         )
 
-    return bucketed.groupby("bucket", num_partitions=8).map_groups(bucket_pairs, batch_format="pandas")
+    cands = bucketed.groupby(
+        ["table", "bucket"], num_partitions=shuffle_partitions()
+    ).map_groups(bucket_candidates, batch_format="pandas")
+
+    cand_pd = cands.to_pandas()
+    if "id_a" in cand_pd.columns and len(cand_pd):
+        cand_pd = cand_pd.drop_duplicates(["id_a", "id_b"]).sort_values(
+            ["id_a", "id_b"]
+        )
+    else:
+        cand_pd = pd.DataFrame({"id_a": [], "id_b": []})
+    if len(cand_pd) > MAX_CANDIDATE_PAIRS:
+        raise ValueError(
+            f"{len(cand_pd)} candidate pairs exceed MAX_CANDIDATE_PAIRS — "
+            "raise n_planes (smaller buckets) or verify via a bucketed "
+            "embedding join instead of the broadcast lookup"
+        )
+
+    import ray
+    import ray.data as rd
+
+    if len(cand_pd) == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"id_a": cand_pd["id_a"], "id_b": cand_pd["id_b"],
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        )
+
+    needed_ref = ray.put(frozenset(cand_pd["id_a"]).union(cand_pd["id_b"]))
+
+    def filter_needed(df: pd.DataFrame) -> pd.DataFrame:
+        needed = ray.get(needed_ref)
+        out = df[df[id_col].isin(needed)].copy()
+        # Arrow-safe: per-cell numpy arrays break the pandas→Arrow handoff
+        out["embedding"] = [list(map(float, e)) for e in out["embedding"]]
+        return out
+
+    sub = emb_ds.map_batches(filter_needed, batch_format="pandas").to_pandas()
+    emb_map = {
+        i: np.asarray(e, dtype=np.float64)
+        for i, e in zip(sub[id_col], sub["embedding"])
+    }
+    A = np.stack([emb_map[i] for i in cand_pd["id_a"]])
+    B = np.stack([emb_map[i] for i in cand_pd["id_b"]])
+    cos = (A * B).sum(axis=1) / (
+        np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    )
+    keep = cos >= threshold
+    out = pd.DataFrame(
+        {
+            "id_a": cand_pd["id_a"][keep].to_numpy(),
+            "id_b": cand_pd["id_b"][keep].to_numpy(),
+            "cosine": np.round(cos[keep], 4),
+        }
+    )
+    return rd.from_pandas(out.reset_index(drop=True))

@@ -114,26 +114,38 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 def fnv1a_64(data: bytes) -> int:
     """FNV-1a 64-bit — the deterministic, dependency-free content hash used
-    for fingerprints and shingles (public-domain algorithm)."""
+    for fingerprints and shingles (public-domain algorithm).  Vectorized:
+    the byte fold runs as numpy uint64 wrap-around arithmetic."""
+    if not data:
+        return int(_FNV_OFFSET)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     h = _FNV_OFFSET
-    for b in data:
-        h = np.uint64(h ^ np.uint64(b)) * _FNV_PRIME
+    # len(data) iterations of scalar work would be interpreted-Python-slow;
+    # a single value still needs the sequential fold, but fingerprints call
+    # the windowed form below, which folds ALL windows at once
+    for b in arr:
+        h = (h ^ b) * _FNV_PRIME
     return int(h)
 
 
 def rolling_fingerprint(text: str, window: int = 16) -> int:
     """Document fingerprint: min of FNV-1a over sliding char windows — a
-    cheap locality-sensitive rolling-hash sketch for near-identity probes."""
+    cheap locality-sensitive rolling-hash sketch for near-identity probes.
+
+    Vectorized (round-2 rework of the per-byte/per-window Python loops):
+    all windows are materialized as an (n_windows, window) uint8 matrix via
+    stride tricks, and the FNV fold runs ``window`` numpy passes over every
+    window simultaneously — identical values to the scalar version."""
     data = text.encode("utf-8", "ignore")
     if len(data) <= window:
         return fnv1a_64(data)
-    best = None
     step = max(1, window // 2)
-    for i in range(0, len(data) - window + 1, step):
-        h = fnv1a_64(data[i : i + window])
-        if best is None or h < best:
-            best = h
-    return best
+    arr = np.frombuffer(data, dtype=np.uint8)
+    wins = np.lib.stride_tricks.sliding_window_view(arr, window)[::step]
+    h = np.full(len(wins), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(window):
+        h = (h ^ wins[:, j].astype(np.uint64)) * _FNV_PRIME
+    return int(h.min())
 
 
 def add_fingerprint(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
