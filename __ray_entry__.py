@@ -20,13 +20,18 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-_QUERY_CORPUS = "/tmp/libpdf_ray_qcorpus"
+# versioned by sidecar schema so a stale round-1 cache is never reused
+_QUERY_CORPUS = "/tmp/libpdf_ray_qcorpus_v2"
 _QUERY_CORPUS_DOCS = 96
 
 
 def _query_corpus() -> str:
     """Deterministic synthetic interleaved corpus for the extraction
-    queries (generator-as-oracle, seed=42; cached across calls)."""
+    queries (generator-as-oracle, seed=42; cached across calls).  The
+    DuckDB oracles for the extraction views read these same parquet files
+    directly (read_parquet over expected_* columns), so the driver's
+    side-by-side check becomes a REAL hash-checked span/cell/meta parity
+    gate rather than rows-only."""
     from libpdf_ray.fixtures import write_corpus
 
     return write_corpus(_QUERY_CORPUS, n_docs=_QUERY_CORPUS_DOCS, seed=42,
@@ -225,11 +230,19 @@ def _q_links(sf_dir: str):
 
 
 def _q_cells(sf_dir: str):
+    """Cell view projected to the generator-as-oracle key columns (the full
+    view with uid + geometry is pytest-asserted in test_cells_twocolumn)."""
+    import pyarrow as pa
+
     from libpdf_ray.config import SMART_CROP_CONFIG
     from libpdf_ray.pipelines.extract import read_corpus
     from libpdf_ray.stages.cells import cells_table
 
-    return cells_table(read_corpus(_query_corpus()), SMART_CROP_CONFIG)
+    full = cells_table(read_corpus(_query_corpus()), SMART_CROP_CONFIG)
+    return full.map_batches(
+        lambda t: t.select(["doc_id", "page", "table_idx", "row", "col", "text"]),
+        batch_format="pyarrow",
+    )
 
 
 def _q_distinct_sketch(sf_dir: str):
@@ -318,7 +331,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the extraction-view oracles read the synthetic corpus parquet directly
+    # (generator-as-oracle expected_* columns); make sure it exists even if
+    # the driver evaluates SQL before running the Ray queries
+    corpus = f"{_query_corpus()}/part-*.parquet"
     return {
+        # --- extraction views: hash-checked against the generator oracle ---
+        "extract_spans": f"""
+            SELECT doc_id, unnest(expected_spans, recursive := true)
+            FROM read_parquet('{corpus}')
+        """,
+        "span_kinds": f"""
+            SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM (
+                SELECT unnest(expected_spans, recursive := true)
+                FROM read_parquet('{corpus}')
+            )
+            GROUP BY kind
+        """,
+        "pages": f"""
+            SELECT doc_id, unnest(pages, recursive := true)
+            FROM read_parquet('{corpus}')
+        """,
+        "file_meta": f"""
+            SELECT doc_id,
+                   regexp_replace(doc_id, '[^0-9a-zA-Z_]', '_', 'g') AS file_identifier,
+                   meta.author AS author,
+                   meta.title AS title,
+                   meta.subject AS subject,
+                   meta.creator AS creator,
+                   meta.producer AS producer,
+                   meta.keywords AS keywords,
+                   meta.creation_date AS creation_date,
+                   meta.modified_date AS modified_date,
+                   meta.trapped AS trapped,
+                   CAST(len(pages) AS INTEGER) AS n_pages
+            FROM read_parquet('{corpus}')
+        """,
+        "cells": f"""
+            SELECT doc_id, unnest(expected_cells, recursive := true)
+            FROM read_parquet('{corpus}')
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -50,6 +50,17 @@ class PipelineConfig:
     rect_text_offset: float = 5.0  # libpdf/extract.py:700 (+5pt crop offset)
     table_figure_tolerance: float = 5.0  # libpdf/tables.py:221-229 (±5pt)
 
+    # --- layout analysis (pdfminer LA_PARAMS, libpdf/parameters.py:220-228;
+    # the reference passes line_overlap as the ABSOLUTE y tolerance of line
+    # regrouping, libpdf/utils.py:616-622 — quirk preserved) ---
+    line_y_tolerance: float = 0.5  # LA_PARAMS['line_overlap']
+    word_margin: float = 0.1  # LA_PARAMS['word_margin']
+
+    # --- lines-strategy table detection (libpdf/tables.py:62-79) ---
+    snap_tolerance: float = 3.0
+    join_tolerance: float = 3.0
+    edge_min_length: float = 3.0
+
     # --- smart page crop (header/footer removal) ---
     smart_page_crop: bool = False
     smart_page_crop_top: float = 0.2  # SMART_PAGE_CROP_REL_MARGINS['top']

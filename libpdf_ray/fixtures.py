@@ -9,14 +9,22 @@ sidecar (pipeline input) and the expected span sequence (derived from the
 construction intent, NOT by running the pipeline) — span-sequence equality
 per doc_id is then a real end-to-end check of the extraction semantics.
 
+Schema v2 — the sidecar is deliberately RAW so the engine performs the hard
+reference operators itself:
+
+- textboxes carry SHUFFLED per-word boxes+styles (or per-char boxes for the
+  ``rawchars`` family); the engine re-derives line grouping, word assembly,
+  reading order and style lifting (libpdf/utils.py:467-631).
+- tables arrive as raw line segments with ±1 pt jitter (< snap_tolerance);
+  the engine detects grids, constructs cells (incl. merged ones) and crops
+  cell text from the page's words (libpdf/tables.py:49-263).
+- the outline is a First/Next linked node list; named destinations are a
+  Names/Kids tree (libpdf/catalog.py:25-133,230-373).
+
 Layout model: US-Letter pages (612×792 pt), body flow cursor from y=620 down
 to y=165 (outside the 20% smart-crop bands, parameters.py:144-152), fixed
-char grid CHAR_W=6 / LINE_H=12 (see kernels/links.py).  All coordinates are
-integer-valued floats so formatting round-trips are exact.
-
-Families mirror the reference corpus (FIXTURES.md §3): plain, outlined,
-chapternum, splitchapter, emptyoutline, figures, tables, rects,
-headerfooter, linked, colors, skew.
+char grid CHAR_W=6 / LINE_H=12 (see kernels/links.py).  All base coordinates
+are integer-valued floats so formatting round-trips are exact.
 """
 
 from __future__ import annotations
@@ -28,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .schema import RAW_DOC_SCHEMA
+from .schema import RAW_DOC_SCHEMA, SCHEMA_VERSION
 
 PAGE_W, PAGE_H = 612.0, 792.0
 TOP_Y, MIN_Y = 620.0, 165.0
@@ -64,6 +72,8 @@ DEFAULT_FAMILIES = (
     "linked",
     "colors",
     "skew",
+    "rawchars",
+    "actionoutline",
 )
 
 
@@ -94,6 +104,50 @@ def _titles(rng, count: int, n: int = 2) -> list:
     return seen
 
 
+def _line_words(line: str, x0: float, y1_line: float, styles=None) -> list:
+    """One line of grid text → word boxes.  ``styles``: optional list of
+    (ncolor, fontname) per word; defaults to None/None."""
+    out = []
+    off = 0
+    for k, w in enumerate(line.split(" ")):
+        if w != "":
+            ncolor, fontname = (styles[k] if styles else (None, None))
+            out.append(
+                {
+                    "text": w,
+                    "x0": x0 + off * CHAR_W,
+                    "y0": y1_line - LINE_H,
+                    "x1": x0 + (off + len(w)) * CHAR_W,
+                    "y1": y1_line,
+                    "ncolor": ncolor,
+                    "fontname": fontname,
+                }
+            )
+        off += len(w) + 1
+    return out
+
+
+def _line_chars(line: str, x0: float, y1_line: float, ncolor=None, fontname=None) -> list:
+    """One line of grid text → per-char boxes (spaces omitted — the engine
+    re-derives word breaks from the gaps, pdfminer word_margin semantics)."""
+    out = []
+    for j, ch in enumerate(line):
+        if ch == " ":
+            continue
+        out.append(
+            {
+                "text": ch,
+                "x0": x0 + j * CHAR_W,
+                "y0": y1_line - LINE_H,
+                "x1": x0 + (j + 1) * CHAR_W,
+                "y1": y1_line,
+                "ncolor": ncolor,
+                "fontname": fontname,
+            }
+        )
+    return out
+
+
 class FlowBuilder:
     """Places content top-down in a page flow, recording raw layout and
     expected spans in one pass (placement order == reading order by
@@ -107,15 +161,16 @@ class FlowBuilder:
         self.cursor = TOP_Y
         self.pages = [{"number": 1, "width": PAGE_W, "height": PAGE_H}]
         self.textboxes: list = []
-        self.outline: list = []
+        self.outline_entries: list = []  # {path,title,page,x0,y1,dest_kind}
         self.rects: list = []
-        self.table_grids: list = []
+        self.segments: list = []
         self.figures: list = []
         self.annotations: list = []
-        self.named_dests: list = []
+        self.named_dests: list = []  # {name,page,x,y}
         self.expected: list = []
-        self._outline_counter = 0
+        self.expected_cells: list = []
         self._fig_counter: dict = {}
+        self._table_counter = 0
 
     # --- flow management ---
     def new_page(self):
@@ -140,51 +195,92 @@ class FlowBuilder:
         self.expected.append({"kind": kind, "text": text, "media_ref": media_ref})
 
     def raw_textbox(
-        self, page_no, x0, y1, lines, ncolor=None, fontname=None
+        self,
+        page_no,
+        x0,
+        y1,
+        lines,
+        ncolor=None,
+        fontname=None,
+        as_chars: bool = False,
+        word_styles=None,
     ) -> dict:
+        """Place a textbox whose raw payload is SHUFFLED word (or char)
+        boxes — the engine must re-derive lines and order from geometry.
+
+        ``word_styles``: optional per-line list of per-word (ncolor,
+        fontname) tuples (overrides the box-level style)."""
         width = max(len(ln) for ln in lines) * CHAR_W
         height = len(lines) * LINE_H
+        runs: list = []
+        for i, ln in enumerate(lines):
+            y1_line = float(y1) - i * LINE_H
+            if as_chars:
+                runs.extend(_line_chars(ln, float(x0), y1_line, ncolor, fontname))
+            else:
+                styles = None
+                if word_styles is not None:
+                    styles = word_styles[i]
+                elif ncolor is not None or fontname is not None:
+                    styles = [(ncolor, fontname)] * len(ln.split(" "))
+                runs.extend(_line_words(ln, float(x0), y1_line, styles))
+        self.rng.shuffle(runs)
         tb = {
             "page": page_no,
             "x0": float(x0),
             "y0": float(y1 - height),
             "x1": float(x0 + width),
             "y1": float(y1),
-            "lines": [
-                {"text": ln, "ncolor": ncolor, "fontname": fontname} for ln in lines
-            ],
+            "words": None if as_chars else runs,
+            "chars": runs if as_chars else None,
         }
         self.textboxes.append(tb)
         return tb
 
-    def add_par(self, lines=None, emit=True, ncolor=None, fontname=None, x_jitter=True):
+    def add_par(
+        self, lines=None, emit=True, ncolor=None, fontname=None,
+        x_jitter=True, as_chars=False,
+    ):
         """Place a paragraph textbox in the flow."""
         if lines is None:
             lines = [_body_line(self.rng) for _ in range(1 + int(self.rng.integers(0, 3)))]
         x0 = MARGIN_X + (float(int(self.rng.integers(0, 4)) * 5) if x_jitter else 0.0)
         page_no, y1, _y0 = self.reserve(len(lines) * LINE_H)
-        tb = self.raw_textbox(page_no, x0, y1, lines, ncolor, fontname)
+        tb = self.raw_textbox(page_no, x0, y1, lines, ncolor, fontname, as_chars)
         if emit:
             self.span("paragraph", "\n".join(lines))
         return tb
 
-    def add_outline_entry(self, path, title, page_no, x0, y1):
-        self.outline.append(
-            {
-                "path": path,
-                "title": title,
-                "page": page_no,
-                "x0": float(x0),
-                "y1": float(y1),
-            }
-        )
+    def add_outline_entry(
+        self, path, title, page_no, x0, y1, dest_kind: str = "explicit"
+    ):
+        """``dest_kind``: explicit | named | action_explicit | action_named |
+        external (non-GoTo — the node is skipped by the walk)."""
+        entry = {
+            "path": path,
+            "title": title,
+            "page": page_no,
+            "x0": float(x0),
+            "y1": float(y1),
+            "dest_kind": dest_kind,
+        }
+        if dest_kind in ("named", "action_named"):
+            name = f"dest_{path}"
+            entry["dest_name"] = name
+            self.named_dests.append(
+                {"name": name, "page": page_no, "x": float(x0), "y": float(y1)}
+            )
+        self.outline_entries.append(entry)
 
-    def add_heading(self, path: str, display: str, span_text: str | None = None):
+    def add_heading(
+        self, path: str, display: str, span_text: str | None = None,
+        dest_kind: str = "explicit",
+    ):
         """Numbered heading: outline title == rendered textbox text, so the
         fuzzy match wins on content similarity == 1."""
         page_no, y1, _ = self.reserve(LINE_H)
         self.raw_textbox(page_no, MARGIN_X, y1, [display])
-        self.add_outline_entry(path, display, page_no, MARGIN_X, y1)
+        self.add_outline_entry(path, display, page_no, MARGIN_X, y1, dest_kind)
         self.span("chapter", span_text if span_text is not None else display)
         return page_no, y1
 
@@ -193,18 +289,202 @@ class FlowBuilder:
         self._fig_counter[page_no] = k
         return f"media/{self.doc_id}/page_{page_no}_figure.{k}.png"
 
+    # --- tables (raw segments + cell textboxes) ---
+    def _jit(self) -> float:
+        return float(self.rng.uniform(-1.0, 1.0))
+
+    def add_grid_segments(
+        self, page_no, row_edges, col_edges, missing_v=frozenset(),
+        missing_h=frozenset(), jitter=True,
+    ):
+        """Emit the grid's raw line segments (±1 pt jitter < snap_tolerance).
+
+        ``missing_v``: set of (row_band, col_index) vertical boundaries to
+        OMIT (horizontal cell merges); ``missing_h``: (row_index, col_band)
+        horizontal boundaries to omit (vertical merges)."""
+        n_bands = len(row_edges) - 1
+        n_cols = len(col_edges) - 1
+        j = self._jit if jitter else (lambda: 0.0)
+        # vertical segments: per col edge, contiguous runs of covered bands
+        for ci, x in enumerate(col_edges):
+            run: list = []
+            for band in range(n_bands):
+                if (band, ci) in missing_v:
+                    if run:
+                        self._v_seg(page_no, x + j(), row_edges, run)
+                        run = []
+                else:
+                    run.append(band)
+            if run:
+                self._v_seg(page_no, x + j(), row_edges, run)
+        # horizontal segments: per row edge, contiguous runs of covered cols
+        for ri, y in enumerate(row_edges):
+            run = []
+            for band in range(n_cols):
+                if (ri, band) in missing_h:
+                    if run:
+                        self._h_seg(page_no, y + j(), col_edges, run)
+                        run = []
+                else:
+                    run.append(band)
+            if run:
+                self._h_seg(page_no, y + j(), col_edges, run)
+
+    def _v_seg(self, page_no, x, row_edges, bands):
+        y_top = row_edges[bands[0]]
+        y_bot = row_edges[bands[-1] + 1]
+        self.segments.append(
+            {"page": page_no, "x0": x, "y0": y_bot + self._jit(), "x1": x,
+             "y1": y_top + self._jit()}
+        )
+
+    def _h_seg(self, page_no, y, col_edges, bands):
+        x_left = col_edges[bands[0]]
+        x_right = col_edges[bands[-1] + 1]
+        self.segments.append(
+            {"page": page_no, "x0": x_left + self._jit(), "y0": y,
+             "x1": x_right + self._jit(), "y1": y}
+        )
+
+    def add_table(
+        self, row_edges, col_edges, cell_texts: dict, page_no=None,
+        merged_v=frozenset(), merged_h=frozenset(), emit=True,
+        count_cells=True,
+    ) -> int:
+        """Full table: raw segments + one textbox per non-empty cell text +
+        expected span/cells bookkeeping.
+
+        ``cell_texts``: {(row, col) 1-based → text} for ANCHOR cells.
+        ``merged_v``/``merged_h``: omitted interior boundaries (see
+        add_grid_segments).  Returns the page.  Caller must have reserved
+        the vertical space."""
+        page_no = self.page_no if page_no is None else page_no
+        self.add_grid_segments(page_no, row_edges, col_edges, merged_v, merged_h)
+        n_rows, n_cols = len(row_edges) - 1, len(col_edges) - 1
+        # place cell text as word boxes at the cell's top-left (+3 pad)
+        placed: dict = {}
+        for (r, c), text in cell_texts.items():
+            if text == "":
+                continue
+            x0 = col_edges[c - 1] + 3.0
+            y1 = row_edges[r - 1] - 3.0
+            tb = self.raw_textbox(page_no, x0, y1, [text])
+            placed[(r, c)] = tb
+        if emit:
+            # swallowed positions: those merged into an anchor
+            swallowed = set()
+            for (band, ci) in merged_v:
+                # boundary ci missing in band → positions (band+1, ci) and
+                # (band+1, ci+1) merge; the non-anchor is (band+1, ci+1)
+                swallowed.add((band + 1, ci + 1))
+            for (ri, band) in merged_h:
+                swallowed.add((ri + 1, band + 1))
+            rows_txt = []
+            for r in range(1, n_rows + 1):
+                row = []
+                for c in range(1, n_cols + 1):
+                    if (r, c) in swallowed:
+                        row.append("")
+                    else:
+                        row.append(cell_texts.get((r, c), ""))
+                rows_txt.append(row)
+            self.span("table", "\n".join("\t".join(row) for row in rows_txt))
+        if count_cells:
+            self._table_counter += 1
+            for r in range(1, n_rows + 1):
+                for c in range(1, n_cols + 1):
+                    key = (r, c)
+                    is_swallowed = False
+                    for (band, ci) in merged_v:
+                        if key == (band + 1, ci + 1):
+                            is_swallowed = True
+                    for (ri, band) in merged_h:
+                        if key == (ri + 1, band + 1):
+                            is_swallowed = True
+                    if is_swallowed:
+                        continue
+                    self.expected_cells.append(
+                        {
+                            "page": page_no,
+                            "table_idx": self._table_counter,
+                            "row": r,
+                            "col": c,
+                            "text": cell_texts.get(key, ""),
+                        }
+                    )
+        return page_no
+
     # --- assembly ---
+    def _outline_nodes(self) -> tuple:
+        """Flat path-ordered entries → First/Next linked node encoding."""
+        if not self.outline_entries:
+            return [], -1
+        children: dict = {None: []}
+        for i, e in enumerate(self.outline_entries):
+            path = e["path"]
+            parent = path.rsplit(".", 1)[0] if "." in path else None
+            children.setdefault(parent, []).append(i)
+            children.setdefault(path, [])
+        nodes = []
+        for i, e in enumerate(self.outline_entries):
+            kids = children.get(e["path"], [])
+            parent = e["path"].rsplit(".", 1)[0] if "." in e["path"] else None
+            sibs = children[parent]
+            pos = sibs.index(i)
+            nxt = sibs[pos + 1] if pos + 1 < len(sibs) else -1
+            kind = e["dest_kind"]
+            nodes.append(
+                {
+                    "node_id": i,
+                    "first": kids[0] if kids else -1,
+                    "next": nxt,
+                    "title": e["title"],
+                    "dest_kind": kind,
+                    "dest_page": 0
+                    if kind in ("named", "action_named", "external")
+                    else int(e["page"]),
+                    "dest_x": 0.0
+                    if kind in ("named", "action_named", "external")
+                    else float(e["x0"]),
+                    "dest_y": 0.0
+                    if kind in ("named", "action_named", "external")
+                    else float(e["y1"]),
+                    "dest_name": e.get("dest_name", ""),
+                }
+            )
+        root = children[None][0] if children[None] else -1
+        return nodes, root
+
+    def _names_nodes(self) -> list:
+        """Named destinations → 2-level Names/Kids tree (exercises the
+        recursive Kids flatten, catalog.py:116-133)."""
+        if not self.named_dests:
+            return []
+        dests = sorted(self.named_dests, key=lambda d: d["name"])
+        half = (len(dests) + 1) // 2
+        return [
+            {"node_id": 0, "kids": [1, 2], "names": []},
+            {"node_id": 1, "kids": [], "names": dests[:half]},
+            {"node_id": 2, "kids": [], "names": dests[half:]},
+        ]
+
     def build_row(self, family: str) -> dict:
         rng = self.rng
         day = int(rng.integers(0, 3650))
+        created = datetime.datetime(2015, 1, 1) + datetime.timedelta(days=day)
         meta = {
             "author": f"author-{int(rng.integers(0, 100)):02d}",
             "title": _title(rng, 3),
+            "subject": _title(rng, 2),
             "creator": "graft-fixture-writer",
             "producer": "libpdf-ray-synth",
-            "creation_date": datetime.datetime(2015, 1, 1)
-            + datetime.timedelta(days=day),
+            "keywords": ",".join(_title(rng, 3).split()),
+            "creation_date": created,
+            "modified_date": created
+            + datetime.timedelta(days=int(rng.integers(0, 365))),
+            "trapped": bool(int(rng.integers(0, 2))),
         }
+        outline_nodes, outline_root = self._outline_nodes()
         return {
             "doc_id": self.doc_id,
             "family": family,
@@ -212,15 +492,17 @@ class FlowBuilder:
             "meta": meta,
             "pages": self.pages,
             "textboxes": self.textboxes,
-            "outline": self.outline,
+            "outline_nodes": outline_nodes,
+            "outline_root": outline_root,
+            "names_nodes": self._names_nodes(),
             "rects": self.rects,
-            "table_grids": self.table_grids,
+            "segments": self.segments,
             "figures": self.figures,
             "annotations": self.annotations,
-            "named_dests": self.named_dests,
             "expected_spans": [
                 {**sp, "offset": i} for i, sp in enumerate(self.expected)
             ],
+            "expected_cells": self.expected_cells,
         }
 
 
@@ -239,13 +521,14 @@ def _fam_outlined(b: FlowBuilder, rng):
     b.add_par()  # pre-outline paragraph → stays above the outline
     b.add_heading("1", f"1 {titles[0]}")
     b.add_par()
-    b.add_heading("1.1", f"1.1 {titles[1]}")
+    # named destination for 1.1 (exercises the Names-tree path of the walk)
+    b.add_heading("1.1", f"1.1 {titles[1]}", dest_kind="named")
     b.add_par()
     b.add_par()
     b.new_page()
     b.add_heading("1.2", f"1.2 {titles[2]}")
     b.add_par()
-    b.add_heading("2", f"2 {titles[3]}")
+    b.add_heading("2", f"2 {titles[3]}", dest_kind="action_explicit")
     b.add_par()
     # virtual chapter: outline title carries no number → virt.<level>; it is
     # the 3rd top-level outline entry, so the number is virt.3
@@ -339,44 +622,83 @@ def _fam_figures(b: FlowBuilder, rng):
 
 def _fam_tables(b: FlowBuilder, rng):
     b.add_par()
-    # 3×3 grid
-    cells = [_words(rng, 1) for _ in range(9)]
+    # 3×3 grid, full edges, every cell textual
+    texts = {(r, c): _words(rng, 1) for r in range(1, 4) for c in range(1, 4)}
     page_no, y1, y0 = b.reserve(90)
-    b.table_grids.append(
-        {
-            "page": page_no,
-            "row_edges": [y1, y1 - 30, y1 - 60, y1 - 90],
-            "col_edges": [72.0, 172.0, 272.0, 372.0],
-            "cell_texts": cells,
-        }
+    b.add_table(
+        [y1, y1 - 30, y1 - 60, y1 - 90],
+        [72.0, 172.0, 272.0, 372.0],
+        texts,
     )
-    rows = [cells[0:3], cells[3:6], cells[6:9]]
-    b.span("table", "\n".join("\t".join(r) for r in rows))
-    # a textbox inside the table region is swallowed (textbox.py:863-902)
-    b.raw_textbox(page_no, 80.0, y1 - 6, [_words(rng, 2)])
     b.add_par()
-    # 2×2 grid with a merged (empty) cell
-    cells2 = [_words(rng, 1), "", _words(rng, 1), _words(rng, 1)]
+    # 2×2 grid with a MERGED top row: the interior vertical boundary is
+    # missing in row band 0 → cell (1,1) spans both columns
+    wide = _words(rng, 2)
+    texts2 = {(1, 1): wide, (2, 1): _words(rng, 1), (2, 2): _words(rng, 1)}
     page_no, y1, y0 = b.reserve(60)
-    b.table_grids.append(
-        {
-            "page": page_no,
-            "row_edges": [y1, y1 - 30, y1 - 60],
-            "col_edges": [72.0, 200.0, 328.0],
-            "cell_texts": cells2,
-        }
+    b.add_table(
+        [y1, y1 - 30, y1 - 60],
+        [72.0, 200.0, 328.0],
+        texts2,
+        merged_v={(0, 1)},
     )
-    b.span("table", "\n".join(["\t".join(cells2[0:2]), "\t".join(cells2[2:4])]))
-    # table completely inside a figure → suppressed (tables.py:207-234)
+    b.add_par()
+    # NESTED table: inner 2×2 grid fully inside cell (1,2) of an outer 1×2
+    # grid; the inner edges touch nothing of the outer grid → two separate
+    # detected tables (pdfplumber connected-cell-group semantics).  The
+    # outer cell's crop swallows the inner cells' words (the reference's
+    # char crop does the same), so the outer cell text is the y-ordered
+    # join of its own word + the inner texts.
+    own = _words(rng, 1)
+    inner = {(r, c): _words(rng, 1) for r in range(1, 3) for c in range(1, 3)}
+    page_no, y1, y0 = b.reserve(100)
+    outer_rows = [y1, y1 - 100]
+    outer_cols = [72.0, 222.0, 472.0]
+    b.add_grid_segments(page_no, outer_rows, outer_cols)
+    own_tb = b.raw_textbox(page_no, 72.0 + 3.0, y1 - 3.0, [own])
+    inner_rows = [y1 - 20, y1 - 50, y1 - 80]
+    inner_cols = [242.0, 332.0, 422.0]
+    b.add_grid_segments(page_no, inner_rows, inner_cols)
+    inner_tbs = {}
+    for (r, c), t in inner.items():
+        inner_tbs[(r, c)] = b.raw_textbox(
+            page_no, inner_cols[c - 1] + 3.0, inner_rows[r - 1] - 3.0, [t]
+        )
+    # reading order sorts by (page, height − y0): inner y0 (y1−80) is above
+    # outer y0 (y1−100), so the INNER table comes first in document order —
+    # spans and table_idx ordinals follow that order.
+    b.span(
+        "table",
+        "\n".join("\t".join([inner[(r, 1)], inner[(r, 2)]]) for r in (1, 2)),
+    )
+    b._table_counter += 1
+    for (r, c), t in sorted(inner.items()):
+        b.expected_cells.append(
+            {"page": page_no, "table_idx": b._table_counter, "row": r, "col": c,
+             "text": t}
+        )
+    # outer table: cell (1,1) = own text; cell (1,2) crop swallows the inner
+    # words, re-assembled by line (y-ordered)
+    outer_cell2 = "\n".join(
+        " ".join([inner[(r, 1)], inner[(r, 2)]]) for r in (1, 2)
+    )
+    b.span("table", "\t".join([own, outer_cell2]))
+    b._table_counter += 1
+    b.expected_cells.extend(
+        [
+            {"page": page_no, "table_idx": b._table_counter, "row": 1, "col": 1,
+             "text": own},
+            {"page": page_no, "table_idx": b._table_counter, "row": 1, "col": 2,
+             "text": outer_cell2},
+        ]
+    )
+    b.add_par()
+    # table completely inside a figure → suppressed (tables.py:207-234);
+    # grid segments only, no cell text
     page_no, y1, y0 = b.reserve(100)
     b.figures.append({"page": page_no, "x0": 72.0, "y0": y0, "x1": 472.0, "y1": y1})
-    b.table_grids.append(
-        {
-            "page": page_no,
-            "row_edges": [y1 - 10, y1 - 40, y1 - 70],
-            "col_edges": [100.0, 220.0, 340.0],
-            "cell_texts": [_words(rng, 1)] * 4,
-        }
+    b.add_grid_segments(
+        page_no, [y1 - 10, y1 - 40, y1 - 70], [100.0, 220.0, 340.0]
     )
     b.span("figure", "", b.next_figure_ref(page_no))
     b.add_par()
@@ -522,28 +844,25 @@ def _fam_tablelinks(b: FlowBuilder, rng):
     b.add_heading("1", f"1 {t1}")
     b.add_par()
     # 2×2 grid; cell (1,2) carries a link over its first word, to chapter 1
-    ch1_y1 = b.outline[0]["y1"]
-    cells = [_words(rng, 1), _words(rng, 2), _words(rng, 1), ""]
+    ch1_y1 = b.outline_entries[0]["y1"]
+    texts = {
+        (1, 1): _words(rng, 1),
+        (1, 2): _words(rng, 2),
+        (2, 1): _words(rng, 1),
+    }
     page_no, y1, y0 = b.reserve(60)
-    b.table_grids.append(
-        {
-            "page": page_no,
-            "row_edges": [y1, y1 - 30, y1 - 60],
-            "col_edges": [72.0, 200.0, 328.0],
-            "cell_texts": cells,
-        }
-    )
-    b.span("table", "\n".join(["\t".join(cells[0:2]), "\t".join(cells[2:4])]))
-    # annotation over the first word of cell (1,2): cell text renders from
-    # the cell's top-left corner in the synthetic char model
-    first_word = cells[1].split(" ")[0]
+    b.add_table([y1, y1 - 30, y1 - 60], [72.0, 200.0, 328.0], texts)
+    # annotation over the first word of cell (1,2): the cell textbox was
+    # placed at the cell's top-left + 3pt pad
+    first_word = texts[(1, 2)].split(" ")[0]
+    cx0, cy1 = 200.0 + 3.0, y1 - 3.0
     b.annotations.append(
         {
             "page": page_no,
-            "x0": 200.0 + 1,
-            "y0": y1 - LINE_H,
-            "x1": 200.0 + len(first_word) * CHAR_W - 1,
-            "y1": y1,
+            "x0": cx0 + 1,
+            "y0": cy1 - LINE_H,
+            "x1": cx0 + len(first_word) * CHAR_W - 1,
+            "y1": cy1,
             "dest_page": 1,
             "dest_x": MARGIN_X,
             "dest_y": ch1_y1,
@@ -576,21 +895,95 @@ def _fam_colors(b: FlowBuilder, rng):
     # ncolor / fontname lifting (horizontal_box.py:85-92,137-144,190-196);
     # spans are unaffected — tests assert the hbox model directly
     b.add_par(ncolor=[1.0, 0.0, 0.0], fontname="Courier")
+    # two lines with DIFFERENT per-line styles → box-level lift = None
     lines = [_body_line(rng), _body_line(rng)]
     page_no, y1, _ = b.reserve(len(lines) * LINE_H)
-    tb = {
-        "page": page_no,
-        "x0": MARGIN_X,
-        "y0": float(y1 - len(lines) * LINE_H),
-        "x1": MARGIN_X + max(len(ln) for ln in lines) * CHAR_W,
-        "y1": float(y1),
-        "lines": [
-            {"text": lines[0], "ncolor": [0.0, 0.0, 1.0], "fontname": "Helvetica"},
-            {"text": lines[1], "ncolor": [0.0, 1.0, 0.0], "fontname": "Helvetica"},
+    b.raw_textbox(
+        page_no, MARGIN_X, y1, lines,
+        word_styles=[
+            [([0.0, 0.0, 1.0], "Helvetica")] * len(lines[0].split(" ")),
+            [([0.0, 1.0, 0.0], "Helvetica")] * len(lines[1].split(" ")),
         ],
-    }
-    b.textboxes.append(tb)
+    )
     b.span("paragraph", "\n".join(lines))
+    # MIXED word styles inside ONE line (reference
+    # tests/test_word_colors.py:7-143): first word red, rest black → the
+    # line-level ncolor must NOT lift
+    mixed = _body_line(rng)
+    n_words = len(mixed.split(" "))
+    page_no, y1, _ = b.reserve(LINE_H)
+    b.raw_textbox(
+        page_no, MARGIN_X, y1, [mixed],
+        word_styles=[
+            [([1.0, 0.0, 0.0], "Courier")]
+            + [([0.0, 0.0, 0.0], "Courier")] * (n_words - 1)
+        ],
+    )
+    b.span("paragraph", mixed)
+    b.add_par()
+
+
+def _fam_rawchars(b: FlowBuilder, rng):
+    """Char-level sidecar: the engine performs the FULL assembly chain —
+    char → word (gap > word_margin·width) → line (y-center grouping) →
+    textbox text (utils.py:467-631)."""
+    for _ in range(2):
+        b.add_par(as_chars=True)
+    # multi-line char box
+    lines = [_body_line(rng) for _ in range(3)]
+    page_no, y1, _ = b.reserve(3 * LINE_H)
+    b.raw_textbox(page_no, MARGIN_X, y1, lines, as_chars=True)
+    b.span("paragraph", "\n".join(lines))
+    # chars with mixed styles per word: word styles survive assembly
+    mixed = _body_line(rng)
+    page_no, y1, _ = b.reserve(LINE_H)
+    words = mixed.split(" ")
+    runs = []
+    off = 0
+    for k, w in enumerate(words):
+        color = [1.0, 0.0, 0.0] if k == 0 else [0.0, 0.0, 0.0]
+        for j, ch in enumerate(w):
+            runs.append(
+                {
+                    "text": ch,
+                    "x0": MARGIN_X + (off + j) * CHAR_W,
+                    "y0": y1 - LINE_H,
+                    "x1": MARGIN_X + (off + j + 1) * CHAR_W,
+                    "y1": y1,
+                    "ncolor": color,
+                    "fontname": "Courier",
+                }
+            )
+        off += len(w) + 1
+    rng.shuffle(runs)
+    b.textboxes.append(
+        {
+            "page": page_no,
+            "x0": MARGIN_X,
+            "y0": float(y1 - LINE_H),
+            "x1": MARGIN_X + len(mixed) * CHAR_W,
+            "y1": float(y1),
+            "words": None,
+            "chars": runs,
+        }
+    )
+    b.span("paragraph", mixed)
+    b.add_par(as_chars=True)
+
+
+def _fam_actionoutline(b: FlowBuilder, rng):
+    """Non-GoTo outline actions (catalog.py:292-298): the node is skipped,
+    its children resolve into the PREVIOUS emitted sibling's content
+    (resolve_outline appends into outline_list[-1]['content'])."""
+    t1, t2, t3 = _titles(rng, 3)
+    b.add_heading("1", f"1 {t1}")
+    b.add_par()
+    # external node (no rendered textbox, no dest) with one child
+    b.add_outline_entry("2", f"Ext {t2}", b.page_no, MARGIN_X, b.cursor,
+                        dest_kind="external")
+    # the child lands under chapter 1 in the walked tree → path 1.1; its
+    # title number "1.1" matches, so numbering comes from the title
+    b.add_heading("2.1", f"1.1 {t3}")
     b.add_par()
 
 
@@ -623,6 +1016,8 @@ FAMILY_BUILDERS = {
     "skew": _fam_skew,
     "twocolumn": _fam_twocolumn,
     "tablelinks": _fam_tablelinks,
+    "rawchars": _fam_rawchars,
+    "actionoutline": _fam_actionoutline,
 }
 
 
@@ -663,13 +1058,15 @@ def write_corpus(
     skew_pages: int = 40,
 ) -> str:
     """Write the corpus as ``shards`` parquet files (the resume/partition
-    unit of the pipeline).  Idempotent for a given (n_docs, seed, shards)."""
+    unit of the pipeline).  Idempotent for a given (n_docs, seed, shards,
+    SCHEMA_VERSION)."""
     os.makedirs(out_dir, exist_ok=True)
     import hashlib
 
     fam_tag = hashlib.md5(",".join(families).encode()).hexdigest()[:8]
     marker = os.path.join(
-        out_dir, f"_done_n{n_docs}_s{seed}_p{shards}_k{skew_pages}_f{fam_tag}"
+        out_dir,
+        f"_done_v{SCHEMA_VERSION}_n{n_docs}_s{seed}_p{shards}_k{skew_pages}_f{fam_tag}",
     )
     if os.path.exists(marker):
         return out_dir

@@ -1,0 +1,149 @@
+"""Catalog kernels: Names/Dests tree flattening and First/Next outline walk.
+
+Re-derives, over the raw sidecar encodings (schema.py ``names_nodes`` /
+``outline_nodes``):
+
+- ``get_named_destination`` + ``resolve_name_obj``
+  /root/reference/libpdf/catalog.py:25-133 — recursive Kids flattening of
+  the PDF Names tree into a flat ``{name: (page, x, y)}`` map;
+- ``get_outline`` + ``resolve_outline``
+  /root/reference/libpdf/catalog.py:136-174,230-373 — the First/Next
+  linked-structure walk, handling explicit destinations, named
+  destinations (resolved through the names map) and non-GoTo actions.
+
+Reference quirk preserved: an outline node whose action points OUTSIDE the
+document (non-GoTo) is not emitted, but its ``First`` children are resolved
+into the PREVIOUS emitted sibling's content (resolve_outline appends into
+``outline_list[len-1]['content']``, catalog.py:365-371).  The engine guards
+the reference's crash case (skipped node with children but no previous
+sibling) by attaching at the current level instead.
+
+Unlike the reference these are pure per-document functions — no module
+globals (catalog.py:18-22); every Ray task derives the identical catalog
+from the row alone.
+"""
+
+from __future__ import annotations
+
+
+def flatten_names_tree(names_nodes: list) -> dict:
+    """Raw Names/Kids node list → ``{name: (page, x, y)}``.
+
+    Node 0 is the root.  Interior nodes carry ``kids`` (node ids); leaves
+    carry ``names``.  Mirrors resolve_name_obj's recursive Kids descent
+    (catalog.py:116-133) with a visited-set cycle guard."""
+    if not names_nodes:
+        return {}
+    by_id = {int(n["node_id"]): n for n in names_nodes}
+    out: dict = {}
+    seen: set = set()
+
+    def visit(node_id: int) -> None:
+        if node_id in seen or node_id not in by_id:
+            return
+        seen.add(node_id)
+        node = by_id[node_id]
+        for entry in node.get("names") or []:
+            out[entry["name"]] = (
+                int(entry["page"]),
+                float(entry["x"]),
+                float(entry["y"]),
+            )
+        for kid in node.get("kids") or []:
+            visit(int(kid))
+
+    visit(0)
+    return out
+
+
+def walk_outline(
+    outline_nodes: list, outline_root: int, named_dests: dict
+) -> list:
+    """First/Next walk → nested outline tree in the engine's node shape.
+
+    Returns a list of ``{"title", "number": None, "path", "position":
+    {"page", "x0", "y1"}, "content": [...]}`` nodes, pre-order positional
+    paths ("1", "1.2", …) assigned over the EMITTED nodes (skipped external
+    nodes do not consume a path slot — they are invisible to numbering,
+    exactly as in the reference where they never enter outline_list)."""
+    if outline_root is None or outline_root < 0 or not outline_nodes:
+        return []
+    by_id = {int(n["node_id"]): n for n in outline_nodes}
+
+    def resolve_dest(node: dict):
+        kind = node.get("dest_kind") or "explicit"
+        if kind in ("explicit", "action_explicit"):
+            return (
+                int(node["dest_page"]),
+                float(node["dest_x"]),
+                float(node["dest_y"]),
+            )
+        if kind in ("named", "action_named"):
+            dest = named_dests.get(node.get("dest_name") or "")
+            return dest  # None when the name is unknown → node skipped
+        return None  # external / non-GoTo action
+
+    def visit(node_id: int, siblings: list, path_prefix: str, seen: set) -> None:
+        nid = node_id
+        while nid is not None and nid >= 0 and nid in by_id and nid not in seen:
+            seen.add(nid)
+            node = by_id[nid]
+            dest = resolve_dest(node)
+            if dest is not None:
+                page, x, y = dest
+                entry = {
+                    "title": node["title"],
+                    "number": None,
+                    "path": f"{path_prefix}{len(siblings) + 1}",
+                    "position": {"page": page, "x0": x, "y1": y},
+                    "content": [],
+                }
+                siblings.append(entry)
+                target = entry["content"]
+                child_prefix = f"{entry['path']}."
+            elif siblings:
+                # reference behavior: children of a skipped node nest under
+                # the previous emitted sibling (catalog.py:365-371)
+                target = siblings[-1]["content"]
+                child_prefix = f"{siblings[-1]['path']}."
+            else:
+                target = siblings
+                child_prefix = path_prefix
+            first = int(node.get("first", -1) if node.get("first") is not None else -1)
+            if first >= 0:
+                visit(first, target, child_prefix, seen)
+                # paths of nodes appended into target were assigned against
+                # its length at call time — consistent because appends only
+                # ever go to the tail
+            nid = int(node.get("next", -1) if node.get("next") is not None else -1)
+
+    roots: list = []
+    visit(int(outline_root), roots, "", set())
+    # re-densify paths: children appended into a previous sibling AFTER its
+    # own children exist keep tail order; positional paths must reflect the
+    # final tree
+    _assign_paths(roots, "")
+    return roots
+
+
+def _assign_paths(nodes: list, prefix: str) -> None:
+    for i, node in enumerate(nodes):
+        node["path"] = f"{prefix}{i + 1}"
+        _assign_paths(node["content"], f"{node['path']}.")
+
+
+def resolve_catalog(doc: dict) -> tuple:
+    """Per-document catalog resolution (the engine analog of
+    ``extract_catalog``, catalog.py:706-741 — minus the module global).
+
+    Returns ``(outline_tree, named_dests_dict)`` where the tree is in the
+    walk_outline node shape (unnumbered) and named_dests maps
+    ``name → (page, x, y)``."""
+    named = flatten_names_tree(list(doc.get("names_nodes") or []))
+    root = doc.get("outline_root")
+    tree = walk_outline(
+        list(doc.get("outline_nodes") or []),
+        -1 if root is None else int(root),
+        named,
+    )
+    return tree, named

@@ -54,9 +54,9 @@ generator derives expected spans from the same conventions):
 from __future__ import annotations
 
 from ..config import PipelineConfig
+from .catalog import resolve_catalog
 from .chapters import (
     assign_chapter_numbers,
-    build_outline_tree,
     chapter_examiner,
     flatten_outline,
     ghost_chapter_bbox,
@@ -65,11 +65,16 @@ from .headerfooter import find_header_footer_eids
 from .links import extract_links_for_textbox, find_target_uid, resolve_named_dest
 from .regions import (
     boxes_completely_inside,
+    detect_table_grids,
     filter_figures,
-    grid_to_table,
+    table_from_grid,
     table_inside_any_figure,
 )
-from .textmodel import is_whitespace_only, textbox_text
+from .textmodel import (
+    assemble_textbox_lines,
+    is_whitespace_only,
+    textbox_text,
+)
 
 
 def _page_map(doc: dict) -> dict:
@@ -102,12 +107,13 @@ def _smart_crop(elements: list, n_pages: int, page_height: float, cfg) -> list:
 
 
 def numbered_outline(doc: dict, cfg: PipelineConfig) -> list:
-    """Outline tree with deterministic chapter numbers (catalog stage) —
-    pure function of the outline column, so every page split derives the
-    identical tree."""
-    if cfg.no_chapters or not doc.get("outline"):
+    """Outline tree with deterministic chapter numbers, walked from the RAW
+    First/Next node encoding + Names tree (kernels.catalog) — pure function
+    of the catalog columns, so every page split derives the identical
+    tree."""
+    if cfg.no_chapters:
         return []
-    tree = build_outline_tree(list(doc["outline"]))
+    tree, _ = resolve_catalog(doc)
     assign_chapter_numbers(tree)
     return tree
 
@@ -127,7 +133,8 @@ def prepare_pages(
     page_height = float(pages[sorted(pages)[0]]["height"])
     doc_id = doc["doc_id"]
 
-    # -- textboxes with assembled text, bucketed per page in layout order --
+    # -- textboxes: ENGINE layout assembly (words/chars → lines → text),
+    # bucketed per page in layout order --
     crop_top, crop_bottom, crop_left, crop_right = (
         tuple(float(v) for v in cfg.page_crop) if cfg.page_crop else (0, 0, 0, 0)
     )
@@ -152,6 +159,11 @@ def prepare_pages(
                 and t["y1"] <= float(page["height"]) - crop_top
             ):
                 continue
+        # the raw-layout step: y-center line grouping + word-margin word
+        # assembly + style lifting (utils.py:467-631)
+        t["lines"] = assemble_textbox_lines(
+            t, cfg.line_y_tolerance, cfg.word_margin
+        )
         t["text"] = textbox_text(t)
         textboxes_by_page.setdefault(t["page"], []).append(t)
 
@@ -241,7 +253,9 @@ def prepare_pages(
         if cfg.smart_page_crop and not defer_smart_crop:
             rects = _smart_crop(rects, n_pages, page_height, cfg)
 
-    # -- tables (tables.py:49-204 + figure anti-join 207-234) --
+    # -- tables: lines-strategy grid DETECTION from raw segments + cell
+    # text crop from page words (tables.py:49-204 + figure anti-join
+    # 207-234; cell crop tables.py:237-263) --
     tables: list = []
     if not cfg.no_tables:
         fig_bboxes_by_page: dict = {}
@@ -249,48 +263,72 @@ def prepare_pages(
             fig_bboxes_by_page.setdefault(fig["page"], []).append(
                 (fig["x0"], fig["y0"], fig["x1"], fig["y1"])
             )
-        for grid in doc.get("table_grids") or []:
-            if int(grid["page"]) not in subset:
+        segs_by_page: dict = {}
+        for seg in doc.get("segments") or []:
+            page_no = int(seg["page"])
+            if page_no in subset:
+                segs_by_page.setdefault(page_no, []).append(seg)
+        for page_no in page_numbers:
+            page_segs = segs_by_page.get(page_no)
+            if not page_segs:
                 continue
-            table = grid_to_table(grid)
-            if table_inside_any_figure(
-                table["bbox"],
-                fig_bboxes_by_page.get(table["page"], []),
-                cfg.table_figure_tolerance,
+            # the page's word boxes (layout-assembled) for cell text crops
+            page_words = [
+                w
+                for tb in textboxes_by_page.get(page_no, [])
+                for ln in tb["lines"]
+                for w in ln["words"]
+                if "x0" in w
+            ]
+            for grid in detect_table_grids(
+                page_segs,
+                cfg.snap_tolerance,
+                cfg.join_tolerance,
+                cfg.edge_min_length,
             ):
-                continue
-            x0, y0, x1, y1 = table["bbox"]
-            # cell-level link extraction (tables.py:178-186); the synthetic
-            # char model renders a cell's text from its top-left corner
-            if not cfg.no_annotations and annos_by_page.get(table["page"]):
-                page_annos = annos_by_page[table["page"]]
-                for cell in table["cells"]:
-                    cell_tb = {
-                        "x0": cell["x0"],
-                        "y0": cell["y0"],
-                        "x1": cell["x1"],
-                        "y1": cell["y1"],
-                        "text": cell["text"],
+                grid["page"] = page_no
+                table = table_from_grid(grid, page_words, cfg)
+                if table_inside_any_figure(
+                    table["bbox"],
+                    fig_bboxes_by_page.get(page_no, []),
+                    cfg.table_figure_tolerance,
+                ):
+                    continue
+                x0, y0, x1, y1 = table["bbox"]
+                # cell-level link extraction (tables.py:178-186) against the
+                # cell's cropped-word textbox (the reference runs
+                # extract_linked_chars on the cell's re-assembled lt_textbox)
+                if not cfg.no_annotations and annos_by_page.get(page_no):
+                    page_annos = annos_by_page[page_no]
+                    for cell in table["cells"]:
+                        if cell["text"] == "" or cell.get("tb_bbox") is None:
+                            cell["links"] = []
+                            continue
+                        bx0, by0, bx1, by1 = cell["tb_bbox"]
+                        cell_tb = {
+                            "x0": bx0, "y0": by0, "x1": bx1, "y1": by1,
+                            "text": cell["text"],
+                        }
+                        cell["links"] = extract_links_for_textbox(
+                            cell_tb, page_annos,
+                            cfg.anno_x_tolerance, cfg.anno_y_tolerance,
+                        )
+                else:
+                    for cell in table["cells"]:
+                        cell["links"] = []
+                tables.append(
+                    {
+                        "etype": "table",
+                        "page": page_no,
+                        "x0": x0,
+                        "y0": y0,
+                        "x1": x1,
+                        "y1": y1,
+                        "text": table["text"],
+                        "cells": table["cells"],
+                        "links": [],
                     }
-                    cell["links"] = extract_links_for_textbox(
-                        cell_tb, page_annos, cfg.anno_x_tolerance, cfg.anno_y_tolerance
-                    )
-            else:
-                for cell in table["cells"]:
-                    cell["links"] = []
-            tables.append(
-                {
-                    "etype": "table",
-                    "page": table["page"],
-                    "x0": x0,
-                    "y0": y0,
-                    "x1": x1,
-                    "y1": y1,
-                    "text": table["text"],
-                    "cells": table["cells"],
-                    "links": [],
-                }
-            )
+                )
         if cfg.smart_page_crop and not defer_smart_crop:
             tables = _smart_crop(tables, n_pages, page_height, cfg)
 
@@ -461,10 +499,8 @@ def finish_document(
             if node["path"] in adopted:
                 node["number"] = adopted[node["path"]]
 
-    named_dests = {
-        nd["name"]: (int(nd["page"]), float(nd["x"]), float(nd["y"]))
-        for nd in (doc.get("named_dests") or [])
-    }
+    # named destinations from the raw Names/Kids tree (kernels.catalog)
+    _, named_dests = resolve_catalog(doc)
 
     # -- merge + reading order (process.py:189-209) --
     merged = figures + tables + paragraphs + chapters + rects

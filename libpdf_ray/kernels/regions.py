@@ -114,51 +114,254 @@ def table_inside_any_figure(
     return False
 
 
-def grid_to_table(grid: dict) -> dict:
-    """Line-grid struct → table element core.
+# ---------------------------------------------------------------------------
+# lines-strategy table detection (round 2: the grid is DETECTED from raw
+# rect/line segments, not precomputed — the actual operator of
+# libpdf/tables.py:49-145 with the reference's settings dict values
+# tables.py:62-79: snap_tolerance=3, join_tolerance=3, edge_min_length=3)
+# ---------------------------------------------------------------------------
 
-    ``grid``: {page, row_edges (top→bottom y's, len R+1), col_edges
-    (left→right x's, len C+1), cell_texts (row-major, '' = merged/empty)}.
-    Mirrors the lines-strategy reconstruction of libpdf/tables.py:49-204:
-    cells are row/col addressed, bbox is the outer grid rectangle.
+
+def _cluster_positions(values: list, tol: float) -> list:
+    """Sorted 1-D values → cluster means (pdfplumber 'snap' semantics:
+    positions within ``tol`` of the running cluster are merged)."""
+    out = []
+    cur: list = []
+    for v in sorted(values):
+        if cur and v - cur[-1] > tol:
+            out.append(sum(cur) / len(cur))
+            cur = []
+        cur.append(v)
+    if cur:
+        out.append(sum(cur) / len(cur))
+    return out
+
+
+def _nearest_index(edges: list, value: float, tol: float):
+    best, best_d = None, tol
+    for i, e in enumerate(edges):
+        d = abs(e - value)
+        if d <= best_d:
+            best, best_d = i, d
+    return best
+
+
+def detect_table_grids(
+    page_segments: list,
+    snap_tolerance: float = 3.0,
+    join_tolerance: float = 3.0,
+    edge_min_length: float = 3.0,
+) -> list:
+    """Raw line segments of ONE page → detected grids with cell layout.
+
+    Pipeline (the lines-strategy core of pdfplumber's ``find_tables`` that
+    libpdf configures at tables.py:62-79):
+
+    1. classify segments horizontal/vertical, drop < ``edge_min_length``;
+    2. connected components over the intersect-within-tolerance relation
+       (disjoint grids — e.g. a nested table whose edges touch nothing of
+       the outer grid — become separate tables);
+    3. per component: snap h-midlines into ``row_edges`` (top→bottom) and
+       v-midlines into ``col_edges`` (left→right);
+    4. per-boundary coverage → cell construction with rectangular merges:
+       a missing interior edge fuses the adjacent grid slots into one cell
+       (pdfplumber's None placeholder; libpdf skips them, tables.py:159-171).
+
+    Returns grids sorted in reading order: ``{"page", "row_edges",
+    "col_edges", "cells": [{"row", "col", "x0", "y0", "x1", "y1"}],
+    "n_rows", "n_cols", "anchors": set of (r, c)}``.
     """
-    row_edges = [float(v) for v in grid["row_edges"]]
-    col_edges = [float(v) for v in grid["col_edges"]]
-    n_rows = len(row_edges) - 1
-    n_cols = len(col_edges) - 1
-    texts = list(grid["cell_texts"])
-    cells = []
-    for r in range(n_rows):
-        for c in range(n_cols):
-            text = texts[r * n_cols + c] if r * n_cols + c < len(texts) else ""
-            if text == "":
-                continue  # merged / empty cell → no Cell (tables.py:168-171)
-            cells.append(
-                {
-                    "row": r + 1,
-                    "col": c + 1,
-                    "text": text,
-                    "x0": col_edges[c],
-                    "y0": min(row_edges[r + 1], row_edges[r]),
-                    "x1": col_edges[c + 1],
-                    "y1": max(row_edges[r + 1], row_edges[r]),
-                }
+    segs = []
+    for s in page_segments:
+        x0, x1 = sorted((float(s["x0"]), float(s["x1"])))
+        y0, y1 = sorted((float(s["y0"]), float(s["y1"])))
+        w, h = x1 - x0, y1 - y0
+        if max(w, h) < edge_min_length:
+            continue
+        segs.append(
+            {"x0": x0, "y0": y0, "x1": x1, "y1": y1, "horizontal": w >= h}
+        )
+    h_segs = [s for s in segs if s["horizontal"]]
+    v_segs = [s for s in segs if not s["horizontal"]]
+    if len(h_segs) < 2 or len(v_segs) < 2:
+        return []
+
+    # union-find over all segments, joined when an h and a v intersect
+    parent = list(range(len(segs)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i, j):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[ri] = rj
+
+    tol = snap_tolerance + join_tolerance
+    for i, a in enumerate(segs):
+        if not a["horizontal"]:
+            continue
+        ay = (a["y0"] + a["y1"]) / 2.0
+        for j, b in enumerate(segs):
+            if b["horizontal"]:
+                continue
+            bx = (b["x0"] + b["x1"]) / 2.0
+            if (
+                a["x0"] - tol <= bx <= a["x1"] + tol
+                and b["y0"] - tol <= ay <= b["y1"] + tol
+            ):
+                union(i, j)
+
+    comps: dict = {}
+    for i in range(len(segs)):
+        comps.setdefault(find(i), []).append(segs[i])
+
+    grids = []
+    for members in comps.values():
+        hh = [s for s in members if s["horizontal"]]
+        vv = [s for s in members if not s["horizontal"]]
+        if len(hh) < 2 or len(vv) < 2:
+            continue
+        row_edges = sorted(
+            _cluster_positions([(s["y0"] + s["y1"]) / 2.0 for s in hh], snap_tolerance),
+            reverse=True,
+        )
+        col_edges = sorted(
+            _cluster_positions([(s["x0"] + s["x1"]) / 2.0 for s in vv], snap_tolerance)
+        )
+        n_rows, n_cols = len(row_edges) - 1, len(col_edges) - 1
+        if n_rows < 1 or n_cols < 1:
+            continue
+        # boundary coverage matrices
+        # h_present[r][c]: horizontal boundary at row edge r covers col band c
+        h_present = [[False] * n_cols for _ in range(n_rows + 1)]
+        for s in hh:
+            r = _nearest_index(row_edges, (s["y0"] + s["y1"]) / 2.0, snap_tolerance)
+            if r is None:
+                continue
+            for c in range(n_cols):
+                if (
+                    col_edges[c] >= s["x0"] - tol
+                    and col_edges[c + 1] <= s["x1"] + tol
+                ):
+                    h_present[r][c] = True
+        # v_present[c][r]: vertical boundary at col edge c covers row band r
+        v_present = [[False] * n_rows for _ in range(n_cols + 1)]
+        for s in vv:
+            c = _nearest_index(col_edges, (s["x0"] + s["x1"]) / 2.0, snap_tolerance)
+            if c is None:
+                continue
+            for r in range(n_rows):
+                # row band r spans y ∈ [row_edges[r+1], row_edges[r]]
+                if (
+                    row_edges[r] <= s["y1"] + tol
+                    and row_edges[r + 1] >= s["y0"] - tol
+                ):
+                    v_present[c][r] = True
+
+        cells = []
+        anchors = set()
+        taken = set()
+        for r in range(n_rows):
+            for c in range(n_cols):
+                if (r, c) in taken:
+                    continue
+                c2 = c + 1
+                while c2 < n_cols and not v_present[c2][r]:
+                    c2 += 1
+                r2 = r + 1
+                while r2 < n_rows and not any(
+                    h_present[r2][cc] for cc in range(c, c2)
+                ):
+                    r2 += 1
+                for rr in range(r, r2):
+                    for cc in range(c, c2):
+                        taken.add((rr, cc))
+                anchors.add((r + 1, c + 1))
+                cells.append(
+                    {
+                        "row": r + 1,
+                        "col": c + 1,
+                        "x0": col_edges[c],
+                        "y0": row_edges[r2],
+                        "x1": col_edges[c2],
+                        "y1": row_edges[r],
+                    }
+                )
+        grids.append(
+            {
+                "page": None,  # caller stamps the page
+                "row_edges": row_edges,
+                "col_edges": col_edges,
+                "cells": cells,
+                "n_rows": n_rows,
+                "n_cols": n_cols,
+                "anchors": anchors,
+            }
+        )
+    grids.sort(key=lambda g: (-g["row_edges"][0], g["col_edges"][0]))
+    return grids
+
+
+def table_from_grid(grid: dict, page_words: list, cfg) -> dict:
+    """Detected grid + the page's word boxes → table element core.
+
+    Cell text is CROPPED from the page (tables.py:237-263 semantics: chars
+    completely inside the cell bbox ± 5 pt offset, re-assembled with the
+    engine's line grouping).  Span text = rows joined with '\\n', cell slots
+    with '\\t'; merged/swallowed slots keep their empty slot (SURVEY span
+    conventions)."""
+    from .textmodel import _cluster_into_lines, _line_from_words
+
+    offset = cfg.rect_text_offset  # the reference's cell crop offset (=5)
+    texts: dict = {}
+    cells_out = []
+    for cell in grid["cells"]:
+        inside = [
+            w
+            for w in page_words
+            if w["x0"] >= cell["x0"] - offset
+            and w["y0"] >= cell["y0"] - offset
+            and w["x1"] <= cell["x1"] + offset
+            and w["y1"] <= cell["y1"] + offset
+        ]
+        lines = [
+            _line_from_words(g)
+            for g in _cluster_into_lines(inside, cfg.line_y_tolerance)
+        ]
+        text = "\n".join(ln["text"] for ln in lines)
+        texts[(cell["row"], cell["col"])] = text
+        # bbox of the cropped words — the cell's "lt_textbox" for link
+        # anchoring (extract_linked_chars runs on the re-assembled textbox,
+        # not on the cell rectangle)
+        tb_bbox = (
+            (
+                min(w["x0"] for w in inside),
+                min(w["y0"] for w in inside),
+                max(w["x1"] for w in inside),
+                max(w["y1"] for w in inside),
             )
-    bbox = (
-        min(col_edges),
-        min(row_edges),
-        max(col_edges),
-        max(row_edges),
-    )
+            if inside
+            else None
+        )
+        cells_out.append({**cell, "text": text, "tb_bbox": tb_bbox})
     rows_texts = [
-        [texts[r * n_cols + c] if r * n_cols + c < len(texts) else "" for c in range(n_cols)]
-        for r in range(n_rows)
+        [texts.get((r + 1, c + 1), "") for c in range(grid["n_cols"])]
+        for r in range(grid["n_rows"])
     ]
     return {
-        "bbox": bbox,
+        "bbox": (
+            min(grid["col_edges"]),
+            min(grid["row_edges"]),
+            max(grid["col_edges"]),
+            max(grid["row_edges"]),
+        ),
         "page": int(grid["page"]),
-        "cells": cells,
-        "n_rows": n_rows,
-        "n_cols": n_cols,
+        "cells": cells_out,
+        "n_rows": grid["n_rows"],
+        "n_cols": grid["n_cols"],
         "text": "\n".join("\t".join(row) for row in rows_texts),
     }

@@ -1,20 +1,23 @@
 """The 4-level text model: HorizontalBox → HorizontalLine → Word → Char.
 
-Re-implements the *observable* semantics of
-``/root/reference/libpdf/models/horizontal_box.py:6-211`` and the char-stream
-assembly of ``libpdf/utils.py:467-544`` as plain dict/tuple kernels:
+Round 2: the layout assembly is a REAL engine kernel — the sidecar supplies
+unordered per-word (or per-char) boxes and the engine performs:
 
-- text joins (they define span-text equality, SURVEY §2.8):
-  chars join with ``''`` → word text (horizontal_box.py:199-202),
-  words join with ``' '`` → line text (horizontal_box.py:147-150),
-  lines join with ``'\\n'`` → box text (horizontal_box.py:95-98).
-- attribute lifting: ``ncolor`` / ``fontname`` are lifted to the parent level
+- **line grouping by vertical center** with the reference's y tolerance
+  (``assemble_to_lt_textlines``, /root/reference/libpdf/utils.py:606-631:
+  a char joins the current line when |y-center − last y-center| <
+  ``y_tolerance``; the reference passes ``LA_PARAMS['line_overlap']`` = 0.5
+  *points* here — a quirk preserved deliberately);
+- **word assembly by gap** (pdfminer ``LTTextLineHorizontal`` semantics the
+  reference relies on via ``word_margin``: a space is inserted when the gap
+  to the previous glyph exceeds ``word_margin ×`` the glyph's width);
+- **text joins** (they define span-text equality, SURVEY §2.8): chars join
+  with ``''`` → word (horizontal_box.py:199-202), words with ``' '`` → line
+  (147-150), lines with ``'\\n'`` → box (95-98);
+- **attribute lifting**: ``ncolor`` / ``fontname`` lift to the parent level
   only when uniform across all children (horizontal_box.py:85-92,137-144,
-  190-196); otherwise the parent attribute is None.
-
-The Ray sidecar table stores lines as ``struct<text, ncolor, fontname>``
-(per-line granularity); chars inherit the line's style, which keeps the
-lifting rules exercisable end to end.
+  190-196) — mixed word styles inside one line are now representable and
+  exercised (reference tests/test_word_colors.py:7-143).
 """
 
 from __future__ import annotations
@@ -40,48 +43,161 @@ def _norm_color(ncolor):
     return t if t else None
 
 
-def assemble_hbox(lines: list) -> dict:
-    """Build the nested box model from raw line structs.
+def _cluster_into_lines(items: list, y_tolerance: float) -> list:
+    """Group glyph runs (words or chars) into lines by vertical center.
 
-    ``lines`` is a list of ``{"text": str, "ncolor": [r,g,b] | None,
-    "fontname": str | None}``.  Returns::
-
-        {"text": str, "ncolor": tuple|None, "fontname": str|None,
-         "lines": [{"text", "ncolor", "fontname",
-                    "words": [{"text", "ncolor", "fontname"}]}]}
-
-    Word split is on single spaces, matching the space/newline grouping of
-    ``libpdf/utils.py:467-544`` (assemble_to_textlines).
-    """
-    out_lines = []
+    ``items`` arrive in arbitrary order (the sidecar shuffles them); they are
+    first brought into layout order (top→bottom, left→right), then folded
+    with the reference's running-last-center rule (utils.py:614-629).
+    Each returned line is sorted by x0."""
+    if not items:
+        return []
+    ordered = sorted(
+        items, key=lambda it: (-(it["y0"] + it["y1"]) / 2.0, it["x0"])
+    )
+    lines = [[ordered[0]]]
+    last_yc = (ordered[0]["y0"] + ordered[0]["y1"]) / 2.0
+    for it in ordered[1:]:
+        yc = (it["y0"] + it["y1"]) / 2.0
+        if abs(yc - last_yc) < y_tolerance:
+            lines[-1].append(it)
+        else:
+            lines.append([it])
+        last_yc = yc
     for line in lines:
-        ncolor = _norm_color(line.get("ncolor"))
-        fontname = line.get("fontname") or None
-        words = [
-            {"text": w, "ncolor": ncolor, "fontname": fontname}
-            for w in line["text"].split(" ")
-            if w != ""
-        ]
-        out_lines.append(
-            {
-                "text": " ".join(w["text"] for w in words),
-                "ncolor": _uniform(w["ncolor"] for w in words),
-                "fontname": _uniform(w["fontname"] for w in words),
-                "words": words,
-            }
-        )
+        line.sort(key=lambda it: it["x0"])
+    return lines
+
+
+def _chars_to_words(line_chars: list, word_margin: float) -> list:
+    """Chars of ONE line (x-sorted) → word dicts.  pdfminer word semantics:
+    a word break occurs when the gap to the previous char exceeds
+    ``word_margin ×`` the next char's width; explicit space chars also
+    break (and are not part of any word)."""
+    words = []
+    cur: list = []
+
+    def flush():
+        if cur:
+            words.append(_make_word(cur))
+            cur.clear()
+
+    prev = None
+    for ch in line_chars:
+        if ch["text"].strip() == "":
+            flush()
+            prev = ch
+            continue
+        if prev is not None and cur:
+            gap = ch["x0"] - prev["x1"]
+            if gap > word_margin * (ch["x1"] - ch["x0"]):
+                flush()
+        cur.append(ch)
+        prev = ch
+    flush()
+    return words
+
+
+def _make_word(chars: list) -> dict:
     return {
-        "text": "\n".join(ln["text"] for ln in out_lines),
-        "ncolor": _uniform(ln["ncolor"] for ln in out_lines),
-        "fontname": _uniform(ln["fontname"] for ln in out_lines),
-        "lines": out_lines,
+        "text": "".join(c["text"] for c in chars),
+        "x0": min(c["x0"] for c in chars),
+        "y0": min(c["y0"] for c in chars),
+        "x1": max(c["x1"] for c in chars),
+        "y1": max(c["y1"] for c in chars),
+        "ncolor": _uniform(_norm_color(c.get("ncolor")) for c in chars),
+        "fontname": _uniform(c.get("fontname") or None for c in chars),
     }
 
 
+def _line_from_words(words: list) -> dict:
+    """x-sorted word dicts → line dict with lifted attributes."""
+    return {
+        "text": " ".join(w["text"] for w in words),
+        "ncolor": _uniform(w["ncolor"] for w in words),
+        "fontname": _uniform(w["fontname"] for w in words),
+        "words": words,
+    }
+
+
+def assemble_textbox_lines(
+    textbox: dict,
+    y_tolerance: float = 0.5,
+    word_margin: float = 0.1,
+) -> list:
+    """Raw sidecar textbox → assembled line dicts (the engine's layout
+    analysis step).
+
+    Accepts, in priority order: ``chars`` (rawest — char→word→line), then
+    ``words`` (word→line), then pre-assembled ``lines`` (legacy corpora /
+    unit tests).  Returns ``[{"text", "ncolor", "fontname", "words"}, …]``
+    top-to-bottom."""
+    chars = textbox.get("chars")
+    if chars:
+        line_groups = _cluster_into_lines(list(chars), y_tolerance)
+        return [
+            _line_from_words(_chars_to_words(g, word_margin)) for g in line_groups
+        ]
+    words = textbox.get("words")
+    if words:
+        norm = [
+            {
+                "text": w["text"],
+                "x0": float(w["x0"]),
+                "y0": float(w["y0"]),
+                "x1": float(w["x1"]),
+                "y1": float(w["y1"]),
+                "ncolor": _norm_color(w.get("ncolor")),
+                "fontname": w.get("fontname") or None,
+            }
+            for w in words
+        ]
+        return [_line_from_words(g) for g in _cluster_into_lines(norm, y_tolerance)]
+    return [
+        _legacy_line(line) for line in (textbox.get("lines") or [])
+    ]
+
+
+def _legacy_line(line: dict) -> dict:
+    """Round-1 per-line struct → line dict (words inherit the line style)."""
+    ncolor = _norm_color(line.get("ncolor"))
+    fontname = line.get("fontname") or None
+    words = [
+        {"text": w, "ncolor": ncolor, "fontname": fontname}
+        for w in line["text"].split(" ")
+        if w != ""
+    ]
+    return {
+        "text": " ".join(w["text"] for w in words),
+        "ncolor": _uniform(w["ncolor"] for w in words),
+        "fontname": _uniform(w["fontname"] for w in words),
+        "words": words,
+    }
+
+
+def hbox_from_lines(lines: list) -> dict:
+    """Assembled line dicts → the full HorizontalBox model with box-level
+    attribute lifting (horizontal_box.py:85-98)."""
+    return {
+        "text": "\n".join(ln["text"] for ln in lines),
+        "ncolor": _uniform(ln["ncolor"] for ln in lines),
+        "fontname": _uniform(ln["fontname"] for ln in lines),
+        "lines": lines,
+    }
+
+
+def assemble_hbox(lines: list) -> dict:
+    """Legacy adapter: per-line raw structs → HorizontalBox model (kept for
+    round-1 corpora and unit tests; new code path is
+    :func:`assemble_textbox_lines` + :func:`hbox_from_lines`)."""
+    return hbox_from_lines([_legacy_line(line) for line in lines])
+
+
 def textbox_text(textbox: dict) -> str:
-    """Span text of a raw sidecar textbox: '\\n'-joined line texts with the
-    trailing newline stripped (``libpdf/textbox.py:128-133`` removes the
-    final LTAnno newline before paragraph rendering)."""
+    """Span text of a textbox whose ``lines`` are already assembled:
+    '\\n'-joined line texts with the trailing newline stripped
+    (``libpdf/textbox.py:128-133`` removes the final LTAnno newline before
+    paragraph rendering)."""
     return "\n".join(ln["text"] for ln in textbox["lines"]).rstrip("\n")
 
 

@@ -34,12 +34,13 @@ PARSE_COLUMNS = [
     "est_pages",
     "pages",
     "textboxes",
-    "outline",
+    "outline_nodes",
+    "outline_root",
+    "names_nodes",
     "rects",
-    "table_grids",
+    "segments",
     "figures",
     "annotations",
-    "named_dests",
 ]
 
 

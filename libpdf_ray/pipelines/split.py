@@ -44,7 +44,7 @@ from .extract import PARSE_COLUMNS, extract_spans
 
 
 #: sidecar columns the finish phase needs besides the prepared payload
-_FINISH_COLUMNS = ("doc_id", "pages", "outline", "named_dests")
+_FINISH_COLUMNS = ("doc_id", "pages", "outline_nodes", "outline_root", "names_nodes")
 
 
 def _prepare_split_batch(batch: pa.Table, cfg: PipelineConfig, split_pages: int) -> pa.Table:
@@ -78,8 +78,8 @@ def _prepare_split_batch(batch: pa.Table, cfg: PipelineConfig, split_pages: int)
     )
 
 
-_PAGE_LOCAL_COLUMNS = ("textboxes", "figures", "rects", "table_grids", "annotations")
-_DOC_LEVEL_COLUMNS = ("doc_id", "est_pages", "pages", "outline", "named_dests")
+_PAGE_LOCAL_COLUMNS = ("textboxes", "figures", "rects", "segments", "annotations")
+_DOC_LEVEL_COLUMNS = ("doc_id", "est_pages", "pages", "outline_nodes", "outline_root", "names_nodes")
 
 
 def _slice_row_table(row: pa.Table, rng: list) -> pa.Table:

@@ -7,15 +7,38 @@ The canonical corpus shape follows ``BASELINE.json`` ``input_hint``::
 
 The raw-document *sidecar* table is the pipeline input: the synthetic
 interleaved document source that mimics what the reference reads out of a PDF
-(pages, layout textboxes, outline catalog, rects, line-grid tables, figures,
-link annotations — see SURVEY.md §1.3 and FIXTURES.md §2).  One row per
-document, so a document never spans two blocks and all reference semantics
-stay intra-row (the reference is strictly intra-document, SURVEY §2.4).
+(SURVEY.md §1.3, FIXTURES.md §2).  One row per document, so a document never
+spans two blocks and all reference semantics stay intra-row.
+
+Schema v2 (round 2) — the sidecar is RAWER than round 1, so the engine, not
+the generator, performs the hard reference operators:
+
+- textboxes carry per-word boxes+styles (``words``) or per-char boxes
+  (``chars``), NOT assembled lines: y-center line grouping, word-margin word
+  assembly and style lifting (libpdf/utils.py:467-631,
+  models/horizontal_box.py:6-211) are engine kernels now.
+- tables arrive as raw line ``segments``; the lines-strategy grid detection
+  (snap/join clustering, cell construction incl. merged cells,
+  libpdf/tables.py:49-145 settings at tables.py:62-79) runs in the engine,
+  and cell text is cropped from the page's words (tables.py:237-263).
+- the outline arrives as a First/Next linked node list and named
+  destinations as a Names/Kids tree (libpdf/catalog.py:25-133,230-373);
+  the engine walks both.
+- ``meta`` carries the full FileMeta surface incl. subject/keywords/
+  modified_date/trapped (libpdf/models/file_meta.py:15-64).
+
+``expected_spans`` / ``expected_cells`` are generator-as-oracle columns used
+ONLY by tests and DuckDB oracle queries — the pipeline's column pruning never
+reads them.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
+
+#: bump when the sidecar layout changes — cache markers and corpus dirs
+#: embed this so stale fixture caches are never reused across rounds
+SCHEMA_VERSION = 2
 
 SPAN_STRUCT = pa.struct(
     [
@@ -35,11 +58,28 @@ SPANS_SCHEMA = pa.schema(
     ]
 )
 
-_LINE_STRUCT = pa.struct(
+#: one positioned glyph run: a word (text = the word) or a char (text = one
+#: glyph).  ncolor/fontname are per-run — mixed styles inside one line are
+#: representable (reference tests/test_word_colors.py:7-143)
+WORD_STRUCT = pa.struct(
     [
         ("text", pa.string()),
+        ("x0", pa.float64()),
+        ("y0", pa.float64()),
+        ("x1", pa.float64()),
+        ("y1", pa.float64()),
         ("ncolor", pa.list_(pa.float64())),
         ("fontname", pa.string()),
+    ]
+)
+
+EXPECTED_CELL_STRUCT = pa.struct(
+    [
+        ("page", pa.int32()),
+        ("table_idx", pa.int32()),
+        ("row", pa.int32()),
+        ("col", pa.int32()),
+        ("text", pa.string()),
     ]
 )
 
@@ -54,9 +94,13 @@ RAW_DOC_SCHEMA = pa.schema(
                 [
                     ("author", pa.string()),
                     ("title", pa.string()),
+                    ("subject", pa.string()),
                     ("creator", pa.string()),
                     ("producer", pa.string()),
+                    ("keywords", pa.string()),
                     ("creation_date", pa.timestamp("s")),
+                    ("modified_date", pa.timestamp("s")),
+                    ("trapped", pa.bool_()),
                 ]
             ),
         ),
@@ -82,21 +126,60 @@ RAW_DOC_SCHEMA = pa.schema(
                         ("y0", pa.float64()),
                         ("x1", pa.float64()),
                         ("y1", pa.float64()),
-                        ("lines", pa.list_(_LINE_STRUCT)),
+                        # exactly one of words/chars is set; word/char order
+                        # is NOT meaningful — the engine re-derives reading
+                        # order from geometry (generator shuffles them)
+                        ("words", pa.list_(WORD_STRUCT)),
+                        ("chars", pa.list_(WORD_STRUCT)),
                     ]
                 )
             ),
         ),
+        # raw PDF outline: First/Next linked nodes (catalog.py:230-373).
+        # dest_kind ∈ {explicit, named, action_explicit, action_named,
+        # external}; ``external`` = non-GoTo action (node skipped, children
+        # nest under the previous emitted sibling — reference behavior)
         (
-            "outline",
+            "outline_nodes",
             pa.list_(
                 pa.struct(
                     [
-                        ("path", pa.string()),
+                        ("node_id", pa.int32()),
+                        ("first", pa.int32()),  # -1 = no child
+                        ("next", pa.int32()),  # -1 = no sibling
                         ("title", pa.string()),
-                        ("page", pa.int32()),
-                        ("x0", pa.float64()),
-                        ("y1", pa.float64()),
+                        ("dest_kind", pa.string()),
+                        ("dest_page", pa.int32()),
+                        ("dest_x", pa.float64()),
+                        ("dest_y", pa.float64()),
+                        ("dest_name", pa.string()),
+                    ]
+                )
+            ),
+        ),
+        ("outline_root", pa.int32()),  # node_id of first top-level entry; -1 = none
+        # raw Names/Dests tree (catalog.py:25-133): interior nodes carry
+        # Kids, leaves carry Names
+        (
+            "names_nodes",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("node_id", pa.int32()),
+                        ("kids", pa.list_(pa.int32())),
+                        (
+                            "names",
+                            pa.list_(
+                                pa.struct(
+                                    [
+                                        ("name", pa.string()),
+                                        ("page", pa.int32()),
+                                        ("x", pa.float64()),
+                                        ("y", pa.float64()),
+                                    ]
+                                )
+                            ),
+                        ),
                     ]
                 )
             ),
@@ -116,15 +199,18 @@ RAW_DOC_SCHEMA = pa.schema(
                 )
             ),
         ),
+        # raw rect/line segments for the lines-strategy table detector
+        # (tables.py:49-145); orientation is inferred from geometry
         (
-            "table_grids",
+            "segments",
             pa.list_(
                 pa.struct(
                     [
                         ("page", pa.int32()),
-                        ("row_edges", pa.list_(pa.float64())),
-                        ("col_edges", pa.list_(pa.float64())),
-                        ("cell_texts", pa.list_(pa.string())),
+                        ("x0", pa.float64()),
+                        ("y0", pa.float64()),
+                        ("x1", pa.float64()),
+                        ("y1", pa.float64()),
                     ]
                 )
             ),
@@ -161,19 +247,7 @@ RAW_DOC_SCHEMA = pa.schema(
                 )
             ),
         ),
-        (
-            "named_dests",
-            pa.list_(
-                pa.struct(
-                    [
-                        ("name", pa.string()),
-                        ("page", pa.int32()),
-                        ("x", pa.float64()),
-                        ("y", pa.float64()),
-                    ]
-                )
-            ),
-        ),
         ("expected_spans", SPANS_TYPE),
+        ("expected_cells", pa.list_(EXPECTED_CELL_STRUCT)),
     ]
 )

@@ -19,17 +19,24 @@ from ..kernels.document import extract_document_full
 def cells_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     rows = batch.to_pylist()
     out = {
-        "doc_id": [], "table_uid": [], "row": [], "col": [],
-        "text": [], "x0": [], "y0": [], "x1": [], "y1": [],
+        "doc_id": [], "page": [], "table_uid": [], "table_idx": [], "row": [],
+        "col": [], "text": [], "x0": [], "y0": [], "x1": [], "y1": [],
     }
     for doc in rows:
         _, elements = extract_document_full(doc, cfg)
+        # table_idx: 1-based reading-order ordinal per document (the uid is
+        # chapter-scoped, the ordinal is the stable doc-level key the
+        # generator-as-oracle expected_cells column uses)
+        table_no = 0
         for el in elements:
             if el["etype"] != "table":
                 continue
+            table_no += 1
             for cell in el.get("cells", []):
                 out["doc_id"].append(doc["doc_id"])
+                out["page"].append(el["page"])
                 out["table_uid"].append(el["uid"])
+                out["table_idx"].append(table_no)
                 out["row"].append(cell["row"])
                 out["col"].append(cell["col"])
                 out["text"].append(cell["text"])
@@ -40,7 +47,9 @@ def cells_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     return pa.table(
         {
             "doc_id": pa.array(out["doc_id"], pa.string()),
+            "page": pa.array(out["page"], pa.int32()),
             "table_uid": pa.array(out["table_uid"], pa.string()),
+            "table_idx": pa.array(out["table_idx"], pa.int32()),
             "row": pa.array(out["row"], pa.int32()),
             "col": pa.array(out["col"], pa.int32()),
             "text": pa.array(out["text"], pa.string()),

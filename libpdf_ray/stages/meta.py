@@ -26,22 +26,32 @@ def file_meta_batch(batch: pa.Table) -> pa.Table:
         "file_identifier": [],
         "author": [],
         "title": [],
+        "subject": [],
         "creator": [],
         "producer": [],
+        "keywords": [],
         "creation_date": [],
+        "modified_date": [],
+        "trapped": [],
         "n_pages": [],
     }
     for row in rows:
         meta = row.get("meta") or {}
         raw = meta.get("creation_date_raw")
         created = parse_pdf_datetime(raw) if raw else meta.get("creation_date")
+        raw_mod = meta.get("modified_date_raw")
+        modified = parse_pdf_datetime(raw_mod) if raw_mod else meta.get("modified_date")
         out["doc_id"].append(row["doc_id"])
         out["file_identifier"].append(string_to_identifier(str(row["doc_id"])))
         out["author"].append(meta.get("author"))
         out["title"].append(meta.get("title"))
+        out["subject"].append(meta.get("subject"))
         out["creator"].append(meta.get("creator"))
         out["producer"].append(meta.get("producer"))
+        out["keywords"].append(meta.get("keywords"))
         out["creation_date"].append(created)
+        out["modified_date"].append(modified)
+        out["trapped"].append(meta.get("trapped"))
         out["n_pages"].append(len(row.get("pages") or []))
     return pa.table(
         {
@@ -49,9 +59,13 @@ def file_meta_batch(batch: pa.Table) -> pa.Table:
             "file_identifier": pa.array(out["file_identifier"], pa.string()),
             "author": pa.array(out["author"], pa.string()),
             "title": pa.array(out["title"], pa.string()),
+            "subject": pa.array(out["subject"], pa.string()),
             "creator": pa.array(out["creator"], pa.string()),
             "producer": pa.array(out["producer"], pa.string()),
+            "keywords": pa.array(out["keywords"], pa.string()),
             "creation_date": pa.array(out["creation_date"], pa.timestamp("s")),
+            "modified_date": pa.array(out["modified_date"], pa.timestamp("s")),
+            "trapped": pa.array(out["trapped"], pa.bool_()),
             "n_pages": pa.array(out["n_pages"], pa.int32()),
         }
     )

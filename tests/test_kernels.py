@@ -21,7 +21,11 @@ from libpdf_ray.kernels.chapters import (
 )
 from libpdf_ray.kernels.headerfooter import find_header_footer_eids
 from libpdf_ray.kernels.links import extract_links_for_textbox
-from libpdf_ray.kernels.regions import filter_figures, grid_to_table
+from libpdf_ray.kernels.regions import (
+    detect_table_grids,
+    filter_figures,
+    table_from_grid,
+)
 from libpdf_ray.kernels.textmodel import assemble_hbox, textbox_text
 
 
@@ -245,19 +249,70 @@ class TestBboxAndTables:
         )
         assert union_bbox(arr) == (2, 1, 10, 9)
 
-    def test_grid_to_table(self):
-        table = grid_to_table(
-            {
-                "page": 1,
-                "row_edges": [600.0, 570.0, 540.0],
-                "col_edges": [72.0, 172.0, 272.0],
-                "cell_texts": ["a", "b", "", "d"],
-            }
-        )
-        assert table["text"] == "a\tb\n\td"
-        assert [(c["row"], c["col"], c["text"]) for c in table["cells"]] == [
-            (1, 1, "a"),
-            (1, 2, "b"),
-            (2, 2, "d"),
+    def _grid_segments(self, row_edges, col_edges, missing_v=()):
+        segs = []
+        for y in row_edges:
+            segs.append({"page": 1, "x0": col_edges[0], "y0": y,
+                         "x1": col_edges[-1], "y1": y})
+        n_bands = len(row_edges) - 1
+        for ci, x in enumerate(col_edges):
+            bands = [b for b in range(n_bands) if (b, ci) not in missing_v]
+            run = []
+            for b in bands:
+                if run and b != run[-1] + 1:
+                    segs.append({"page": 1, "x0": x, "y0": row_edges[run[-1] + 1],
+                                 "x1": x, "y1": row_edges[run[0]]})
+                    run = []
+                run.append(b)
+            if run:
+                segs.append({"page": 1, "x0": x, "y0": row_edges[run[-1] + 1],
+                             "x1": x, "y1": row_edges[run[0]]})
+        return segs
+
+    def test_detect_grid_full(self):
+        # 2×2 grid detected from raw segments with sub-snap jitter
+        segs = self._grid_segments([600.0, 570.0, 540.0], [72.0, 172.0, 272.0])
+        segs[0]["y0"] = segs[0]["y1"] = 600.8  # jitter < snap_tolerance
+        grids = detect_table_grids(segs)
+        assert len(grids) == 1
+        g = grids[0]
+        assert g["n_rows"] == 2 and g["n_cols"] == 2
+        assert [round(v) for v in g["row_edges"]] == [601, 570, 540]
+        assert [(c["row"], c["col"]) for c in g["cells"]] == [
+            (1, 1), (1, 2), (2, 1), (2, 2)
         ]
+
+    def test_detect_grid_merged_cell(self):
+        # missing interior v-edge in the top band → (1,1) spans both cols
+        segs = self._grid_segments(
+            [600.0, 570.0, 540.0], [72.0, 172.0, 272.0], missing_v={(0, 1)}
+        )
+        g = detect_table_grids(segs)[0]
+        cells = {(c["row"], c["col"]): c for c in g["cells"]}
+        assert set(cells) == {(1, 1), (2, 1), (2, 2)}
+        assert cells[(1, 1)]["x1"] == 272.0  # spans to the outer edge
+
+    def test_detect_two_disjoint_grids(self):
+        # nested/disjoint grids form separate connected components
+        a = self._grid_segments([600.0, 570.0], [72.0, 172.0])
+        bb = self._grid_segments([560.0, 530.0], [300.0, 400.0])
+        grids = detect_table_grids(a + bb)
+        assert len(grids) == 2
+        assert grids[0]["row_edges"][0] > grids[1]["row_edges"][0]
+
+    def test_table_from_grid_crops_words(self):
+        cfg = PipelineConfig()
+        segs = self._grid_segments([600.0, 570.0, 540.0], [72.0, 172.0, 272.0])
+        g = detect_table_grids(segs)[0]
+        g["page"] = 1
+        words = [
+            {"text": "a", "x0": 75, "y0": 585, "x1": 81, "y1": 597,
+             "ncolor": None, "fontname": None},
+            {"text": "d", "x0": 175, "y0": 555, "x1": 181, "y1": 567,
+             "ncolor": None, "fontname": None},
+        ]
+        table = table_from_grid(g, words, cfg)
+        assert table["text"] == "a\t\n\td"
+        texts = {(c["row"], c["col"]): c["text"] for c in table["cells"]}
+        assert texts == {(1, 1): "a", (1, 2): "", (2, 1): "", (2, 2): "d"}
         assert table["bbox"] == (72.0, 540.0, 272.0, 600.0)

@@ -1,0 +1,211 @@
+"""Unit tests for the round-2 raw-layout and catalog kernels:
+
+- char→word→line assembly (libpdf/utils.py:467-631 semantics)
+- word-level style lifting (horizontal_box.py:85-92,137-144,190-196;
+  reference tests/test_word_colors.py:7-143)
+- Names/Kids tree flattening (catalog.py:25-133)
+- First/Next outline walk incl. named dests and non-GoTo skip
+  (catalog.py:230-373)
+"""
+
+from __future__ import annotations
+
+from libpdf_ray.kernels.catalog import (
+    flatten_names_tree,
+    resolve_catalog,
+    walk_outline,
+)
+from libpdf_ray.kernels.textmodel import (
+    assemble_textbox_lines,
+    hbox_from_lines,
+)
+
+
+def _word(text, x0, y1, ncolor=None, fontname=None, h=12.0):
+    return {
+        "text": text, "x0": x0, "y0": y1 - h, "x1": x0 + 6.0 * len(text),
+        "y1": y1, "ncolor": ncolor, "fontname": fontname,
+    }
+
+
+def _char(ch, x0, y1, ncolor=None, fontname=None):
+    return _word(ch, x0, y1, ncolor, fontname)
+
+
+class TestWordAssembly:
+    def test_shuffled_words_regroup_into_lines(self):
+        # two lines, words supplied in scrambled order
+        tb = {
+            "words": [
+                _word("world", 108, 600),
+                _word("line", 102, 588),
+                _word("hello", 72, 600),
+                _word("second", 60, 588),
+            ]
+        }
+        lines = assemble_textbox_lines(tb)
+        assert [ln["text"] for ln in lines] == ["hello world", "second line"]
+
+    def test_y_tolerance_quirk(self):
+        # the reference passes line_overlap=0.5 POINTS as the absolute y
+        # tolerance: centers 0.4pt apart group, 0.6pt apart do not
+        tb_close = {"words": [_word("a", 72, 600.0), _word("b", 90, 600.4)]}
+        tb_far = {"words": [_word("a", 72, 600.0), _word("b", 90, 600.6)]}
+        assert [ln["text"] for ln in assemble_textbox_lines(tb_close)] == ["a b"]
+        assert len(assemble_textbox_lines(tb_far)) == 2
+
+    def test_chars_assemble_to_words_by_gap(self):
+        # "ab cd": chars contiguous within words, one char-width gap between
+        chars = [
+            _char("a", 72, 600), _char("b", 78, 600),
+            _char("c", 90, 600), _char("d", 96, 600),
+        ]
+        tb = {"chars": list(reversed(chars))}
+        lines = assemble_textbox_lines(tb)
+        assert [ln["text"] for ln in lines] == ["ab cd"]
+        assert [w["text"] for w in lines[0]["words"]] == ["ab", "cd"]
+
+    def test_small_gap_does_not_split_word(self):
+        # gap 0.5pt < word_margin(0.1) × width(6) = 0.6 → same word
+        chars = [_char("a", 72, 600), _char("b", 78.5, 600)]
+        lines = assemble_textbox_lines({"chars": chars})
+        assert [w["text"] for w in lines[0]["words"]] == ["ab"]
+
+    def test_explicit_space_char_splits(self):
+        chars = [_char("a", 72, 600), _char(" ", 78, 600), _char("b", 84, 600)]
+        lines = assemble_textbox_lines({"chars": chars})
+        assert lines[0]["text"] == "a b"
+
+
+class TestStyleLifting:
+    def test_word_styles_survive_and_line_does_not_lift(self):
+        tb = {
+            "words": [
+                _word("red", 72, 600, ncolor=[1.0, 0, 0], fontname="F1"),
+                _word("black", 100, 600, ncolor=[0.0, 0, 0], fontname="F1"),
+            ]
+        }
+        lines = assemble_textbox_lines(tb)
+        assert lines[0]["ncolor"] is None  # mixed → no lift
+        assert lines[0]["fontname"] == "F1"  # uniform → lifts
+        assert lines[0]["words"][0]["ncolor"] == (1.0, 0.0, 0.0)
+        assert lines[0]["words"][1]["ncolor"] == (0.0, 0.0, 0.0)
+
+    def test_box_level_lift(self):
+        tb = {
+            "words": [
+                _word("a", 72, 600, ncolor=[0, 0, 1.0]),
+                _word("b", 72, 588, ncolor=[0, 0, 1.0]),
+            ]
+        }
+        hbox = hbox_from_lines(assemble_textbox_lines(tb))
+        assert hbox["ncolor"] == (0.0, 0.0, 1.0)
+
+    def test_char_styles_lift_into_words(self):
+        chars = [
+            _char("a", 72, 600, ncolor=[1.0, 0, 0]),
+            _char("b", 78, 600, ncolor=[1.0, 0, 0]),
+            _char("c", 90, 600, ncolor=[0.0, 1.0, 0]),
+        ]
+        lines = assemble_textbox_lines({"chars": chars})
+        assert lines[0]["words"][0]["ncolor"] == (1.0, 0.0, 0.0)
+        assert lines[0]["words"][1]["ncolor"] == (0.0, 1.0, 0.0)
+        assert lines[0]["ncolor"] is None
+
+
+class TestNamesTree:
+    def test_kids_recursion(self):
+        nodes = [
+            {"node_id": 0, "kids": [1, 2], "names": []},
+            {"node_id": 1, "kids": [3], "names": []},
+            {"node_id": 2, "kids": [],
+             "names": [{"name": "b", "page": 2, "x": 10.0, "y": 20.0}]},
+            {"node_id": 3, "kids": [],
+             "names": [{"name": "a", "page": 1, "x": 5.0, "y": 6.0}]},
+        ]
+        assert flatten_names_tree(nodes) == {
+            "a": (1, 5.0, 6.0),
+            "b": (2, 10.0, 20.0),
+        }
+
+    def test_cycle_guard(self):
+        nodes = [
+            {"node_id": 0, "kids": [1], "names": []},
+            {"node_id": 1, "kids": [0],
+             "names": [{"name": "x", "page": 1, "x": 0.0, "y": 0.0}]},
+        ]
+        assert flatten_names_tree(nodes) == {"x": (1, 0.0, 0.0)}
+
+    def test_empty(self):
+        assert flatten_names_tree([]) == {}
+
+
+def _node(nid, first, nxt, title, kind="explicit", page=1, x=72.0, y=600.0,
+          name=""):
+    return {
+        "node_id": nid, "first": first, "next": nxt, "title": title,
+        "dest_kind": kind, "dest_page": page, "dest_x": x, "dest_y": y,
+        "dest_name": name,
+    }
+
+
+class TestOutlineWalk:
+    def test_first_next_nesting(self):
+        # 1 → (1.1, 1.2), 2
+        nodes = [
+            _node(0, 1, 3, "One"),
+            _node(1, -1, 2, "One-one", y=500.0),
+            _node(2, -1, -1, "One-two", y=400.0),
+            _node(3, -1, -1, "Two", page=2),
+        ]
+        tree = walk_outline(nodes, 0, {})
+        assert [n["title"] for n in tree] == ["One", "Two"]
+        assert [n["path"] for n in tree] == ["1", "2"]
+        kids = tree[0]["content"]
+        assert [n["path"] for n in kids] == ["1.1", "1.2"]
+        assert kids[0]["position"]["y1"] == 500.0
+
+    def test_named_dest_resolution(self):
+        nodes = [_node(0, -1, -1, "N", kind="named", page=0, x=0, y=0,
+                       name="sec")]
+        tree = walk_outline(nodes, 0, {"sec": (3, 70.0, 650.0)})
+        assert tree[0]["position"] == {"page": 3, "x0": 70.0, "y1": 650.0}
+
+    def test_unknown_name_skips_node(self):
+        nodes = [_node(0, -1, -1, "N", kind="named", name="missing")]
+        assert walk_outline(nodes, 0, {}) == []
+
+    def test_external_action_children_nest_under_previous_sibling(self):
+        # reference resolve_outline: a skipped (non-GoTo) node's First
+        # children land in outline_list[-1]['content'] (catalog.py:365-371)
+        nodes = [
+            _node(0, -1, 1, "One"),
+            _node(1, 2, -1, "External", kind="external"),
+            _node(2, -1, -1, "Child", y=300.0),
+        ]
+        tree = walk_outline(nodes, 0, {})
+        assert [n["title"] for n in tree] == ["One"]
+        assert [n["title"] for n in tree[0]["content"]] == ["Child"]
+        assert tree[0]["content"][0]["path"] == "1.1"
+
+    def test_empty_outline(self):
+        assert walk_outline([], -1, {}) == []
+        assert walk_outline([], 0, {}) == []
+
+
+def test_resolve_catalog_end_to_end():
+    doc = {
+        "names_nodes": [
+            {"node_id": 0, "kids": [1, 2], "names": []},
+            {"node_id": 1, "kids": [],
+             "names": [{"name": "s1", "page": 1, "x": 72.0, "y": 600.0}]},
+            {"node_id": 2, "kids": [], "names": []},
+        ],
+        "outline_nodes": [
+            _node(0, -1, -1, "Via name", kind="named", name="s1"),
+        ],
+        "outline_root": 0,
+    }
+    tree, named = resolve_catalog(doc)
+    assert named == {"s1": (1, 72.0, 600.0)}
+    assert tree[0]["position"]["page"] == 1

@@ -22,6 +22,12 @@ CHECKED = [
     "priority_revenue",
     "exact_dedup",
     "knn_bruteforce",
+    # extraction views over the synthetic corpus (generator-as-oracle)
+    "extract_spans",
+    "span_kinds",
+    "pages",
+    "file_meta",
+    "cells",
 ]
 
 
@@ -61,4 +67,4 @@ def test_every_oracle_key_has_a_query():
 
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
     assert set(sqls) <= set(qs)
-    assert len(sqls) >= 18
+    assert len(sqls) >= 23
