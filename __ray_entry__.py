@@ -245,6 +245,22 @@ def _q_cells(sf_dir: str):
     )
 
 
+def _q_text_styles(sf_dir: str):
+    from libpdf_ray.config import SMART_CROP_CONFIG
+    from libpdf_ray.pipelines.extract import read_corpus
+    from libpdf_ray.stages.styles import text_styles_table
+
+    return text_styles_table(read_corpus(_query_corpus()), SMART_CROP_CONFIG)
+
+
+def _q_rect_styles(sf_dir: str):
+    from libpdf_ray.config import SMART_CROP_CONFIG
+    from libpdf_ray.pipelines.extract import read_corpus
+    from libpdf_ray.stages.styles import rect_styles_table
+
+    return rect_styles_table(read_corpus(_query_corpus()), SMART_CROP_CONFIG)
+
+
 def _q_distinct_sketch(sf_dir: str):
     import ray.data as rd
 
@@ -324,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages": _q_pages,
         "cells": _q_cells,
         "links": _q_links,
+        "text_styles": _q_text_styles,
+        "rect_styles": _q_rect_styles,
         "distinct_sketch": _q_distinct_sketch,
         "price_quantiles": _q_price_quantiles,
         "boilerplate": _q_boilerplate,

@@ -45,7 +45,9 @@ def _ensure_corpus() -> str:
     families = DEFAULT_FAMILIES + ("skew", "skew")
     # dir keyed by params: a stale corpus with different params must never
     # share a directory (read_parquet globs every shard in the dir)
-    out = f"{BENCH_CORPUS}_n{BENCH_DOCS}_k{BENCH_SKEW_PAGES}"
+    from libpdf_ray.schema import SCHEMA_VERSION
+
+    out = f"{BENCH_CORPUS}_v{SCHEMA_VERSION}_n{BENCH_DOCS}_k{BENCH_SKEW_PAGES}"
     return write_corpus(out, n_docs=BENCH_DOCS, seed=42, shards=16,
                         skew_pages=BENCH_SKEW_PAGES, families=families)
 
@@ -73,7 +75,10 @@ def run_benchmarks() -> dict:
 
     from libpdf_ray.config import SMART_CROP_CONFIG
     from libpdf_ray.ops import relational as R
-    from libpdf_ray.pipelines.extract import extract_spans, read_corpus
+    from libpdf_ray.pipelines.extract import (
+        extract_spans_fused,
+        read_corpus,
+    )
 
     # warm-up (untimed): spin up the full Python worker pool (worker
     # cold-start is ~2-5 s per process and would otherwise land inside the
@@ -92,9 +97,11 @@ def run_benchmarks() -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # headline: full extraction of the interleaved corpus
+    # headline: full extraction of the interleaved corpus (fused
+    # read+parse: one task per row-group fragment — only span outputs
+    # enter the object store; see extract_spans_fused docstring)
     def _extract():
-        ds = extract_spans(read_corpus(corpus), SMART_CROP_CONFIG)
+        ds = extract_spans_fused(corpus, SMART_CROP_CONFIG)
         return ds.count()
 
     n_docs = timed("extract", _extract)

@@ -1056,17 +1056,24 @@ def write_corpus(
     shards: int = 8,
     families=DEFAULT_FAMILIES,
     skew_pages: int = 40,
+    row_group_size: int = 24,
 ) -> str:
     """Write the corpus as ``shards`` parquet files (the resume/partition
     unit of the pipeline).  Idempotent for a given (n_docs, seed, shards,
-    SCHEMA_VERSION)."""
+    SCHEMA_VERSION).
+
+    Row groups are sized to the parse batch (24 docs): fragment-level
+    reads, predicate pushdown and read/parse fusion then all operate at
+    task granularity — a 1-row-group shard forces whole-file blocks and
+    measured ~20% slower end-to-end extraction."""
     os.makedirs(out_dir, exist_ok=True)
     import hashlib
 
     fam_tag = hashlib.md5(",".join(families).encode()).hexdigest()[:8]
     marker = os.path.join(
         out_dir,
-        f"_done_v{SCHEMA_VERSION}_n{n_docs}_s{seed}_p{shards}_k{skew_pages}_f{fam_tag}",
+        f"_done_v{SCHEMA_VERSION}_n{n_docs}_s{seed}_p{shards}_k{skew_pages}"
+        f"_f{fam_tag}_g{row_group_size}",
     )
     if os.path.exists(marker):
         return out_dir
@@ -1080,7 +1087,11 @@ def write_corpus(
             for i in range(lo, hi)
         ]
         table = pa.Table.from_pylist(rows, schema=RAW_DOC_SCHEMA)
-        pq.write_table(table, os.path.join(out_dir, f"part-{shard:04d}.parquet"))
+        pq.write_table(
+            table,
+            os.path.join(out_dir, f"part-{shard:04d}.parquet"),
+            row_group_size=row_group_size,
+        )
     with open(marker, "w") as fh:
         fh.write("ok")
     return out_dir

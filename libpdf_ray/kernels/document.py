@@ -71,9 +71,11 @@ from .regions import (
     table_inside_any_figure,
 )
 from .textmodel import (
+    assemble_lines_from_arrays,
     assemble_textbox_lines,
     is_whitespace_only,
     textbox_text,
+    textbox_word_dicts,
 )
 
 
@@ -160,10 +162,22 @@ def prepare_pages(
             ):
                 continue
         # the raw-layout step: y-center line grouping + word-margin word
-        # assembly + style lifting (utils.py:467-631)
-        t["lines"] = assemble_textbox_lines(
-            t, cfg.line_y_tolerance, cfg.word_margin
-        )
+        # assembly + style lifting (utils.py:467-631).  Array-backed
+        # textboxes (from the parse stage's flat Arrow decode) take the
+        # vectorized twin; dict-backed ones (unit tests, direct rows) the
+        # reference-shaped fold — identical output.
+        if t.get("wordtab") is not None or t.get("chartab") is not None:
+            is_chars = t.get("chartab") is not None
+            t["lines"] = assemble_lines_from_arrays(
+                t["chartab"] if is_chars else t["wordtab"],
+                is_chars,
+                cfg.line_y_tolerance,
+                cfg.word_margin,
+            )
+        else:
+            t["lines"] = assemble_textbox_lines(
+                t, cfg.line_y_tolerance, cfg.word_margin
+            )
         t["text"] = textbox_text(t)
         textboxes_by_page.setdefault(t["page"], []).append(t)
 
@@ -272,12 +286,13 @@ def prepare_pages(
             page_segs = segs_by_page.get(page_no)
             if not page_segs:
                 continue
-            # the page's word boxes (layout-assembled) for cell text crops
+            # the page's word boxes (layout-assembled) for cell text
+            # crops; word dicts materialize lazily here — only pages that
+            # actually carry table segments pay for them
             page_words = [
                 w
                 for tb in textboxes_by_page.get(page_no, [])
-                for ln in tb["lines"]
-                for w in ln["words"]
+                for w in textbox_word_dicts(tb)
                 if "x0" in w
             ]
             for grid in detect_table_grids(

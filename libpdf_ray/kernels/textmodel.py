@@ -175,6 +175,99 @@ def _legacy_line(line: dict) -> dict:
     }
 
 
+def assemble_lines_from_arrays(
+    wt: dict,
+    is_chars: bool,
+    y_tolerance: float = 0.5,
+    word_margin: float = 0.1,
+) -> list:
+    """Array-form layout assembly — the hot-path twin of
+    :func:`assemble_textbox_lines`.
+
+    ``wt`` is a word table: ``{"text": list[str], "x0"/"y0"/"x1"/"y1":
+    np.ndarray, "ncolor": list, "fontname": list}`` (decoded zero-copy-ish
+    from the Arrow batch, see stages.parse).  Produces the same line dicts,
+    but per-word dicts are NOT materialized for the word path — ``words``
+    is built lazily by :func:`line_word_dicts` (only table-bearing pages
+    need word boxes).  Identical grouping semantics: sort by (−y-center,
+    x0), break lines on |Δ y-center| ≥ tolerance."""
+    import numpy as np
+
+    n = len(wt["text"])
+    if n == 0:
+        return []
+    yc = (wt["y0"] + wt["y1"]) / 2.0
+    order = np.lexsort((wt["x0"], -yc))
+    yc_o = yc[order]
+    breaks = np.nonzero(np.abs(np.diff(yc_o)) >= y_tolerance)[0] + 1
+    bounds = [0, *breaks.tolist(), n]
+    texts = wt["text"]
+    ncolors = wt["ncolor"]
+    fonts = wt["fontname"]
+    lines = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        idx = order[a:b]
+        # within a line, order is strictly by x0 (grouping tolerance may
+        # have admitted slightly different y-centers)
+        idx = idx[np.argsort(wt["x0"][idx], kind="stable")]
+        if is_chars:
+            chars = [
+                {
+                    "text": texts[i],
+                    "x0": float(wt["x0"][i]),
+                    "y0": float(wt["y0"][i]),
+                    "x1": float(wt["x1"][i]),
+                    "y1": float(wt["y1"][i]),
+                    "ncolor": ncolors[i],
+                    "fontname": fonts[i],
+                }
+                for i in idx
+            ]
+            lines.append(_line_from_words(_chars_to_words(chars, word_margin)))
+            continue
+        line_texts = [texts[i] for i in idx]
+        ncolor = _uniform(_norm_color(ncolors[i]) for i in idx)
+        fontname = _uniform(fonts[i] or None for i in idx)
+        lines.append(
+            {
+                "text": " ".join(line_texts),
+                "ncolor": ncolor,
+                "fontname": fontname,
+                "_wt": wt,
+                "_idx": idx,
+            }
+        )
+    return lines
+
+
+def line_word_dicts(line: dict) -> list:
+    """Word dicts of an assembled line, materializing lazily for
+    array-backed lines (the ``_wt``/``_idx`` form)."""
+    if "words" in line:
+        return line["words"]
+    wt, idx = line["_wt"], line["_idx"]
+    words = [
+        {
+            "text": wt["text"][i],
+            "x0": float(wt["x0"][i]),
+            "y0": float(wt["y0"][i]),
+            "x1": float(wt["x1"][i]),
+            "y1": float(wt["y1"][i]),
+            "ncolor": _norm_color(wt["ncolor"][i]),
+            "fontname": wt["fontname"][i] or None,
+        }
+        for i in idx
+    ]
+    line["words"] = words
+    return words
+
+
+def textbox_word_dicts(textbox: dict) -> list:
+    """All word dicts of an assembled textbox (crop inputs for table
+    cells), lazy for array-backed lines."""
+    return [w for ln in textbox["lines"] for w in line_word_dicts(ln)]
+
+
 def hbox_from_lines(lines: list) -> dict:
     """Assembled line dicts → the full HorizontalBox model with box-level
     attribute lifting (horizontal_box.py:85-98)."""

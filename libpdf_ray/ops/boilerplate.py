@@ -41,7 +41,9 @@ def find_boilerplate_hashes(
     # without this, Ray re-executes the WHOLE upstream pipeline — including
     # the extraction that produced the spans — once per consumer
     spans_ds = spans_ds.materialize()
-    n_parts = shuffle_partitions()
+    # hash-key cardinality ≤ span rows (count is metadata-only after
+    # materialize)
+    n_parts = shuffle_partitions(est_keys=spans_ds.count())
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["kind"].isin(kinds) & (df["text"] != "")]

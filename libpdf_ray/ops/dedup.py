@@ -35,7 +35,8 @@ def add_content_hash(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFram
     return batch
 
 
-def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                      est_keys: int | None = None):
     """(content_hash, keep_id, n_copies) — keep_id is the min id per group.
 
     Shape: per-batch combiner (min-id + count per hash within the batch) →
@@ -45,7 +46,11 @@ def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     from .util import shuffle_partitions
 
-    n_parts = shuffle_partitions()
+    # est_keys (≈ distinct texts ≤ input rows) sizes the shuffle; callers
+    # with a parquet source pass metadata row counts (hash-aggregator
+    # startup scales with partitions — measured 19 s vs 2 s at 32-vs-2
+    # partitions on a 50k-row input)
+    n_parts = shuffle_partitions(est_keys=est_keys) if est_keys else shuffle_partitions()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = add_content_hash(df, text_col)
@@ -72,7 +77,8 @@ def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                est_keys: int | None = None):
     """Return the dataset with exact duplicates removed (keep min id).
 
     Bucketed co-group (see exact_dedup_stats): one vectorized
@@ -80,7 +86,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     from .util import shuffle_partitions
 
-    n_parts = shuffle_partitions()
+    n_parts = shuffle_partitions(est_keys=est_keys) if est_keys else shuffle_partitions()
 
     def hash_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = add_content_hash(df, text_col)
@@ -251,8 +257,11 @@ def minhash_lsh_pairs(
             }
         )
 
+    # bucket-key cardinality ≈ docs × bands (count on the materialized
+    # signature table is metadata-only)
     cands = exploded.groupby(
-        ["band", "band_hash"], num_partitions=shuffle_partitions()
+        ["band", "band_hash"],
+        num_partitions=shuffle_partitions(est_keys=sig_ds.count() * bands),
     ).map_groups(bucket_candidates, batch_format="pandas")
 
     cand_pd = cands.to_pandas()
@@ -450,7 +459,8 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
         )
 
     cands = bucketed.groupby(
-        ["table", "bucket"], num_partitions=shuffle_partitions()
+        ["table", "bucket"],
+        num_partitions=shuffle_partitions(est_keys=emb_ds.count() * n_tables),
     ).map_groups(bucket_candidates, batch_format="pandas")
 
     cand_pd = cands.to_pandas()

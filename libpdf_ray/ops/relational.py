@@ -684,9 +684,12 @@ def q_alpha_quality(sf_dir: str):
 
 def q_exact_dedup(sf_dir: str):
     from .dedup import exact_dedup_stats
+    from .util import parquet_row_count
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return exact_dedup_stats(ds)
+    return exact_dedup_stats(
+        ds, est_keys=parquet_row_count(f"{sf_dir}/documents.parquet")
+    )
 
 
 def q_knn(sf_dir: str, n_queries: int = 8, k: int = 5):

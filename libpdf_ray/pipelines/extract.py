@@ -93,6 +93,69 @@ def spans_table(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(explode_spans, batch_format="pyarrow")
 
 
+def list_fragments(paths) -> list:
+    """Parquet (file, row-group) fragment descriptors — the work units of
+    the fused read+parse path."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files = []
+    for p in paths:
+        if _os.path.isdir(p):
+            files.extend(sorted(_glob.glob(_os.path.join(p, "*.parquet"))))
+        else:
+            files.append(p)
+    items = []
+    for f in files:
+        for rg in range(_pq.ParquetFile(f).metadata.num_row_groups):
+            items.append({"path": f, "rg": rg})
+    return items
+
+
+def extract_spans_fused(paths, cfg: PipelineConfig | None = None):
+    """Read+parse FUSED into one task per parquet row group.
+
+    The separate ReadParquet → MapBatches plan ships every raw block
+    (word-struct payloads are the bulk of the bytes) through the object
+    store between the two operators; fusing the read into the parse task
+    reads each fragment locally and only the compact span output enters
+    the object store.  Measured on the 4200-doc bench corpus at 4 CPUs:
+    88.9 s (unfused, 1 row group/file) → 73.5 s (unfused, aligned row
+    groups) → 65.5 s fused, vs a 57.7 s no-Ray multiprocessing floor.
+
+    Trade-offs (why this is not the default API path): no reader-level
+    predicate pushdown or stats, and fragment granularity is fixed at the
+    corpus' row-group size — keep writing corpora with
+    ``row_group_size ≈ parse_batch_size`` (fixtures.write_corpus default).
+    Column pruning is preserved (``read_row_group(columns=...)``).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    cfg = cfg or PipelineConfig()
+    items = list_fragments(paths)
+
+    def read_and_parse(batch: pa.Table) -> pa.Table:
+        outs = []
+        for item in batch.to_pylist():
+            pf = _pq.ParquetFile(item["path"])
+            avail = set(pf.schema_arrow.names)
+            t = pf.read_row_group(
+                int(item["rg"]),
+                columns=[c for c in PARSE_COLUMNS if c in avail],
+            )
+            outs.append(parse_batch(t, cfg))
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        items, override_num_blocks=max(1, len(items))
+    ).map_batches(read_and_parse, batch_format="pyarrow", batch_size=1)
+
+
 def extract_spans_skew_aware(
     paths,
     cfg: PipelineConfig | None = None,

@@ -87,3 +87,31 @@ def test_feature_toggles():
     doc = build_document(1, "outlined")
     spans = extract_document(doc, PipelineConfig(no_chapters=True, smart_page_crop=True))
     assert all(s["kind"] != "chapter" for s in spans)
+
+
+def test_fused_extract_matches_unfused(ray_session, small_corpus_dir):
+    """extract_spans_fused (read+parse in one task per row group) must be
+    span-identical to the two-operator path."""
+    import pandas as pd
+
+    from libpdf_ray.config import SMART_CROP_CONFIG
+    from libpdf_ray.pipelines.extract import (
+        extract_spans,
+        extract_spans_fused,
+        read_corpus,
+        spans_table,
+    )
+
+    a = (
+        spans_table(extract_spans(read_corpus(small_corpus_dir), SMART_CROP_CONFIG))
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    b = (
+        spans_table(extract_spans_fused(small_corpus_dir, SMART_CROP_CONFIG))
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -36,9 +36,12 @@ def test_shuffle_partitions_scales_with_bytes():
     assert one_tb == 128  # capped at 2 * cpus
 
 
-def test_shuffle_partitions_no_estimate_defaults_to_cluster():
+def test_shuffle_partitions_no_estimate_compute_floor():
+    # cpus/4 floor: map_groups compute parallelizes by partition, but each
+    # hash partition costs an aggregator actor
     assert shuffle_partitions(cpus=4) == 4
-    assert shuffle_partitions(cpus=32) == 32
+    assert shuffle_partitions(cpus=32) == 8
+    assert shuffle_partitions(cpus=2048) == 512
 
 
 @pytest.mark.parametrize(
