@@ -191,6 +191,46 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, {"ids": ids, "matrix": mat}, centroids, k=5, n_probe=4)
 
 
+def _q_knn_ivf_partitioned(sf_dir: str):
+    """Cell-partitioned ANN: probing prunes the read (hive partition dirs),
+    not just compute — the 10^12-row shape of IVF."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from libpdf_ray.ops.similarity import (
+        ivf_build_index,
+        ivf_fit_centroids,
+        knn_ivf_partitioned,
+    )
+
+    src = f"{sf_dir}/embeddings.parquet"
+    ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    centroids = ivf_fit_centroids(ds, n_cells=16)
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    index_dir = f"/tmp/libpdf_ray_ivf_{tag}"
+    marker = os.path.join(index_dir, "_built")
+    if not os.path.exists(marker):
+        ivf_build_index(
+            rd.read_parquet(src, columns=["vec_id", "embedding"]),
+            centroids,
+            index_dir,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()[:8]
+    mat = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()[:8]]
+    )
+    return knn_ivf_partitioned(
+        index_dir, {"ids": ids, "matrix": mat}, centroids, k=5, n_probe=4
+    )
+
+
 def _q_elements(sf_dir: str):
     from libpdf_ray.config import SMART_CROP_CONFIG
     from libpdf_ray.pipelines.extract import read_corpus
@@ -334,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "text_spans": _q_text_spans,
         "elements": _q_elements,
         "file_meta": _q_file_meta,
@@ -388,6 +429,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cells": f"""
             SELECT doc_id, unnest(expected_cells, recursive := true)
+            FROM read_parquet('{corpus}')
+        """,
+        "links": f"""
+            SELECT doc_id, unnest(expected_links, recursive := true)
             FROM read_parquet('{corpus}')
         """,
         "pricing_summary": """

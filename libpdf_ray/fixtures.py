@@ -169,6 +169,7 @@ class FlowBuilder:
         self.named_dests: list = []  # {name,page,x,y}
         self.expected: list = []
         self.expected_cells: list = []
+        self.expected_links: list = []
         self._fig_counter: dict = {}
         self._table_counter = 0
 
@@ -414,6 +415,21 @@ class FlowBuilder:
                     )
         return page_no
 
+    def expect_link(self, source_uid, source_kind, idx_start, idx_stop,
+                    anchor, target, row=0, col=0):
+        self.expected_links.append(
+            {
+                "source_uid": source_uid,
+                "source_kind": source_kind,
+                "row": row,
+                "col": col,
+                "idx_start": idx_start,
+                "idx_stop": idx_stop,
+                "anchor": anchor,
+                "target": target,
+            }
+        )
+
     # --- assembly ---
     def _outline_nodes(self) -> tuple:
         """Flat path-ordered entries → First/Next linked node encoding."""
@@ -503,6 +519,7 @@ class FlowBuilder:
                 {**sp, "offset": i} for i, sp in enumerate(self.expected)
             ],
             "expected_cells": self.expected_cells,
+            "expected_links": self.expected_links,
         }
 
 
@@ -812,6 +829,13 @@ def _fam_linked(b: FlowBuilder, rng):
         b.expected[4],  # ch2
         b.expected[5],  # trailing paragraph
     ]
+    # links view oracle: paragraphs A/B/C are chapter.1's 1st-3rd paragraphs
+    b.expect_link("chapter.1/paragraph.1", "paragraph", s, e,
+                  line_a[s:e], "chapter.2")
+    b.expect_link("chapter.1/paragraph.2", "paragraph", 0, e_b,
+                  line_b[0:e_b], "chapter.2")
+    b.expect_link("chapter.1/paragraph.3", "paragraph", 0, 5,
+                  line_c[0:5], f"page.{h2_page}/560.0:400.0")
 
 
 def _fam_twocolumn(b: FlowBuilder, rng):
@@ -889,6 +913,11 @@ def _fam_tablelinks(b: FlowBuilder, rng):
     )
     b.span("figure", caption, b.next_figure_ref(page_no))
     b.add_par()
+    # links view oracle: the table/figure sit inside chapter 1 (content
+    # order: paragraph, table, figure, trailing paragraph)
+    b.expect_link("chapter.1/table.1", "cell", 0, len(first_word),
+                  first_word, "chapter.1", row=1, col=2)
+    b.expect_link("chapter.1/figure.1", "figure", 0, 4, caption[0:4], "")
 
 
 def _fam_colors(b: FlowBuilder, rng):

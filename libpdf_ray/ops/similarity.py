@@ -139,6 +139,69 @@ def ivf_fit_centroids(ds, n_cells: int = 16, sample_rows: int = 2048,
     return centroids
 
 
+def ivf_build_index(ds, centroids: np.ndarray, out_dir: str,
+                    id_col: str = "vec_id") -> str:
+    """Write the corpus as CELL-PARTITIONED parquet (hive layout
+    ``ivf_cell=<n>/``) so that probing prunes **I/O**, not just compute.
+
+    At 10^12 rows the in-stream filter of :func:`knn_ivf` still scans and
+    assigns every vector per query set; with this index a query set reads
+    only ``n_probe / n_cells`` of the bytes from storage
+    (:func:`knn_ivf_partitioned`).  Build cost is one full pass + one
+    partitioned write — amortized over every subsequent query set."""
+    import ray
+
+    centroids_ref = ray.put(centroids)
+    assigned = ds.map_batches(
+        _IVFAssign,
+        fn_constructor_kwargs={"centroids_ref": centroids_ref},
+        batch_format="pandas",
+        concurrency=4,
+        num_cpus=0.5,
+    )
+
+    def arrow_safe(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas holds list<float> cells as numpy arrays, which the Arrow
+        # write path cannot re-infer — re-wrap as plain lists
+        df = df.copy()
+        df["embedding"] = [list(map(float, e)) for e in df["embedding"]]
+        return df
+
+    assigned.map_batches(arrow_safe, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["ivf_cell"]
+    )
+    return out_dir
+
+
+def knn_ivf_partitioned(index_dir: str, queries: dict, centroids: np.ndarray,
+                        k: int = 5, n_probe: int = 4, id_col: str = "vec_id",
+                        exclude_self: bool = True):
+    """Approximate top-k over a cell-partitioned index: reads ONLY the
+    probed cells' files (partition pruning at the read — the scale path the
+    in-stream :func:`knn_ivf` cannot offer)."""
+    import os
+
+    import ray.data as rd
+
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qm = np.asarray(queries["matrix"], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]
+    probed_cells = sorted({int(c) for row in probe for c in row})
+    import glob
+
+    paths = [
+        f
+        for c in probed_cells
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, f"ivf_cell={c}", "*.parquet"))
+        )
+    ]
+    subset = rd.read_parquet(paths, columns=[id_col, "embedding"])
+    return knn_bruteforce(subset, queries, k=k, id_col=id_col,
+                          exclude_self=exclude_self)
+
+
 def knn_ivf(ds, queries: dict, centroids: np.ndarray, k: int = 5,
             n_probe: int = 4, id_col: str = "vec_id", exclude_self: bool = True):
     """Approximate top-k: assign cells, then brute-force only the probed

@@ -38,7 +38,7 @@ import pyarrow as pa
 
 #: bump when the sidecar layout changes — cache markers and corpus dirs
 #: embed this so stale fixture caches are never reused across rounds
-SCHEMA_VERSION = 2
+SCHEMA_VERSION = 3
 
 SPAN_STRUCT = pa.struct(
     [
@@ -70,6 +70,19 @@ WORD_STRUCT = pa.struct(
         ("y1", pa.float64()),
         ("ncolor", pa.list_(pa.float64())),
         ("fontname", pa.string()),
+    ]
+)
+
+EXPECTED_LINK_STRUCT = pa.struct(
+    [
+        ("source_uid", pa.string()),
+        ("source_kind", pa.string()),
+        ("row", pa.int32()),
+        ("col", pa.int32()),
+        ("idx_start", pa.int32()),
+        ("idx_stop", pa.int32()),
+        ("anchor", pa.string()),
+        ("target", pa.string()),
     ]
 )
 
@@ -249,5 +262,6 @@ RAW_DOC_SCHEMA = pa.schema(
         ),
         ("expected_spans", SPANS_TYPE),
         ("expected_cells", pa.list_(EXPECTED_CELL_STRUCT)),
+        ("expected_links", pa.list_(EXPECTED_LINK_STRUCT)),
     ]
 )

@@ -277,3 +277,47 @@ class TestNearDupRecall:
         a = out[out["doc_id"] == 1].sort_values("band")["band_hash"].to_numpy()
         b = out[out["doc_id"] == 2].sort_values("band")["band_hash"].to_numpy()
         assert (a == b).all()
+
+
+class TestIVFPartitioned:
+    def test_partitioned_index_matches_instream_ivf(self, ray_session, tmp_path):
+        """Cell-partitioned index: probing prunes the READ (hive partition
+        dirs), and results equal the in-stream IVF filter with the same
+        centroids/probe."""
+        import os
+
+        import ray.data as rd
+
+        from libpdf_ray.ops.similarity import (
+            ivf_build_index,
+            ivf_fit_centroids,
+            knn_ivf,
+            knn_ivf_partitioned,
+        )
+
+        rng = np.random.default_rng(5)
+        mat = rng.standard_normal((200, 32))
+        rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(200)]
+        ds = rd.from_items(rows)
+        centroids = ivf_fit_centroids(ds, n_cells=8, sample_rows=200)
+        queries = {"ids": [0, 1, 2], "matrix": mat[:3]}
+
+        index_dir = str(tmp_path / "ivf_index")
+        ivf_build_index(rd.from_items(rows), centroids, index_dir)
+        # hive layout: one dir per populated cell
+        cells = [d for d in os.listdir(index_dir) if d.startswith("ivf_cell=")]
+        assert 1 < len(cells) <= 8
+
+        a = (
+            knn_ivf_partitioned(index_dir, queries, centroids, k=5, n_probe=3)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        b = (
+            knn_ivf(rd.from_items(rows), queries, centroids, k=5, n_probe=3)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        # recall sanity: with 3/8 cells probed the true top-1 is usually kept
+        assert len(a) == 15

@@ -28,6 +28,7 @@ CHECKED = [
     "pages",
     "file_meta",
     "cells",
+    "links",
 ]
 
 
@@ -67,4 +68,4 @@ def test_every_oracle_key_has_a_query():
 
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
     assert set(sqls) <= set(qs)
-    assert len(sqls) >= 23
+    assert len(sqls) >= 24
