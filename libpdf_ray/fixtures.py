@@ -74,6 +74,7 @@ DEFAULT_FAMILIES = (
     "skew",
     "rawchars",
     "actionoutline",
+    "rawpage",
 )
 
 
@@ -1016,6 +1017,40 @@ def _fam_actionoutline(b: FlowBuilder, rng):
     b.add_par()
 
 
+def _fam_rawpage(b: FlowBuilder, rng):
+    """The RAWEST layout form: one UNGROUPED word soup for the whole page —
+    the engine must perform pdfminer's group_textlines step (line_margin
+    clustering of lines into textboxes, libpdf/textbox.py:934-977 +
+    parameters.py:220-228) before any element extraction, then match the
+    heading and render paragraphs as usual."""
+    t1 = _title(rng)
+    page_no, y1h, _ = b.reserve(LINE_H)
+    display = f"1 {t1}"
+    soup = list(_line_words(display, MARGIN_X, y1h))
+    b.add_outline_entry("1", display, page_no, MARGIN_X, y1h)
+    b.span("chapter", display)
+    for _ in range(3):
+        lines = [_body_line(rng) for _ in range(1 + int(rng.integers(0, 3)))]
+        page_no2, y1p, _ = b.reserve(len(lines) * LINE_H)
+        assert page_no2 == page_no, "rawpage fixture must fit one page"
+        for i, ln in enumerate(lines):
+            soup.extend(_line_words(ln, MARGIN_X, y1p - i * LINE_H))
+        b.span("paragraph", "\n".join(lines))
+    rng.shuffle(soup)
+    b.textboxes.append(
+        {
+            "page": page_no,
+            "x0": min(w["x0"] for w in soup),
+            "y0": min(w["y0"] for w in soup),
+            "x1": max(w["x1"] for w in soup),
+            "y1": max(w["y1"] for w in soup),
+            "words": soup,
+            "chars": None,
+            "ungrouped": True,
+        }
+    )
+
+
 def _fam_skew(b: FlowBuilder, rng, n_pages: int = 40):
     # the skew tail of the north rule: a long outlined manual (chapters on
     # every page — the realistic shape; fuzzy chapter matching is the
@@ -1047,6 +1082,7 @@ FAMILY_BUILDERS = {
     "tablelinks": _fam_tablelinks,
     "rawchars": _fam_rawchars,
     "actionoutline": _fam_actionoutline,
+    "rawpage": _fam_rawpage,
 }
 
 

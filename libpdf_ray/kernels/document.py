@@ -73,6 +73,7 @@ from .regions import (
 from .textmodel import (
     assemble_lines_from_arrays,
     assemble_textbox_lines,
+    group_lines_into_boxes,
     is_whitespace_only,
     textbox_text,
     textbox_word_dicts,
@@ -178,6 +179,15 @@ def prepare_pages(
             t["lines"] = assemble_textbox_lines(
                 t, cfg.line_y_tolerance, cfg.word_margin
             )
+        if t.get("ungrouped"):
+            # the rawest form: an ungrouped page region — run pdfminer's
+            # missing step and cluster the lines into textboxes
+            # (group_textlines semantics, textbox.py:934-977)
+            for box in group_lines_into_boxes(t["lines"], cfg.line_margin):
+                sub = {"page": t["page"], **box}
+                sub["text"] = textbox_text(sub)
+                textboxes_by_page.setdefault(t["page"], []).append(sub)
+            continue
         t["text"] = textbox_text(t)
         textboxes_by_page.setdefault(t["page"], []).append(t)
 

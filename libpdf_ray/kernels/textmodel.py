@@ -111,13 +111,20 @@ def _make_word(chars: list) -> dict:
 
 
 def _line_from_words(words: list) -> dict:
-    """x-sorted word dicts → line dict with lifted attributes."""
-    return {
+    """x-sorted word dicts → line dict with lifted attributes (+ bbox when
+    the words carry geometry — needed by textbox grouping)."""
+    line = {
         "text": " ".join(w["text"] for w in words),
         "ncolor": _uniform(w["ncolor"] for w in words),
         "fontname": _uniform(w["fontname"] for w in words),
         "words": words,
     }
+    if words and "x0" in words[0]:
+        line["x0"] = min(w["x0"] for w in words)
+        line["y0"] = min(w["y0"] for w in words)
+        line["x1"] = max(w["x1"] for w in words)
+        line["y1"] = max(w["y1"] for w in words)
+    return line
 
 
 def assemble_textbox_lines(
@@ -233,6 +240,10 @@ def assemble_lines_from_arrays(
                 "text": " ".join(line_texts),
                 "ncolor": ncolor,
                 "fontname": fontname,
+                "x0": float(wt["x0"][idx].min()),
+                "y0": float(wt["y0"][idx].min()),
+                "x1": float(wt["x1"][idx].max()),
+                "y1": float(wt["y1"][idx].max()),
                 "_wt": wt,
                 "_idx": idx,
             }
@@ -266,6 +277,44 @@ def textbox_word_dicts(textbox: dict) -> list:
     """All word dicts of an assembled textbox (crop inputs for table
     cells), lazy for array-backed lines."""
     return [w for ln in textbox["lines"] for w in line_word_dicts(ln)]
+
+
+def group_lines_into_boxes(lines: list, line_margin: float = 0.4) -> list:
+    """Cluster assembled lines into textboxes — pdfminer's
+    ``group_textlines`` semantics over an UNGROUPED page region: a line
+    joins the current box when the vertical gap to the previous line is
+    smaller than ``line_margin ×`` the line height (LA_PARAMS
+    line_margin=0.4, /root/reference/libpdf/parameters.py:220-228; the
+    layout-analysis step the reference delegates to pdfminer,
+    libpdf/textbox.py:934-977).
+
+    ``lines`` must carry bboxes (assembled from word/char geometry) and be
+    in top-to-bottom order.  Returns textbox dicts
+    ``{"x0","y0","x1","y1","lines"}``."""
+    boxes = []
+    cur: list = []
+    prev = None
+    for ln in lines:
+        if prev is not None:
+            gap = prev["y0"] - ln["y1"]
+            height = max(ln["y1"] - ln["y0"], prev["y1"] - prev["y0"])
+            if gap >= line_margin * height:
+                boxes.append(cur)
+                cur = []
+        cur.append(ln)
+        prev = ln
+    if cur:
+        boxes.append(cur)
+    return [
+        {
+            "x0": min(ln["x0"] for ln in box),
+            "y0": min(ln["y0"] for ln in box),
+            "x1": max(ln["x1"] for ln in box),
+            "y1": max(ln["y1"] for ln in box),
+            "lines": box,
+        }
+        for box in boxes
+    ]
 
 
 def hbox_from_lines(lines: list) -> dict:

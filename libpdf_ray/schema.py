@@ -38,7 +38,7 @@ import pyarrow as pa
 
 #: bump when the sidecar layout changes — cache markers and corpus dirs
 #: embed this so stale fixture caches are never reused across rounds
-SCHEMA_VERSION = 3
+SCHEMA_VERSION = 4
 
 SPAN_STRUCT = pa.struct(
     [
@@ -144,6 +144,11 @@ RAW_DOC_SCHEMA = pa.schema(
                         # order from geometry (generator shuffles them)
                         ("words", pa.list_(WORD_STRUCT)),
                         ("chars", pa.list_(WORD_STRUCT)),
+                        # True → the runs are an UNGROUPED page region:
+                        # the engine must also cluster the assembled lines
+                        # into textboxes (pdfminer group_textlines,
+                        # line_margin semantics)
+                        ("ungrouped", pa.bool_()),
                     ]
                 )
             ),

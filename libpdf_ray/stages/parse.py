@@ -77,6 +77,10 @@ def _decode_textboxes(col) -> list:
     by0 = flat.field("y0").to_numpy(zero_copy_only=False)
     bx1 = flat.field("x1").to_numpy(zero_copy_only=False)
     by1 = flat.field("y1").to_numpy(zero_copy_only=False)
+    try:
+        ungrouped = flat.field("ungrouped").to_pylist()
+    except KeyError:
+        ungrouped = [None] * len(page)
     w_cum, w_tab = _decode_word_runs(flat.field("words"))
     c_cum, c_tab = _decode_word_runs(flat.field("chars"))
 
@@ -96,6 +100,7 @@ def _decode_textboxes(col) -> list:
                     "y0": float(by0[j]),
                     "x1": float(bx1[j]),
                     "y1": float(by1[j]),
+                    "ungrouped": bool(ungrouped[j]) if ungrouped[j] else False,
                     "wordtab": slice_tab(w_tab, w_cum[j], w_cum[j + 1]),
                     "chartab": slice_tab(c_tab, c_cum[j], c_cum[j + 1]),
                 }

@@ -209,3 +209,49 @@ def test_resolve_catalog_end_to_end():
     tree, named = resolve_catalog(doc)
     assert named == {"s1": (1, 72.0, 600.0)}
     assert tree[0]["position"]["page"] == 1
+
+
+class TestTextboxGrouping:
+    """pdfminer group_textlines semantics (the reference's LA step,
+    textbox.py:934-977, LA_PARAMS line_margin=0.4)."""
+
+    def _lines(self, *y1s, h=12.0):
+        return [
+            {"text": f"line{i}", "ncolor": None, "fontname": None,
+             "x0": 72.0, "y0": y1 - h, "x1": 172.0, "y1": y1, "words": []}
+            for i, y1 in enumerate(y1s)
+        ]
+
+    def test_adjacent_lines_group(self):
+        from libpdf_ray.kernels.textmodel import group_lines_into_boxes
+
+        # gap 0 between consecutive 12pt lines → one box
+        boxes = group_lines_into_boxes(self._lines(600.0, 588.0, 576.0))
+        assert len(boxes) == 1
+        assert [ln["text"] for ln in boxes[0]["lines"]] == ["line0", "line1", "line2"]
+        assert boxes[0]["y1"] == 600.0 and boxes[0]["y0"] == 564.0
+
+    def test_gap_above_margin_splits(self):
+        from libpdf_ray.kernels.textmodel import group_lines_into_boxes
+
+        # gap 10pt > 0.4 × 12 = 4.8 → split
+        boxes = group_lines_into_boxes(self._lines(600.0, 588.0, 566.0))
+        assert [len(b["lines"]) for b in boxes] == [2, 1]
+
+    def test_gap_below_margin_joins(self):
+        from libpdf_ray.kernels.textmodel import group_lines_into_boxes
+
+        # gap 4pt < 4.8 → same box
+        boxes = group_lines_into_boxes(self._lines(600.0, 584.0))
+        assert len(boxes) == 1
+
+    def test_rawpage_family_end_to_end(self):
+        from libpdf_ray.config import SMART_CROP_CONFIG
+        from libpdf_ray.fixtures import build_document
+        from libpdf_ray.kernels.document import extract_document
+
+        for i in (14, 28, 42):
+            doc = build_document(i, "rawpage")
+            assert len(doc["textboxes"]) == 1  # one soup in the sidecar
+            assert doc["textboxes"][0]["ungrouped"] is True
+            assert extract_document(doc, SMART_CROP_CONFIG) == doc["expected_spans"]
