@@ -226,6 +226,7 @@ def prepare_pages(
                                 annos_by_page[page_no],
                                 cfg.anno_x_tolerance,
                                 cfg.anno_y_tolerance,
+                                lines=tb["lines"],
                             )
                         )
                 figures.append(
@@ -337,6 +338,7 @@ def prepare_pages(
                         cell["links"] = extract_links_for_textbox(
                             cell_tb, page_annos,
                             cfg.anno_x_tolerance, cfg.anno_y_tolerance,
+                            lines=cell.get("tb_lines"),
                         )
                 else:
                     for cell in table["cells"]:
@@ -447,6 +449,7 @@ def prepare_pages(
                         annos_by_page.get(page_no, []),
                         cfg.anno_x_tolerance,
                         cfg.anno_y_tolerance,
+                        lines=tb["lines"],
                     )
                     if annos_by_page
                     else []

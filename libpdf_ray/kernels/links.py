@@ -37,11 +37,50 @@ def line_char_offsets(lines: list) -> list:
     return offsets
 
 
+def _char_centers_from_lines(lines: list) -> list:
+    """(char_index, cx, cy) for every glyph of an assembled textbox, from
+    REAL word geometry: char centers interpolate the word bbox at uniform
+    pitch (the per-char boxes a true char stream carries; word-accurate
+    for fixed-pitch runs).  Char indices follow the ``' '``/``'\\n'`` join
+    convention of the box text."""
+    from .textmodel import line_word_dicts
+
+    centers = []
+    offset = 0
+    for line in lines:
+        pos = offset
+        words = line_word_dicts(line)
+        for k, w in enumerate(words):
+            if "x0" not in w:
+                return []  # no geometry (legacy line structs)
+            n = max(len(w["text"]), 1)
+            pitch = (w["x1"] - w["x0"]) / n
+            cy = (w["y0"] + w["y1"]) / 2.0
+            for j in range(len(w["text"])):
+                centers.append(
+                    (pos + j, w["x0"] + (j + 0.5) * pitch, cy)
+                )
+            pos += len(w["text"])
+            if k + 1 < len(words):
+                # the joining space: a position-less LTAnno in the
+                # reference; give it the midpoint between the words so
+                # an anno rect that spans the gap includes it
+                # (first_last_char_in_anno_marker LTAnno attachment,
+                # textbox.py:767-795)
+                centers.append(
+                    (pos, (w["x1"] + words[k + 1]["x0"]) / 2.0, cy)
+                )
+            pos += 1  # space / newline slot
+        offset += len(line["text"]) + 1
+    return centers
+
+
 def extract_links_for_textbox(
     textbox: dict,
     annotations: list,
     anno_x_tolerance: float = 3.0,
     anno_y_tolerance: float = 3.0,
+    lines: list | None = None,
 ) -> list:
     """Intersect one textbox with the page's annotation rects.
 
@@ -53,17 +92,19 @@ def extract_links_for_textbox(
 
     A char belongs to an annotation when its center falls inside the rect
     expanded by the x/y tolerances (the observable effect of the
-    first/last-char marking in libpdf/textbox.py:737-795).
+    first/last-char marking in libpdf/textbox.py:737-795).  When assembled
+    ``lines`` with word geometry are supplied, char centers come from the
+    REAL word boxes (annos_scanner over the glyph stream, textbox.py:
+    670-795 — M16/M17); the fixed-pitch grid model is only the fallback
+    for legacy corpora without geometry.
     """
-    lines = textbox["text"].split("\n")
-    offsets = line_char_offsets(lines)
-    links = []
+    # quick reject before materializing any word geometry
+    live = []
     for anno in annotations:
         ax0 = float(anno["x0"]) - anno_x_tolerance
         ax1 = float(anno["x1"]) + anno_x_tolerance
         ay0 = float(anno["y0"]) - anno_y_tolerance
         ay1 = float(anno["y1"]) + anno_y_tolerance
-        # quick reject: no overlap with the textbox at all
         if (
             ax1 <= textbox["x0"]
             or ax0 >= textbox["x1"]
@@ -71,21 +112,33 @@ def extract_links_for_textbox(
             or ay0 >= textbox["y1"]
         ):
             continue
+        live.append((anno, ax0, ay0, ax1, ay1))
+    if not live:
+        return []
+
+    centers = _char_centers_from_lines(lines) if lines else []
+    if not centers:
+        # grid fallback (legacy corpora without word geometry)
+        text_lines = textbox["text"].split("\n")
+        offsets = line_char_offsets(text_lines)
+        for i, line in enumerate(text_lines):
+            cy = textbox["y1"] - (i + 0.5) * LINE_H
+            for j in range(len(line)):
+                centers.append(
+                    (offsets[i] + j, textbox["x0"] + (j + 0.5) * CHAR_W, cy)
+                )
+
+    text = textbox["text"]
+    links = []
+    for anno, ax0, ay0, ax1, ay1 in live:
         start = None
         stop = None
-        for i, line in enumerate(lines):
-            cy = textbox["y1"] - (i + 0.5) * LINE_H
-            if not (ay0 <= cy <= ay1):
-                continue
-            for j in range(len(line)):
-                cx = textbox["x0"] + (j + 0.5) * CHAR_W
-                if ax0 <= cx <= ax1:
-                    idx = offsets[i] + j
-                    if start is None:
-                        start = idx
-                    stop = idx + 1
+        for idx, cx, cy in centers:
+            if ax0 <= cx <= ax1 and ay0 <= cy <= ay1:
+                if start is None:
+                    start = idx
+                stop = idx + 1
         if start is not None:
-            text = textbox["text"]
             links.append(
                 {
                     "idx_start": start,

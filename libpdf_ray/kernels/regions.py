@@ -347,7 +347,9 @@ def table_from_grid(grid: dict, page_words: list, cfg) -> dict:
             if inside
             else None
         )
-        cells_out.append({**cell, "text": text, "tb_bbox": tb_bbox})
+        cells_out.append(
+            {**cell, "text": text, "tb_bbox": tb_bbox, "tb_lines": lines}
+        )
     rows_texts = [
         [texts.get((r + 1, c + 1), "") for c in range(grid["n_cols"])]
         for r in range(grid["n_rows"])
