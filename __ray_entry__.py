@@ -20,8 +20,6 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-# versioned by sidecar schema so a stale round-1 cache is never reused
-_QUERY_CORPUS = "/tmp/libpdf_ray_qcorpus_v2"
 _QUERY_CORPUS_DOCS = 96
 
 
@@ -33,8 +31,11 @@ def _query_corpus() -> str:
     side-by-side check becomes a REAL hash-checked span/cell/meta parity
     gate rather than rows-only."""
     from libpdf_ray.fixtures import write_corpus
+    from libpdf_ray.schema import SCHEMA_VERSION
 
-    return write_corpus(_QUERY_CORPUS, n_docs=_QUERY_CORPUS_DOCS, seed=42,
+    # dir versioned by sidecar schema so a stale cache is never reused
+    out = f"/tmp/libpdf_ray_qcorpus_v{SCHEMA_VERSION}"
+    return write_corpus(out, n_docs=_QUERY_CORPUS_DOCS, seed=42,
                         shards=8, skew_pages=12)
 
 

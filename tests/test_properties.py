@@ -88,3 +88,133 @@ def test_hbox_roundtrip(lines):
         # that IS the reference convention; words never contain spaces
         assert all(" " not in w["text"] and w["text"] != "" for w in out["words"])
     assert hbox["text"] == "\n".join(" ".join(w for w in ln.split(" ") if w) for ln in lines)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_assembly_recovers_any_word_layout(data):
+    """For ANY set of grid-laid-out lines, shuffling the word boxes and
+    re-assembling recovers the exact line texts and order."""
+    import random
+
+    n_lines = data.draw(st.integers(min_value=1, max_value=6))
+    texts = [
+        " ".join(
+            data.draw(
+                st.lists(
+                    st.text(alphabet="abcdefgh", min_size=1, max_size=7),
+                    min_size=1,
+                    max_size=5,
+                )
+            )
+        )
+        for _ in range(n_lines)
+    ]
+    from libpdf_ray.kernels.textmodel import assemble_textbox_lines
+
+    words = []
+    y1 = 600.0
+    for ln in texts:
+        off = 0
+        for w in ln.split(" "):
+            words.append(
+                {
+                    "text": w,
+                    "x0": 72.0 + off * 6.0,
+                    "y0": y1 - 12.0,
+                    "x1": 72.0 + (off + len(w)) * 6.0,
+                    "y1": y1,
+                    "ncolor": None,
+                    "fontname": None,
+                }
+            )
+            off += len(w) + 1
+        y1 -= 12.0
+    rnd = random.Random(data.draw(st.integers(0, 10**6)))
+    rnd.shuffle(words)
+    lines = assemble_textbox_lines({"words": words})
+    assert [ln["text"] for ln in lines] == texts
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_rows=st.integers(min_value=1, max_value=5),
+    n_cols=st.integers(min_value=1, max_value=5),
+    jitter_seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_grid_detection_recovers_any_grid(n_rows, n_cols, jitter_seed):
+    """Any full grid with sub-snap jitter is detected with the exact
+    row/col structure and a full anchor set."""
+    import numpy as np
+
+    from libpdf_ray.kernels.regions import detect_table_grids
+
+    rng = np.random.default_rng(jitter_seed)
+    row_edges = [600.0 - 25.0 * r for r in range(n_rows + 1)]
+    col_edges = [72.0 + 60.0 * c for c in range(n_cols + 1)]
+    segs = []
+    for y in row_edges:
+        segs.append({"page": 1, "x0": col_edges[0] + rng.uniform(-1, 1),
+                     "y0": y + rng.uniform(-1, 1), "x1": col_edges[-1],
+                     "y1": y + rng.uniform(-1, 1)})
+    for x in col_edges:
+        segs.append({"page": 1, "x0": x + rng.uniform(-1, 1),
+                     "y0": row_edges[-1], "x1": x + rng.uniform(-1, 1),
+                     "y1": row_edges[0] + rng.uniform(-1, 1)})
+    grids = detect_table_grids(segs)
+    assert len(grids) == 1
+    g = grids[0]
+    assert (g["n_rows"], g["n_cols"]) == (n_rows, n_cols)
+    assert len(g["cells"]) == n_rows * n_cols
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_outline_walk_preorder_paths(data):
+    """Random outline forests encoded as First/Next nodes walk back to
+    pre-order positional paths."""
+    from libpdf_ray.kernels.catalog import walk_outline
+
+    # draw a small forest as nested lists of child counts
+    def draw_forest(depth):
+        n = data.draw(st.integers(min_value=0 if depth else 1, max_value=3))
+        return [draw_forest(depth + 1) if depth < 2 else [] for _ in range(n)]
+
+    forest = draw_forest(0)
+    nodes = []
+
+    def encode(children, ids):
+        first_id = None
+        prev = None
+        for sub in children:
+            nid = len(nodes)
+            nodes.append(
+                {"node_id": nid, "first": -1, "next": -1,
+                 "title": f"t{nid}", "dest_kind": "explicit",
+                 "dest_page": 1, "dest_x": 72.0, "dest_y": 600.0,
+                 "dest_name": ""}
+            )
+            if prev is not None:
+                nodes[prev]["next"] = nid
+            if first_id is None:
+                first_id = nid
+            prev = nid
+            child_first = encode(sub, ids)
+            if child_first is not None:
+                nodes[nid]["first"] = child_first
+        return first_id
+
+    root = encode(forest, [])
+    tree = walk_outline(nodes, root if root is not None else -1, {})
+
+    def check(nodes_out, prefix):
+        for i, n in enumerate(nodes_out):
+            assert n["path"] == f"{prefix}{i + 1}"
+            check(n["content"], f"{n['path']}.")
+
+    check(tree, "")
+    # every node emitted exactly once
+    def count(ns):
+        return len(ns) + sum(count(n["content"]) for n in ns)
+
+    assert count(tree) == len(nodes)
