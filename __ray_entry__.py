@@ -40,13 +40,25 @@ def _query_corpus() -> str:
 
 
 def entry() -> Any:
-    """Flagship: sf0.001 documents → span-shaped corpus with metadata."""
+    """Flagship: BOTH ends of the north rule in one span corpus —
+    plain-text documents segmented into paragraph spans (the
+    main-content/boilerplate path) unioned with the full raw-layout
+    extraction of the synthetic interleaved corpus (words/chars →
+    lines → chapters/paragraphs/tables/figures/rects/links), via the
+    fused read+parse path."""
+    from libpdf_ray.config import SMART_CROP_CONFIG
     from libpdf_ray.ops.util import tune_data_context
+    from libpdf_ray.pipelines.extract import extract_spans_fused
     from libpdf_ray.sources.text_source import read_text_documents
 
     tune_data_context()
 
-    return read_text_documents("/root/testdata/sf0.001/documents.parquet")
+    text_spans = read_text_documents("/root/testdata/sf0.001/documents.parquet")
+    extracted = extract_spans_fused(_query_corpus(), SMART_CROP_CONFIG).map_batches(
+        lambda t: t.select(["doc_id", "spans", "n_spans"]),
+        batch_format="pyarrow",
+    )
+    return text_spans.union(extracted)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ import os
 import time
 
 from ..config import PipelineConfig
-from .extract import extract_spans, read_corpus
+from .extract import extract_spans_fused
 
 
 def _manifest_dir(out_dir: str) -> str:
@@ -99,8 +99,10 @@ def run_resumable(
             continue
         t0 = time.time()
         part_out = os.path.join(out_dir, f"part-{part_id}")
-        # stale partial output from a killed attempt is overwritten
-        ds = extract_spans(read_corpus(files), cfg)
+        # stale partial output from a killed attempt is overwritten.
+        # fused read+parse: one task per row-group fragment — only span
+        # output crosses the object store (see extract_spans_fused)
+        ds = extract_spans_fused(files, cfg)
         ds.write_parquet(part_out)
         import pyarrow.parquet as pq
 
