@@ -167,6 +167,15 @@ def _q_simhash(sf_dir: str):
     )
 
 
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from libpdf_ray.ops.dedup import simhash_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_neardup_pairs(ds, max_hamming=3)
+
+
 def _q_minhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -385,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "simhash": _q_simhash,
         "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,

@@ -356,6 +356,126 @@ class SimHasher:
         return batch
 
 
+def simhash_neardup_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+):
+    """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤
+    ``max_hamming``.
+
+    Pigeonhole banding: the 64-bit sketch splits into ``max_hamming + 1``
+    bands — any pair within the Hamming ball shares at least one band
+    exactly, so the shuffle carries only (band, band_bits, id) scalar rows
+    (same two-phase shape as :func:`minhash_lsh_pairs`: candidates are
+    deduped and verified with exact popcount against a broadcast-filtered
+    sketch lookup, guarded by :data:`MAX_CANDIDATE_PAIRS`)."""
+    from .util import shuffle_partitions
+
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+
+    sim_ds = ds.map_batches(
+        SimHasher, batch_format="pandas", concurrency=4, num_cpus=0.5
+    ).map_batches(lambda df: df[[id_col, "simhash"]], batch_format="pandas")
+    sim_ds = sim_ds.materialize()
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "band": pd.Series([], dtype="int64"),
+                    "band_bits": pd.Series([], dtype="int64"),
+                    id_col: df[id_col],
+                }
+            )
+        h = np.array([int(s, 16) for s in df["simhash"]], dtype=np.uint64)
+        bands = np.stack(
+            [(h >> np.uint64(width * b)) & mask for b in range(n_bands)],
+            axis=1,
+        )  # (N, n_bands)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
+                "band_bits": bands.astype(np.int64).ravel(),
+                id_col: np.repeat(df[id_col].to_numpy(), n_bands),
+            }
+        )
+
+    exploded = sim_ds.map_batches(band_rows, batch_format="pandas")
+
+    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
+        id_dtype = group[id_col].dtype
+        out_a, out_b = [], []
+        if len(group) >= 2:
+            ids = sorted(group[id_col].drop_duplicates().tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype=id_dtype),
+                "id_b": pd.Series(out_b, dtype=id_dtype),
+            }
+        )
+
+    cands = exploded.groupby(
+        ["band", "band_bits"],
+        num_partitions=shuffle_partitions(est_keys=sim_ds.count() * n_bands),
+    ).map_groups(bucket_candidates, batch_format="pandas")
+
+    cand_pd = cands.to_pandas()
+    if "id_a" in cand_pd.columns and len(cand_pd):
+        cand_pd = cand_pd.drop_duplicates(["id_a", "id_b"]).sort_values(
+            ["id_a", "id_b"]
+        )
+    else:
+        cand_pd = pd.DataFrame({"id_a": [], "id_b": []})
+    if len(cand_pd) > MAX_CANDIDATE_PAIRS:
+        raise ValueError(
+            f"{len(cand_pd)} candidate pairs exceed MAX_CANDIDATE_PAIRS — "
+            "corpus is duplication-saturated; verify via a bucketed sketch "
+            "join instead of the broadcast lookup"
+        )
+
+    import ray
+    import ray.data as rd
+
+    if len(cand_pd) == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"id_a": cand_pd["id_a"], "id_b": cand_pd["id_b"],
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        )
+
+    needed_ref = ray.put(frozenset(cand_pd["id_a"]).union(cand_pd["id_b"]))
+
+    def filter_needed(df: pd.DataFrame) -> pd.DataFrame:
+        needed = ray.get(needed_ref)
+        return df[df[id_col].isin(needed)]
+
+    sub = sim_ds.map_batches(filter_needed, batch_format="pandas").to_pandas()
+    h_map = {i: np.uint64(int(s, 16)) for i, s in zip(sub[id_col], sub["simhash"])}
+    A = np.array([h_map[i] for i in cand_pd["id_a"]], dtype=np.uint64)
+    B = np.array([h_map[i] for i in cand_pd["id_b"]], dtype=np.uint64)
+    x = (A ^ B).view(np.uint8).reshape(-1, 8)
+    hamming = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+    keep = hamming <= max_hamming
+    out = pd.DataFrame(
+        {
+            "id_a": cand_pd["id_a"][keep].to_numpy(),
+            "id_b": cand_pd["id_b"][keep].to_numpy(),
+            "hamming": hamming[keep],
+        }
+    )
+    return rd.from_pandas(out.reset_index(drop=True))
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     """Exact word-k-gram Jaccard (the verification kernel behind LSH)."""
     def grams(t):

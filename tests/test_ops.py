@@ -321,3 +321,30 @@ class TestIVFPartitioned:
         pd.testing.assert_frame_equal(a, b)
         # recall sanity: with 3/8 cells probed the true top-1 is usually kept
         assert len(a) == 15
+
+
+class TestSimhashPairs:
+    def test_simhash_neardup_pairs_finds_near_identical(self, ray_session):
+        """Pigeonhole banding: near-identical docs (Hamming ≤ 3) are found;
+        unrelated docs are not."""
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import simhash_neardup_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog and then runs "
+                "far away into the quiet green forest tonight") * 2
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("quiet", "silent")},
+            {"doc_id": 3, "text": "completely different content about ray "
+                                  "data pipelines and arrow batches here"},
+            {"doc_id": 4, "text": base},  # identical → hamming 0
+        ]
+        pairs = simhash_neardup_pairs(
+            rd.from_items(rows), max_hamming=3
+        ).to_pandas()
+        found = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (1, 4) in found
+        assert all(3 not in p for p in found)
+        ident = pairs[(pairs["id_a"] == 1) & (pairs["id_b"] == 4)]
+        assert int(ident["hamming"].iloc[0]) == 0
