@@ -78,7 +78,9 @@ def _q_span_kinds(sf_dir: str):
     import pandas as pd
 
     flat = _q_extract_spans(sf_dir)
-    counted = flat.groupby("kind", num_partitions=4).count()
+    from libpdf_ray.ops.util import shuffle_partitions
+
+    counted = flat.groupby("kind", num_partitions=shuffle_partitions(est_keys=8)).count()
     return counted.map_batches(
         lambda df: pd.DataFrame(
             {"kind": df["kind"], "n_spans": df["count()"].astype("int64")}
@@ -98,6 +100,7 @@ def _q_langid(sf_dir: str):
     import ray.data as rd
 
     from libpdf_ray.ops.text import LangIdModel
+    from libpdf_ray.ops.util import shuffle_partitions
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
     pred = ds.map_batches(LangIdModel, batch_format="pandas", concurrency=2)
@@ -110,7 +113,7 @@ def _q_langid(sf_dir: str):
 
     agg = (
         pred.map_batches(partial, batch_format="pandas")
-        .groupby(["lang", "lang_pred"], num_partitions=4)
+        .groupby(["lang", "lang_pred"], num_partitions=shuffle_partitions(est_keys=32))
         .aggregate(Sum("n", alias_name="n_docs"))
     )
     return agg
@@ -122,6 +125,7 @@ def _q_quality_filter(sf_dir: str):
     from ray.data.aggregate import Sum
 
     from libpdf_ray.ops.text import QualityScorer
+    from libpdf_ray.ops.util import shuffle_partitions
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
     scored = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
@@ -138,7 +142,7 @@ def _q_quality_filter(sf_dir: str):
 
     return (
         scored.map_batches(partial, batch_format="pandas")
-        .groupby("lang", num_partitions=4)
+        .groupby("lang", num_partitions=shuffle_partitions(est_keys=16))
         .aggregate(Sum("kept", alias_name="n_kept"), Sum("n", alias_name="n_docs"))
     )
 
