@@ -270,7 +270,9 @@ def _q_file_meta(sf_dir: str):
 
     from libpdf_ray.stages.meta import file_meta_table
 
-    return file_meta_table(rd.read_parquet(_query_corpus()))
+    return file_meta_table(
+        rd.read_parquet(_query_corpus(), columns=["doc_id", "meta", "pages"])
+    )
 
 
 def _q_pages(sf_dir: str):

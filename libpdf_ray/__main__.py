@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="actor-pool size for the parser (0 = stateless tasks)")
     p.add_argument("--files-per-partition", type=int, default=1,
                    help="input shards per resume partition")
+    p.add_argument("--views", default="", metavar="V1,V2",
+                   help="also export relational views (any of: elements, "
+                        "cells, links, file_meta, pages, text_styles, "
+                        "rect_styles) as parquet under <output>/views/")
     return p
 
 
@@ -77,6 +81,39 @@ def main(argv=None) -> int:
         args.input_dir, args.output, cfg,
         files_per_partition=args.files_per_partition,
     )
+    if args.views:
+        # the reference's YAML/JSON element dump, relationally: one parquet
+        # table per requested view (the full Root→elements model is
+        # losslessly encoded across them)
+        import os
+
+        from libpdf_ray.pipelines.extract import read_corpus
+
+        view_fns = {}
+        from libpdf_ray.stages.cells import cells_table
+        from libpdf_ray.stages.elements import elements_table
+        from libpdf_ray.stages.links_view import links_table
+        from libpdf_ray.stages.meta import file_meta_table, pages_table
+        from libpdf_ray.stages.styles import rect_styles_table, text_styles_table
+
+        view_fns = {
+            "elements": lambda ds: elements_table(ds, cfg),
+            "cells": lambda ds: cells_table(ds, cfg),
+            "links": lambda ds: links_table(ds, cfg),
+            "file_meta": file_meta_table,
+            "pages": pages_table,
+            "text_styles": lambda ds: text_styles_table(ds, cfg),
+            "rect_styles": lambda ds: rect_styles_table(ds, cfg),
+        }
+        exported = []
+        for name in [v.strip() for v in args.views.split(",") if v.strip()]:
+            if name not in view_fns:
+                print(f"unknown view: {name}", file=sys.stderr)
+                return 2
+            out = os.path.join(args.output, "views", name)
+            view_fns[name](read_corpus(args.input_dir)).write_parquet(out)
+            exported.append(name)
+        summary["views"] = exported
     if args.media_dir:
         from libpdf_ray.pipelines.extract import extract_spans, read_corpus, spans_table
         from libpdf_ray.state.media_store import export_media

@@ -166,3 +166,21 @@ def test_static_page_crop():
     assert not any(t.startswith("Confidential") or t.startswith("Page ") for t in texts)
     body = [s for s in plain if not (s["text"].startswith("Confidential") or s["text"].startswith("Page "))]
     assert [(s["kind"], s["text"]) for s in cropped] == [(s["kind"], s["text"]) for s in body]
+
+
+def test_cli_views_export(ray_session, small_corpus_dir, tmp_path):
+    """--views exports relational view parquet alongside the span dump."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from libpdf_ray.__main__ import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main([small_corpus_dir, "-o", out, "--smart-page-crop",
+               "--views", "cells,links,pages"])
+    assert rc == 0
+    for view in ("cells", "links", "pages"):
+        files = glob.glob(f"{out}/views/{view}/*.parquet")
+        assert files, view
+        assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) > 0
