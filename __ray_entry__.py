@@ -236,7 +236,10 @@ def _q_knn_ivf_partitioned(sf_dir: str):
     src = f"{sf_dir}/embeddings.parquet"
     ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
     centroids = ivf_fit_centroids(ds, n_cells=16)
-    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
     index_dir = f"/tmp/libpdf_ray_ivf_{tag}"
     marker = os.path.join(index_dir, "_built")
     if not os.path.exists(marker):

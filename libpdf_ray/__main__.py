@@ -77,19 +77,26 @@ def main(argv=None) -> int:
         parse_batch_size=args.batch_size,
         parse_concurrency=args.concurrency,
     )
+    # validate --views BEFORE any work: a typo must not cost a full run
+    view_names = [v.strip() for v in args.views.split(",") if v.strip()]
+    known_views = {"elements", "cells", "links", "file_meta", "pages",
+                   "text_styles", "rect_styles"}
+    unknown = [v for v in view_names if v not in known_views]
+    if unknown:
+        print(f"unknown view(s): {', '.join(unknown)}", file=sys.stderr)
+        return 2
+
     summary = run_resumable(
         args.input_dir, args.output, cfg,
         files_per_partition=args.files_per_partition,
     )
-    if args.views:
+    if view_names:
         # the reference's YAML/JSON element dump, relationally: one parquet
         # table per requested view (the full Root→elements model is
         # losslessly encoded across them)
         import os
 
         from libpdf_ray.pipelines.extract import read_corpus
-
-        view_fns = {}
         from libpdf_ray.stages.cells import cells_table
         from libpdf_ray.stages.elements import elements_table
         from libpdf_ray.stages.links_view import links_table
@@ -106,10 +113,7 @@ def main(argv=None) -> int:
             "rect_styles": lambda ds: rect_styles_table(ds, cfg),
         }
         exported = []
-        for name in [v.strip() for v in args.views.split(",") if v.strip()]:
-            if name not in view_fns:
-                print(f"unknown view: {name}", file=sys.stderr)
-                return 2
+        for name in view_names:
             out = os.path.join(args.output, "views", name)
             view_fns[name](read_corpus(args.input_dir)).write_parquet(out)
             exported.append(name)

@@ -83,7 +83,7 @@ def walk_outline(
             return dest  # None when the name is unknown → node skipped
         return None  # external / non-GoTo action
 
-    def visit(node_id: int, siblings: list, path_prefix: str, seen: set) -> None:
+    def visit(node_id: int, siblings: list, seen: set) -> None:
         nid = node_id
         while nid is not None and nid >= 0 and nid in by_id and nid not in seen:
             seen.add(nid)
@@ -94,34 +94,26 @@ def walk_outline(
                 entry = {
                     "title": node["title"],
                     "number": None,
-                    "path": f"{path_prefix}{len(siblings) + 1}",
                     "position": {"page": page, "x0": x, "y1": y},
                     "content": [],
                 }
                 siblings.append(entry)
                 target = entry["content"]
-                child_prefix = f"{entry['path']}."
             elif siblings:
                 # reference behavior: children of a skipped node nest under
                 # the previous emitted sibling (catalog.py:365-371)
                 target = siblings[-1]["content"]
-                child_prefix = f"{siblings[-1]['path']}."
             else:
                 target = siblings
-                child_prefix = path_prefix
             first = int(node.get("first", -1) if node.get("first") is not None else -1)
             if first >= 0:
-                visit(first, target, child_prefix, seen)
-                # paths of nodes appended into target were assigned against
-                # its length at call time — consistent because appends only
-                # ever go to the tail
+                visit(first, target, seen)
             nid = int(node.get("next", -1) if node.get("next") is not None else -1)
 
     roots: list = []
-    visit(int(outline_root), roots, "", set())
-    # re-densify paths: children appended into a previous sibling AFTER its
-    # own children exist keep tail order; positional paths must reflect the
-    # final tree
+    visit(int(outline_root), roots, set())
+    # positional paths reflect the FINAL tree (skipped nodes consume no
+    # slot; adopted children sit at their host's tail)
     _assign_paths(roots, "")
     return roots
 

@@ -520,15 +520,17 @@ def finish_document(
     for i, el in enumerate(rects):
         el["idx"] = i + 1
 
-    # outline tree (deterministic rebuild) + numbers adopted in phase 1
-    outline_tree = numbered_outline(doc, cfg)
+    # outline tree (deterministic rebuild) + named destinations: ONE
+    # catalog walk serves both (numbers re-derived, then phase-1 adoptions)
+    outline_tree, named_dests = resolve_catalog(doc)
+    if cfg.no_chapters:
+        outline_tree = []
+    else:
+        assign_chapter_numbers(outline_tree)
     if adopted:
         for node in flatten_outline(outline_tree):
             if node["path"] in adopted:
                 node["number"] = adopted[node["path"]]
-
-    # named destinations from the raw Names/Kids tree (kernels.catalog)
-    _, named_dests = resolve_catalog(doc)
 
     # -- merge + reading order (process.py:189-209) --
     merged = figures + tables + paragraphs + chapters + rects

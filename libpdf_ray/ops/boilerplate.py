@@ -74,7 +74,7 @@ def find_boilerplate_hashes(
         return pd.DataFrame({"h": vc.index, "n_docs": vc.to_numpy().astype("int64")})
 
     bucketed = pair_ds.map_batches(
-        lambda df: df.assign(bucket=[int(h[:2], 16) % (4 * n_parts) for h in df["h"]]),
+        lambda df: df.assign(bucket=[int(h[:4], 16) % (4 * n_parts) for h in df["h"]]),
         batch_format="pandas",
     )
     counts = bucketed.groupby("bucket", num_partitions=n_parts).map_groups(

@@ -60,7 +60,7 @@ def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text",
         g["n_copies"] = g["n_copies"].astype("int64")
         # bucket key: co-group by hash prefix so the combine runs one
         # vectorized pandas groupby per BUCKET, not one call per key
-        g["bucket"] = [int(h[:2], 16) % (4 * n_parts) for h in g["content_hash"]]
+        g["bucket"] = [int(h[:4], 16) % (4 * n_parts) for h in g["content_hash"]]
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -90,7 +90,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def hash_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = add_content_hash(df, text_col)
-        df["bucket"] = [int(h[:2], 16) % (4 * n_parts) for h in df["content_hash"]]
+        df["bucket"] = [int(h[:4], 16) % (4 * n_parts) for h in df["content_hash"]]
         return df
 
     hashed = ds.map_batches(hash_bucket, batch_format="pandas")
@@ -167,6 +167,36 @@ class MinHasher:
 # broadcast-filtered lookup (documented fallback; not needed at any scale
 # where LSH banding is doing its job)
 MAX_CANDIDATE_PAIRS = 2_000_000
+# fail FAST inside the bucket task before materializing n² pairs: a bucket
+# with more distinct ids than this is duplication-saturated (handle those
+# crowds with exact dedup first)
+MAX_BUCKET_IDS = 2_000
+
+
+def _bucket_pair_frame(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """All unordered id pairs of one LSH bucket, with the saturation guard
+    applied BEFORE pair generation (an O(n²) explosion would OOM the task
+    long before a driver-side check could fire)."""
+    id_dtype = group[id_col].dtype
+    out_a, out_b = [], []
+    if len(group) >= 2:
+        ids = sorted(group[id_col].drop_duplicates().tolist())
+        if len(ids) > MAX_BUCKET_IDS:
+            raise ValueError(
+                f"LSH bucket holds {len(ids)} ids (> MAX_BUCKET_IDS) — "
+                "corpus is duplication-saturated; run exact dedup first or "
+                "switch verification to a bucketed join"
+            )
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series(out_a, dtype=id_dtype),
+            "id_b": pd.Series(out_b, dtype=id_dtype),
+        }
+    )
 
 
 def _band_rows(df: pd.DataFrame, bands: int, rows: int, id_col: str) -> pd.DataFrame:
@@ -187,7 +217,9 @@ def _band_rows(df: pd.DataFrame, bands: int, rows: int, id_col: str) -> pd.DataF
             }
         )
     sig = np.asarray([np.asarray(s, dtype=np.int64) for s in df["minhash"]])
-    chunks = sig.reshape(n, bands, rows).astype(np.uint64)
+    # tolerate num_perm not divisible by bands: the tail permutations are
+    # simply not banded (round-1 slicing behavior)
+    chunks = sig[:, : bands * rows].reshape(n, bands, rows).astype(np.uint64)
     # FNV-1a-style mix folded over the rows axis — vectorized across all
     # (doc, band) chunks at once; equal chunks ⇒ equal hash (the only
     # property banding needs)
@@ -240,22 +272,9 @@ def minhash_lsh_pairs(
     )
 
     def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
-        id_dtype = group[id_col].dtype
-        out_a, out_b = [], []
-        if len(group) >= 2:
-            ids = sorted(group[id_col].drop_duplicates().tolist())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        # empty frames must carry the same dtypes as non-empty ones — the
+        # empty frames carry the same dtypes as non-empty ones — the
         # hash-shuffle operator unifies block schemas strictly
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(out_a, dtype=id_dtype),
-                "id_b": pd.Series(out_b, dtype=id_dtype),
-            }
-        )
+        return _bucket_pair_frame(group, id_col)
 
     # bucket-key cardinality ≈ docs × bands (count on the materialized
     # signature table is metadata-only)
@@ -345,9 +364,15 @@ class SimHasher:
         )
         acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(tokens)
         out_bits = (acc > 0).astype(np.uint8)
-        return int.from_bytes(
+        value = int.from_bytes(
             np.packbits(out_bits, bitorder="little").tobytes(), "little"
         )
+        # honor a reduced sketch width (the per-bit fold only ranged over
+        # self.bits); per-bit accumulators are independent, so masking the
+        # 64-bit result is value-identical
+        if self.bits < 64:
+            value &= (1 << self.bits) - 1
+        return value
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch["simhash"] = [
@@ -408,20 +433,9 @@ def simhash_neardup_pairs(
     exploded = sim_ds.map_batches(band_rows, batch_format="pandas")
 
     def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
-        id_dtype = group[id_col].dtype
-        out_a, out_b = [], []
-        if len(group) >= 2:
-            ids = sorted(group[id_col].drop_duplicates().tolist())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(out_a, dtype=id_dtype),
-                "id_b": pd.Series(out_b, dtype=id_dtype),
-            }
-        )
+        # empty frames carry the same dtypes as non-empty ones — the
+        # hash-shuffle operator unifies block schemas strictly
+        return _bucket_pair_frame(group, id_col)
 
     cands = exploded.groupby(
         ["band", "band_bits"],
@@ -563,20 +577,9 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
     )
 
     def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
-        id_dtype = group[id_col].dtype
-        out_a, out_b = [], []
-        if len(group) >= 2:
-            ids = sorted(group[id_col].drop_duplicates().tolist())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(out_a, dtype=id_dtype),
-                "id_b": pd.Series(out_b, dtype=id_dtype),
-            }
-        )
+        # empty frames carry the same dtypes as non-empty ones — the
+        # hash-shuffle operator unifies block schemas strictly
+        return _bucket_pair_frame(group, id_col)
 
     cands = bucketed.groupby(
         ["table", "bucket"],

@@ -197,6 +197,20 @@ def knn_ivf_partitioned(index_dir: str, queries: dict, centroids: np.ndarray,
             glob.glob(os.path.join(index_dir, f"ivf_cell={c}", "*.parquet"))
         )
     ]
+    if not paths:
+        # every probed cell is unpopulated (k-means keeps empty centroids on
+        # small/skewed corpora) — the result is legitimately empty
+        import pandas as _pd
+
+        return rd.from_pandas(
+            _pd.DataFrame(
+                {
+                    "query_id": _pd.Series([], dtype="int64"),
+                    "neighbor_id": _pd.Series([], dtype="int64"),
+                    "sim": _pd.Series([], dtype="float64"),
+                }
+            )
+        )
     subset = rd.read_parquet(paths, columns=[id_col, "embedding"])
     return knn_bruteforce(subset, queries, k=k, id_col=id_col,
                           exclude_self=exclude_self)
