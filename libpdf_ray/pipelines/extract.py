@@ -116,7 +116,8 @@ def list_fragments(paths) -> list:
     return items
 
 
-def extract_spans_fused(paths, cfg: PipelineConfig | None = None):
+def extract_spans_fused(paths, cfg: PipelineConfig | None = None,
+                        fragments_per_task: int | None = None):
     """Read+parse FUSED into one task per parquet row group.
 
     The separate ReadParquet → MapBatches plan ships every raw block
@@ -139,6 +140,18 @@ def extract_spans_fused(paths, cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()
     items = list_fragments(paths)
 
+    if fragments_per_task is None:
+        # coalesce fragments while keeping ≥ ~3 task waves per CPU: fewer
+        # tasks amortize per-task + object-store block overhead (measured
+        # 12% end-to-end at 4 and 16 CPUs, taking the engine BELOW the
+        # multiprocessing control), but too few lets one heavy fragment
+        # group become the straggler tail (44 tasks at 32 CPUs regressed
+        # 9.6 → 11.9 s) — hence the cap and the per-CPU floor
+        from ..ops.util import cluster_cpus
+
+        per = len(items) // max(1, 3 * cluster_cpus())
+        fragments_per_task = int(max(1, min(4, per)))
+
     def read_and_parse(batch: pa.Table) -> pa.Table:
         outs = []
         for item in batch.to_pylist():
@@ -153,7 +166,9 @@ def extract_spans_fused(paths, cfg: PipelineConfig | None = None):
 
     return ray.data.from_items(
         items, override_num_blocks=max(1, len(items))
-    ).map_batches(read_and_parse, batch_format="pyarrow", batch_size=1)
+    ).map_batches(
+        read_and_parse, batch_format="pyarrow", batch_size=fragments_per_task
+    )
 
 
 def extract_spans_skew_aware(
