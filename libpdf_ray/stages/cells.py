@@ -17,7 +17,9 @@ from ..kernels.document import extract_document_full
 
 
 def cells_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    rows = batch.to_pylist()
+    from .parse import decode_sidecar_rows
+
+    rows = decode_sidecar_rows(batch)
     out = {
         "doc_id": [], "page": [], "table_uid": [], "table_idx": [], "row": [],
         "col": [], "text": [], "x0": [], "y0": [], "x1": [], "y1": [],

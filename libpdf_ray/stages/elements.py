@@ -28,7 +28,9 @@ DEBUG_COLORS = {
 
 
 def elements_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    rows = batch.to_pylist()
+    from .parse import decode_sidecar_rows
+
+    rows = decode_sidecar_rows(batch)
     out = {
         "doc_id": [], "uid": [], "etype": [], "page": [],
         "x0": [], "y0": [], "x1": [], "y1": [],

@@ -20,7 +20,9 @@ from ..kernels.document import extract_document_full
 
 
 def links_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    rows = batch.to_pylist()
+    from .parse import decode_sidecar_rows
+
+    rows = decode_sidecar_rows(batch)
     out = {
         "doc_id": [], "source_uid": [], "source_kind": [], "row": [],
         "col": [], "idx_start": [], "idx_stop": [], "anchor": [], "target": [],
