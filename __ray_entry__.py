@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_parts": R.q_distinct_parts,
         "filter_topk": R.q_filter_topk,
         "priority_revenue": R.q_priority_revenue,
+        "shipping_priority": R.q_shipping_priority,
         "top_event_per_user": R.q_top_event_per_user,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
@@ -549,6 +550,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY user_id
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT)/10000.0 AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
         """,
         "priority_revenue": """
             SELECT o.o_orderpriority,

@@ -569,6 +569,104 @@ def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
     return partials.repartition(1).map_batches(combine, batch_format="pandas")
 
 
+def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                        cutoff: str = "1998-01-01"):
+    """TPC-H Q3-style 3-table join: customer(segment) ⋉ orders(date) ⋈
+    lineitem(date) → top-10 order revenue.
+
+    Shape: the FILTERED customer key set is broadcast into the orders scan
+    (semi-join; size-guarded — at 10^9 customers flip to the bucketed
+    co-group of q_priority_revenue), lineitem revenue pre-aggregates per
+    orderkey inside map_batches, and ONE bucketed hash join meets the two
+    sides; the ≤10-per-bucket survivors merge in a single task."""
+    from .util import BROADCAST_LOOKUP_ROW_LIMIT, topk
+
+    cut = pd.Timestamp(cutoff)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filters=[("c_mktsegment", "=", segment)],
+    )
+    if cust.num_rows > BROADCAST_LOOKUP_ROW_LIMIT:
+        raise ValueError("segment key set too large to broadcast — use the "
+                         "bucketed semi-join (q_priority_revenue pattern)")
+    seg_keys = frozenset(cust.column("c_custkey").to_pylist())
+    num_buckets = shuffle_partitions(
+        est_bytes=file_bytes(f"{sf_dir}/lineitem.parquet")
+        + file_bytes(f"{sf_dir}/orders.parquet")
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] < cut) & df["o_custkey"].isin(seg_keys)]
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"],
+                "rev_i": np.zeros(len(df), "int64"),
+                "o_orderdate": df["o_orderdate"],
+                "side": np.ones(len(df), "int64"),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def line_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cut]
+        part = pd.DataFrame(
+            {
+                "key": df["l_orderkey"],
+                "rev_i": _cents(df["l_extendedprice"]) * (100 - _pct(df["l_discount"])),
+            }
+        )
+        agg = part.groupby("key", as_index=False).sum()
+        agg["o_orderdate"] = pd.NaT
+        agg["side"] = 0
+        return agg[["key", "rev_i", "o_orderdate", "side"]]
+
+    tagged = (
+        li.map_batches(line_side, batch_format="pandas")
+        .union(orders.map_batches(order_side, batch_format="pandas"))
+        .map_batches(
+            lambda df: df.assign(bucket=(df["key"] % num_buckets).astype("int64")),
+            batch_format="pandas",
+        )
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0].groupby("key", as_index=False)[["rev_i"]].sum()
+        r = g[g["side"] == 1][["key", "o_orderdate"]]
+        m = l.merge(r, on="key", how="inner")
+        # per-bucket top-10: keys are bucket-disjoint, so the global top-10
+        # is among the per-bucket winners
+        return m.sort_values(
+            ["rev_i", "o_orderdate", "key"], ascending=[False, True, True]
+        ).head(10)
+
+    partials = tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+    top = topk(partials, ["rev_i", "o_orderdate", "key"],
+               descending=[True, False, False], k=10)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["key"],
+                "o_orderdate": df["o_orderdate"],
+                "revenue": df["rev_i"] / 10000.0,
+            }
+        )
+
+    return top.map_batches(finalize, batch_format="pandas", batch_size=None)
+
+
 def q_top_event_per_user(sf_dir: str):
     """Per-key argmax (window row_number()=1 analog) via
     groupby().map_groups with a total ordering."""

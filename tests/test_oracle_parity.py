@@ -20,6 +20,7 @@ CHECKED = [
     "events_sliding",
     "distinct_parts",
     "priority_revenue",
+    "shipping_priority",
     "exact_dedup",
     "knn_bruteforce",
     # extraction views over the synthetic corpus (generator-as-oracle)
@@ -68,4 +69,4 @@ def test_every_oracle_key_has_a_query():
 
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
     assert set(sqls) <= set(qs)
-    assert len(sqls) >= 24
+    assert len(sqls) >= 25
