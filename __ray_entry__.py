@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": R.q_priority_revenue,
         "shipping_priority": R.q_shipping_priority,
         "top_event_per_user": R.q_top_event_per_user,
+        "user_gaps": R.q_user_gaps,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -583,6 +584,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             WHERE rn = 1
+        """,
+        "user_gaps": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS total_gap_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us
+            FROM (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                       ) AS gap
+                FROM events
+            )
+            WHERE gap IS NOT NULL
+            GROUP BY user_id
         """,
         "distinct_parts": """
             SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts

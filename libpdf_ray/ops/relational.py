@@ -430,6 +430,41 @@ def q_events_sliding(sf_dir: str, window_hours: int = 2):
     )
 
 
+def q_user_gaps(sf_dir: str):
+    """LAG-window analog: per-user inter-event gap statistics (the
+    event-time ordering + lag() OVER (PARTITION BY user ORDER BY ts)
+    pattern), as a per-key sorted diff inside ``map_groups``."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
+
+    def gaps(group: pd.DataFrame) -> pd.DataFrame:
+        # integer-exact in MICROSECONDS (the storage precision) — flooring
+        # to seconds first would round differently than the SQL window
+        us = group["ts"].astype("int64").sort_values().to_numpy()
+        d = np.diff(us)
+        if len(d) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=group["user_id"].dtype),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "total_gap_us": pd.Series([], dtype="int64"),
+                    "max_gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [group["user_id"].iloc[0]],
+                "n_gaps": np.asarray([len(d)], "int64"),
+                "total_gap_us": np.asarray([int(d.sum())], "int64"),
+                "max_gap_us": np.asarray([int(d.max())], "int64"),
+            }
+        )
+
+    return ds.groupby("user_id", num_partitions=n_parts).map_groups(
+        gaps, batch_format="pandas"
+    )
+
+
 def q_distinct_parts(sf_dir: str):
     """COUNT(DISTINCT) with ONE shuffle: per-batch pair dedup (the
     combiner), then ``groupby(flag).map_groups(nunique)`` — the shuffle

@@ -21,6 +21,7 @@ CHECKED = [
     "distinct_parts",
     "priority_revenue",
     "shipping_priority",
+    "user_gaps",
     "exact_dedup",
     "knn_bruteforce",
     # extraction views over the synthetic corpus (generator-as-oracle)
@@ -69,4 +70,4 @@ def test_every_oracle_key_has_a_query():
 
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
     assert set(sqls) <= set(qs)
-    assert len(sqls) >= 25
+    assert len(sqls) >= 26
