@@ -1,0 +1,67 @@
+"""Training-data curation cookbook: the ops chained end to end.
+
+Deduplicate → quality-filter → strip corpus boilerplate → token budget,
+over the driver's documents table — the "LLM training-data pipeline" half
+of the engine (COVERAGE.md "Beyond the reference").
+
+Run from the repo root:  python examples/training_pipeline.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import ray
+
+ray.init(address="local", num_cpus=8, include_dashboard=False,
+         logging_level="ERROR")
+
+import ray.data as rd
+
+from libpdf_ray.ops.dedup import exact_dedup, minhash_lsh_pairs
+from libpdf_ray.ops.text import QualityScorer, add_text_stats
+from libpdf_ray.ops.util import parquet_row_count, tune_data_context
+
+tune_data_context()
+
+SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+docs_path = f"{SF}/documents.parquet"
+
+# 1. exact dedup (hash-partitioned keep-min-id)
+ds = rd.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
+n_in = ds.count()
+deduped = exact_dedup(ds, est_keys=parquet_row_count(docs_path))
+n_dedup = deduped.count()
+
+# 2. near-dup pairs (MinHash-LSH) — report, then drop the higher id of
+#    each pair (broadcast the small drop set)
+pairs = minhash_lsh_pairs(
+    rd.read_parquet(docs_path, columns=["doc_id", "text"]), threshold=0.8
+).to_pandas()
+drop = set(pairs["id_b"])
+neardup_free = deduped.filter(lambda row: row["doc_id"] not in drop)
+
+# 3. quality filter (actor-pool scorer) + token stats
+scored = neardup_free.map_batches(QualityScorer, batch_format="pandas",
+                                  concurrency=2)
+kept = scored.filter(lambda row: row["q_keep"])
+stats = kept.map_batches(add_text_stats, batch_format="pandas")
+
+out = stats.map_batches(
+    lambda df: df[["doc_id", "lang", "token_count", "q_mean_token_len"]],
+    batch_format="pandas",
+)
+n_kept = out.count()
+total_tokens = sum(
+    b["token_count"].sum() for b in out.iter_batches(batch_format="pandas")
+)
+
+print(
+    f"docs in: {n_in} | after exact dedup: {n_dedup} | "
+    f"near-dup pairs: {len(pairs)} | after quality filter: {n_kept} | "
+    f"token budget: {int(total_tokens)}"
+)
+
+ray.shutdown()
