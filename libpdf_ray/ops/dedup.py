@@ -8,20 +8,36 @@ Scale shapes (the whole point at 100 TB):
 - MinHash-LSH: shingle→minhash per batch (numpy) → explode to
   (band, band_hash, doc_id) rows → ``groupby`` band buckets → candidate
   pairs verified by signature Jaccard.  Signatures are 8·num_perm bytes per
-  doc; the shuffle moves signatures, not text.
-- SimHash: 64-bit sketch per doc; near-dup = equal sketch buckets (or small
-  Hamming rotations), again a key-only shuffle.
-- embedding near-dup: random-hyperplane LSH bucket → within-bucket cosine.
+  doc; the band shuffle moves only scalar rows, never signatures.
+- SimHash: 64-bit sketch per doc; near-dup = pigeonhole band buckets,
+  again a key-only shuffle.
+- embedding near-dup: multi-table random-hyperplane LSH bucket →
+  within-bucket exact cosine.
 
-No driver-side loops: everything is map_batches + groupby/map_groups.
+The pair families share ONE verification engine (:func:`_verified_pairs`)
+with two interchangeable paths that produce identical pairs:
+
+- **driver path** (small candidate sets): collect the deduped pairs, fetch
+  the ≪-corpus payload subset via a broadcast-filtered scan, verify in one
+  vectorized call.  Cheapest when pairs ≪ corpus (LSH doing its job).
+- **bucketed-join path** (duplication-saturated corpora): the deduped pair
+  table is hash-joined (``Dataset.join``, distributed hash shuffle) with
+  the payload table once per side, then verified per batch — candidates
+  never touch the driver.  ``verify_mode="auto"`` switches on this path
+  above :data:`MAX_CANDIDATE_PAIRS` instead of failing.
+
+No driver-side loops: everything is map_batches + groupby/map_groups/join.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
+
+logger = logging.getLogger(__name__)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -162,41 +178,213 @@ class MinHasher:
         return batch
 
 
-# candidate-pair sets beyond this are no longer "≪ corpus" and the
-# verification stage must switch to a bucketed signature join instead of a
-# broadcast-filtered lookup (documented fallback; not needed at any scale
-# where LSH banding is doing its job)
+# above this many (deduped) candidate pairs the driver-side collect stops
+# being "≪ corpus" and verify_mode="auto" switches to the distributed
+# bucketed-join path instead of collecting pairs on the driver
 MAX_CANDIDATE_PAIRS = 2_000_000
-# fail FAST inside the bucket task before materializing n² pairs: a bucket
-# with more distinct ids than this is duplication-saturated (handle those
-# crowds with exact dedup first)
+# a bucket with more distinct ids than this is duplication-saturated; pair
+# generation degrades to STAR pairs around the bucket's min id (n−1 rows
+# instead of n²/2) so the task never materializes a quadratic frame.  For
+# dedup the star is equivalent under transitive clustering (connected
+# components); direct pair listings trade recall among non-representative
+# members for bounded memory — logged per bucket.
 MAX_BUCKET_IDS = 2_000
 
 
-def _bucket_pair_frame(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """All unordered id pairs of one LSH bucket, with the saturation guard
-    applied BEFORE pair generation (an O(n²) explosion would OOM the task
-    long before a driver-side check could fire)."""
+def _bucket_pair_frame(group: pd.DataFrame, id_col: str,
+                       max_ids: int = MAX_BUCKET_IDS) -> pd.DataFrame:
+    """All unordered id pairs of one LSH bucket (vectorized
+    ``np.triu_indices`` — row-major (i, j>i) order over the sorted distinct
+    ids, identical to the nested-loop ordering it replaces).
+
+    Saturated buckets (> ``max_ids`` distinct ids) degrade to star pairs
+    around the min id instead of raising — the O(n²) explosion would OOM
+    the task, and the star keeps every member reachable from the
+    representative for downstream clustering."""
     id_dtype = group[id_col].dtype
-    out_a, out_b = [], []
-    if len(group) >= 2:
-        ids = sorted(group[id_col].drop_duplicates().tolist())
-        if len(ids) > MAX_BUCKET_IDS:
-            raise ValueError(
-                f"LSH bucket holds {len(ids)} ids (> MAX_BUCKET_IDS) — "
-                "corpus is duplication-saturated; run exact dedup first or "
-                "switch verification to a bucketed join"
-            )
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+    ids = np.sort(group[id_col].drop_duplicates().to_numpy())
+    n = len(ids)
+    if n < 2:
+        a = b = ids[:0]
+    elif n > max_ids:
+        logger.warning(
+            "LSH bucket holds %d ids (> %d): degrading to star pairs around "
+            "the representative (n-1 instead of n(n-1)/2 rows)", n, max_ids,
+        )
+        a = np.full(n - 1, ids[0], dtype=ids.dtype)
+        b = ids[1:]
+    else:
+        ia, ib = np.triu_indices(n, k=1)
+        a, b = ids[ia], ids[ib]
     return pd.DataFrame(
         {
-            "id_a": pd.Series(out_a, dtype=id_dtype),
-            "id_b": pd.Series(out_b, dtype=id_dtype),
+            "id_a": pd.Series(a, dtype=id_dtype),
+            "id_b": pd.Series(b, dtype=id_dtype),
         }
     )
+
+
+def _pack_payload(series: pd.Series, dtype) -> pd.Series:
+    """List/array payload column → fixed-width ``bytes`` per row.
+
+    pyarrow's hash join rejects list-typed non-key fields ("Data type
+    list<int64> is not supported in join non-key field"), so the bucketed
+    verification path ships signatures/embeddings through the join as raw
+    little-endian bytes and :func:`_unpack_payload` restores the matrix."""
+    return pd.Series(
+        [np.ascontiguousarray(v, dtype=dtype).tobytes() for v in series],
+        index=series.index,
+    )
+
+
+def _unpack_payload(col: pd.Series, dtype) -> np.ndarray:
+    """(N,) payload column (bytes from the join path, or lists from the
+    driver path) → (N, width) numpy matrix."""
+    first = col.iloc[0]
+    if isinstance(first, (bytes, bytearray)):
+        return np.frombuffer(b"".join(col), dtype=dtype).reshape(len(col), -1)
+    return np.stack([np.asarray(v, dtype=dtype) for v in col])
+
+
+def _verified_pairs(
+    sig_ds,
+    exploded,
+    bucket_keys,
+    id_col: str,
+    payload_col: str,
+    batch_verify,
+    empty_out: pd.DataFrame,
+    n_items: int,
+    keys_per_item: int,
+    verify_mode: str = "auto",
+    max_driver_pairs: int = MAX_CANDIDATE_PAIRS,
+    max_bucket_ids: int = MAX_BUCKET_IDS,
+    payload_encode=None,
+):
+    """Shared two-phase pair verification for the LSH families.
+
+    1. ``exploded`` (scalar (bucket-key…, id) rows) is grouped by
+       ``bucket_keys``; each bucket emits its candidate pairs
+       (:func:`_bucket_pair_frame`).  Pairs are deduped DISTRIBUTED — hash
+       the pair to a bucket, one vectorized ``drop_duplicates`` per bucket —
+       and materialized (pairs are ≪ corpus by LSH construction; the object
+       store spills if not).
+    2. Verification against the ``payload_col`` of ``sig_ds``:
+
+       - ``driver`` (or ``auto`` with ≤ ``max_driver_pairs`` pairs): collect
+         pairs, broadcast-filter the payload table to the needed ids, one
+         vectorized ``batch_verify`` call.
+       - ``bucketed`` (or ``auto`` above the threshold): two distributed
+         hash joins (``Dataset.join``) attach ``__pl_a``/``__pl_b`` to each
+         pair row, then ``batch_verify`` runs per batch — nothing is
+         collected on the driver.  This is the saturated-corpus path the
+         round-2 guards only described.
+
+    ``batch_verify`` takes a pandas frame with columns
+    (id_a, id_b, __pl_a, __pl_b) and returns the verified/filtered output
+    frame; both paths call the same kernel, so their pairs are identical.
+    """
+    import ray
+    import ray.data as rd
+
+    from .util import shuffle_partitions
+
+    if verify_mode not in ("auto", "driver", "bucketed"):
+        raise ValueError(f"unknown verify_mode {verify_mode!r}")
+
+    n_parts = shuffle_partitions(est_keys=n_items * keys_per_item)
+
+    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
+        # empty frames carry the same dtypes as non-empty ones — the
+        # hash-shuffle operator unifies block schemas strictly
+        return _bucket_pair_frame(group, id_col, max_ids=max_bucket_ids)
+
+    cands = exploded.groupby(bucket_keys, num_partitions=n_parts).map_groups(
+        bucket_candidates, batch_format="pandas"
+    )
+
+    # distributed pair dedup (a pair can surface from several bands/tables):
+    # hash the pair key to a bucket, one vectorized drop_duplicates each
+    pair_mod = 4 * n_parts
+
+    def add_pbucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(pbucket=pd.Series([], dtype="int64"))
+        key = df["id_a"].astype(str).str.cat(df["id_b"].astype(str), sep="\x00")
+        h = pd.util.hash_pandas_object(key, index=False).astype("int64").abs()
+        return df.assign(pbucket=h % pair_mod)
+
+    deduped = (
+        cands.map_batches(add_pbucket, batch_format="pandas")
+        .groupby("pbucket", num_partitions=n_parts)
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"]).drop(columns=["pbucket"]),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    n_pairs = deduped.count()
+    if n_pairs == 0:
+        return rd.from_pandas(empty_out)
+
+    if verify_mode == "driver" or (
+        verify_mode == "auto" and n_pairs <= max_driver_pairs
+    ):
+        cand_pd = deduped.to_pandas().sort_values(["id_a", "id_b"])
+        # fetch payloads for candidate ids only: distributed filter against
+        # a broadcast id set, then one vectorized verify over the bounded
+        # result
+        needed_ref = ray.put(frozenset(cand_pd["id_a"]).union(cand_pd["id_b"]))
+
+        def filter_needed(df: pd.DataFrame) -> pd.DataFrame:
+            needed = ray.get(needed_ref)
+            return df[df[id_col].isin(needed)]
+
+        sub = sig_ds.map_batches(filter_needed, batch_format="pandas").to_pandas()
+        pl_map = dict(zip(sub[id_col], sub[payload_col]))
+        vin = pd.DataFrame(
+            {
+                "id_a": cand_pd["id_a"].to_numpy(),
+                "id_b": cand_pd["id_b"].to_numpy(),
+                "__pl_a": [pl_map[i] for i in cand_pd["id_a"]],
+                "__pl_b": [pl_map[i] for i in cand_pd["id_b"]],
+            }
+        )
+        return rd.from_pandas(batch_verify(vin).reset_index(drop=True))
+
+    # bucketed-join path: pairs ⋈ payloads, twice (once per side).  The
+    # payload-table side renames are zero-copy Arrow column selects; the
+    # joins are Ray's distributed hash-shuffle joins sized by the larger of
+    # (pair count, corpus size).
+    import pyarrow as pa
+
+    join_parts = shuffle_partitions(est_keys=max(n_pairs, n_items))
+
+    if payload_encode is not None:
+        # list payloads can't ride through the Arrow hash join — pack to
+        # fixed-width bytes once (corpus-sized map, no shuffle)
+        def encode(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {id_col: df[id_col], payload_col: payload_encode(df[payload_col])}
+            )
+
+        sig_join = sig_ds.map_batches(encode, batch_format="pandas")
+    else:
+        sig_join = sig_ds
+
+    def rename_side(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.select([id_col, payload_col]).rename_columns(
+                [f"id_{side}", f"__pl_{side}"]
+            )
+
+        return f
+
+    sig_a = sig_join.map_batches(rename_side("a"), batch_format="pyarrow")
+    sig_b = sig_join.map_batches(rename_side("b"), batch_format="pyarrow")
+    joined = deduped.join(sig_a, "inner", num_partitions=join_parts, on=("id_a",))
+    joined = joined.join(sig_b, "inner", num_partitions=join_parts, on=("id_b",))
+    return joined.map_batches(batch_verify, batch_format="pandas")
 
 
 def _band_rows(df: pd.DataFrame, bands: int, rows: int, id_col: str) -> pd.DataFrame:
@@ -206,7 +394,7 @@ def _band_rows(df: pd.DataFrame, bands: int, rows: int, id_col: str) -> pd.DataF
     No ``iterrows``, and — unlike round 1 — NO signature payload in the
     band rows: the shuffle moves 3 scalar columns per (doc, band); the
     signatures stay in the (materialized) signature table and are joined
-    back only for the ≪-corpus candidate set."""
+    back only for the candidate set."""
     n = len(df)
     if n == 0:
         return pd.DataFrame(
@@ -243,19 +431,19 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    verify_mode: str = "auto",
+    max_driver_pairs: int = MAX_CANDIDATE_PAIRS,
+    max_bucket_ids: int = MAX_BUCKET_IDS,
 ):
     """Candidate pairs from LSH banding, verified by signature Jaccard.
 
     Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b.
 
-    Scale shape (round-2 rework): the band shuffle carries only
-    (band, band_hash, id) scalar rows — signatures are shuffled ZERO times.
-    Candidate pairs (≪ corpus by LSH construction) are collected once,
-    deduped, and verified against a broadcast-filtered signature lookup;
-    :data:`MAX_CANDIDATE_PAIRS` guards the collect."""
-    from .util import shuffle_partitions
-
-    rows = num_perm // bands
+    Scale shape: the band shuffle carries only (band, band_hash, id) scalar
+    rows — signatures are shuffled ZERO times in the candidate phase.
+    Verification runs through :func:`_verified_pairs` (driver collect for
+    small candidate sets, distributed bucketed join above
+    ``max_driver_pairs``)."""
     sig_ds = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm},
@@ -266,74 +454,44 @@ def minhash_lsh_pairs(
     # consumed twice (band explosion now, candidate verification later) —
     # without this the MinHash pass would run twice
     sig_ds = sig_ds.materialize()
+    n_docs = sig_ds.count()  # metadata-only after materialize
 
+    rows = num_perm // bands
     exploded = sig_ds.map_batches(
         lambda df: _band_rows(df, bands, rows, id_col), batch_format="pandas"
     )
 
-    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
-        # empty frames carry the same dtypes as non-empty ones — the
-        # hash-shuffle operator unifies block schemas strictly
-        return _bucket_pair_frame(group, id_col)
-
-    # bucket-key cardinality ≈ docs × bands (count on the materialized
-    # signature table is metadata-only)
-    cands = exploded.groupby(
-        ["band", "band_hash"],
-        num_partitions=shuffle_partitions(est_keys=sig_ds.count() * bands),
-    ).map_groups(bucket_candidates, batch_format="pandas")
-
-    cand_pd = cands.to_pandas()
-    if "id_a" in cand_pd.columns:
-        cand_pd = cand_pd.drop_duplicates(["id_a", "id_b"]).sort_values(
-            ["id_a", "id_b"]
-        )
-    else:  # zero candidates → empty-schema block
-        cand_pd = pd.DataFrame({"id_a": [], "id_b": []})
-    if len(cand_pd) > MAX_CANDIDATE_PAIRS:
-        raise ValueError(
-            f"{len(cand_pd)} candidate pairs exceed MAX_CANDIDATE_PAIRS — "
-            "corpus is duplication-saturated; switch verification to the "
-            "bucketed signature join (explode pairs by doc_id, co-group "
-            "with the signature table, regroup by pair)"
-        )
-
-    import ray
-    import ray.data as rd
-
-    if len(cand_pd) == 0:
-        return rd.from_pandas(
-            pd.DataFrame(
-                {"id_a": cand_pd["id_a"], "id_b": cand_pd["id_b"],
+    def batch_verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"id_a": df.get("id_a", pd.Series([], dtype="object")),
+                 "id_b": df.get("id_b", pd.Series([], dtype="object")),
                  "jaccard": pd.Series([], dtype="float64")}
             )
+        A = _unpack_payload(df["__pl_a"], np.int64)
+        B = _unpack_payload(df["__pl_b"], np.int64)
+        jac = (A == B).mean(axis=1)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": df["id_a"].to_numpy()[keep],
+                "id_b": df["id_b"].to_numpy()[keep],
+                "jaccard": np.round(jac[keep], 4),
+            }
         )
 
-    # fetch signatures for candidate ids only: distributed filter against a
-    # broadcast id set, then one vectorized verify over the bounded result
-    needed_ref = ray.put(frozenset(cand_pd["id_a"]).union(cand_pd["id_b"]))
-
-    def filter_needed(df: pd.DataFrame) -> pd.DataFrame:
-        needed = ray.get(needed_ref)
-        return df[df[id_col].isin(needed)]
-
-    sub = sig_ds.map_batches(filter_needed, batch_format="pandas").to_pandas()
-    sig_map = {
-        i: np.asarray(s, dtype=np.int64)
-        for i, s in zip(sub[id_col], sub["minhash"])
-    }
-    A = np.stack([sig_map[i] for i in cand_pd["id_a"]])
-    B = np.stack([sig_map[i] for i in cand_pd["id_b"]])
-    jac = (A == B).mean(axis=1)
-    keep = jac >= threshold
-    out = pd.DataFrame(
-        {
-            "id_a": cand_pd["id_a"][keep].to_numpy(),
-            "id_b": cand_pd["id_b"][keep].to_numpy(),
-            "jaccard": np.round(jac[keep], 4),
-        }
+    empty_out = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="object"),
+         "id_b": pd.Series([], dtype="object"),
+         "jaccard": pd.Series([], dtype="float64")}
     )
-    return rd.from_pandas(out.reset_index(drop=True))
+    return _verified_pairs(
+        sig_ds, exploded, ["band", "band_hash"], id_col, "minhash",
+        batch_verify, empty_out, n_docs, bands,
+        verify_mode=verify_mode, max_driver_pairs=max_driver_pairs,
+        max_bucket_ids=max_bucket_ids,
+        payload_encode=lambda s: _pack_payload(s, np.int64),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -386,18 +544,17 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    verify_mode: str = "auto",
+    max_driver_pairs: int = MAX_CANDIDATE_PAIRS,
+    max_bucket_ids: int = MAX_BUCKET_IDS,
 ):
     """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤
     ``max_hamming``.
 
     Pigeonhole banding: the 64-bit sketch splits into ``max_hamming + 1``
     bands — any pair within the Hamming ball shares at least one band
-    exactly, so the shuffle carries only (band, band_bits, id) scalar rows
-    (same two-phase shape as :func:`minhash_lsh_pairs`: candidates are
-    deduped and verified with exact popcount against a broadcast-filtered
-    sketch lookup, guarded by :data:`MAX_CANDIDATE_PAIRS`)."""
-    from .util import shuffle_partitions
-
+    exactly, so the shuffle carries only (band, band_bits, id) scalar rows.
+    Verification (exact popcount) runs through :func:`_verified_pairs`."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
@@ -406,6 +563,7 @@ def simhash_neardup_pairs(
         SimHasher, batch_format="pandas", concurrency=4, num_cpus=0.5
     ).map_batches(lambda df: df[[id_col, "simhash"]], batch_format="pandas")
     sim_ds = sim_ds.materialize()
+    n_docs = sim_ds.count()
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -432,62 +590,37 @@ def simhash_neardup_pairs(
 
     exploded = sim_ds.map_batches(band_rows, batch_format="pandas")
 
-    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
-        # empty frames carry the same dtypes as non-empty ones — the
-        # hash-shuffle operator unifies block schemas strictly
-        return _bucket_pair_frame(group, id_col)
-
-    cands = exploded.groupby(
-        ["band", "band_bits"],
-        num_partitions=shuffle_partitions(est_keys=sim_ds.count() * n_bands),
-    ).map_groups(bucket_candidates, batch_format="pandas")
-
-    cand_pd = cands.to_pandas()
-    if "id_a" in cand_pd.columns and len(cand_pd):
-        cand_pd = cand_pd.drop_duplicates(["id_a", "id_b"]).sort_values(
-            ["id_a", "id_b"]
-        )
-    else:
-        cand_pd = pd.DataFrame({"id_a": [], "id_b": []})
-    if len(cand_pd) > MAX_CANDIDATE_PAIRS:
-        raise ValueError(
-            f"{len(cand_pd)} candidate pairs exceed MAX_CANDIDATE_PAIRS — "
-            "corpus is duplication-saturated; verify via a bucketed sketch "
-            "join instead of the broadcast lookup"
-        )
-
-    import ray
-    import ray.data as rd
-
-    if len(cand_pd) == 0:
-        return rd.from_pandas(
-            pd.DataFrame(
-                {"id_a": cand_pd["id_a"], "id_b": cand_pd["id_b"],
+    def batch_verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"id_a": df.get("id_a", pd.Series([], dtype="object")),
+                 "id_b": df.get("id_b", pd.Series([], dtype="object")),
                  "hamming": pd.Series([], dtype="int64")}
             )
+        A = np.array([np.uint64(int(s, 16)) for s in df["__pl_a"]], dtype=np.uint64)
+        B = np.array([np.uint64(int(s, 16)) for s in df["__pl_b"]], dtype=np.uint64)
+        x = (A ^ B).view(np.uint8).reshape(-1, 8)
+        hamming = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        keep = hamming <= max_hamming
+        return pd.DataFrame(
+            {
+                "id_a": df["id_a"].to_numpy()[keep],
+                "id_b": df["id_b"].to_numpy()[keep],
+                "hamming": hamming[keep],
+            }
         )
 
-    needed_ref = ray.put(frozenset(cand_pd["id_a"]).union(cand_pd["id_b"]))
-
-    def filter_needed(df: pd.DataFrame) -> pd.DataFrame:
-        needed = ray.get(needed_ref)
-        return df[df[id_col].isin(needed)]
-
-    sub = sim_ds.map_batches(filter_needed, batch_format="pandas").to_pandas()
-    h_map = {i: np.uint64(int(s, 16)) for i, s in zip(sub[id_col], sub["simhash"])}
-    A = np.array([h_map[i] for i in cand_pd["id_a"]], dtype=np.uint64)
-    B = np.array([h_map[i] for i in cand_pd["id_b"]], dtype=np.uint64)
-    x = (A ^ B).view(np.uint8).reshape(-1, 8)
-    hamming = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
-    keep = hamming <= max_hamming
-    out = pd.DataFrame(
-        {
-            "id_a": cand_pd["id_a"][keep].to_numpy(),
-            "id_b": cand_pd["id_b"][keep].to_numpy(),
-            "hamming": hamming[keep],
-        }
+    empty_out = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="object"),
+         "id_b": pd.Series([], dtype="object"),
+         "hamming": pd.Series([], dtype="int64")}
     )
-    return rd.from_pandas(out.reset_index(drop=True))
+    return _verified_pairs(
+        sim_ds, exploded, ["band", "band_bits"], id_col, "simhash",
+        batch_verify, empty_out, n_docs, n_bands,
+        verify_mode=verify_mode, max_driver_pairs=max_driver_pairs,
+        max_bucket_ids=max_bucket_ids,
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -551,21 +684,22 @@ class MultiHyperplaneBucketer:
 
 
 def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
-                            dim: int = 64, n_tables: int = 16, n_planes: int = 8):
+                            dim: int = 64, n_tables: int = 16, n_planes: int = 8,
+                            verify_mode: str = "auto",
+                            max_driver_pairs: int = MAX_CANDIDATE_PAIRS,
+                            max_bucket_ids: int = MAX_BUCKET_IDS):
     """(id_a, id_b, cosine) pairs with cosine ≥ threshold via multi-table
     hyperplane LSH.
 
-    Same two-phase shape as :func:`minhash_lsh_pairs`: the bucket shuffle
-    carries scalar rows only; candidate pairs (deduped across tables) are
-    verified with exact cosine against a broadcast-filtered embedding
-    lookup, guarded by :data:`MAX_CANDIDATE_PAIRS`."""
-    from .util import shuffle_partitions
-
+    The bucket shuffle carries scalar rows only; verification (exact
+    cosine) runs through :func:`_verified_pairs` — embeddings are joined
+    back to the ≪-corpus candidate set, never shuffled wholesale."""
     emb_ds = ds.map_batches(
         lambda df: df[[id_col, "embedding"]], batch_format="pandas"
     ).materialize()
+    n_vecs = emb_ds.count()
 
-    bucketed = emb_ds.map_batches(
+    exploded = emb_ds.map_batches(
         MultiHyperplaneBucketer,
         fn_constructor_kwargs={
             "dim": dim, "n_tables": n_tables, "n_planes": n_planes,
@@ -576,66 +710,36 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
         num_cpus=0.5,
     )
 
-    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
-        # empty frames carry the same dtypes as non-empty ones — the
-        # hash-shuffle operator unifies block schemas strictly
-        return _bucket_pair_frame(group, id_col)
-
-    cands = bucketed.groupby(
-        ["table", "bucket"],
-        num_partitions=shuffle_partitions(est_keys=emb_ds.count() * n_tables),
-    ).map_groups(bucket_candidates, batch_format="pandas")
-
-    cand_pd = cands.to_pandas()
-    if "id_a" in cand_pd.columns and len(cand_pd):
-        cand_pd = cand_pd.drop_duplicates(["id_a", "id_b"]).sort_values(
-            ["id_a", "id_b"]
-        )
-    else:
-        cand_pd = pd.DataFrame({"id_a": [], "id_b": []})
-    if len(cand_pd) > MAX_CANDIDATE_PAIRS:
-        raise ValueError(
-            f"{len(cand_pd)} candidate pairs exceed MAX_CANDIDATE_PAIRS — "
-            "raise n_planes (smaller buckets) or verify via a bucketed "
-            "embedding join instead of the broadcast lookup"
-        )
-
-    import ray
-    import ray.data as rd
-
-    if len(cand_pd) == 0:
-        return rd.from_pandas(
-            pd.DataFrame(
-                {"id_a": cand_pd["id_a"], "id_b": cand_pd["id_b"],
+    def batch_verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"id_a": df.get("id_a", pd.Series([], dtype="object")),
+                 "id_b": df.get("id_b", pd.Series([], dtype="object")),
                  "cosine": pd.Series([], dtype="float64")}
             )
+        A = _unpack_payload(df["__pl_a"], np.float64)
+        B = _unpack_payload(df["__pl_b"], np.float64)
+        cos = (A * B).sum(axis=1) / (
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        )
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": df["id_a"].to_numpy()[keep],
+                "id_b": df["id_b"].to_numpy()[keep],
+                "cosine": np.round(cos[keep], 4),
+            }
         )
 
-    needed_ref = ray.put(frozenset(cand_pd["id_a"]).union(cand_pd["id_b"]))
-
-    def filter_needed(df: pd.DataFrame) -> pd.DataFrame:
-        needed = ray.get(needed_ref)
-        out = df[df[id_col].isin(needed)].copy()
-        # Arrow-safe: per-cell numpy arrays break the pandas→Arrow handoff
-        out["embedding"] = [list(map(float, e)) for e in out["embedding"]]
-        return out
-
-    sub = emb_ds.map_batches(filter_needed, batch_format="pandas").to_pandas()
-    emb_map = {
-        i: np.asarray(e, dtype=np.float64)
-        for i, e in zip(sub[id_col], sub["embedding"])
-    }
-    A = np.stack([emb_map[i] for i in cand_pd["id_a"]])
-    B = np.stack([emb_map[i] for i in cand_pd["id_b"]])
-    cos = (A * B).sum(axis=1) / (
-        np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    empty_out = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="object"),
+         "id_b": pd.Series([], dtype="object"),
+         "cosine": pd.Series([], dtype="float64")}
     )
-    keep = cos >= threshold
-    out = pd.DataFrame(
-        {
-            "id_a": cand_pd["id_a"][keep].to_numpy(),
-            "id_b": cand_pd["id_b"][keep].to_numpy(),
-            "cosine": np.round(cos[keep], 4),
-        }
+    return _verified_pairs(
+        emb_ds, exploded, ["table", "bucket"], id_col, "embedding",
+        batch_verify, empty_out, n_vecs, n_tables,
+        verify_mode=verify_mode, max_driver_pairs=max_driver_pairs,
+        max_bucket_ids=max_bucket_ids,
+        payload_encode=lambda s: _pack_payload(s, np.float64),
     )
-    return rd.from_pandas(out.reset_index(drop=True))

@@ -1,0 +1,132 @@
+"""Driver-collect vs bucketed-join verification paths must be identical.
+
+Round-2 verdict item #1: the LSH pair families (`minhash_lsh_pairs`,
+`simhash_neardup_pairs`, `embedding_neardup_pairs`) previously FAILED FAST
+when the candidate set exceeded MAX_CANDIDATE_PAIRS.  The bucketed-join
+fallback (``Dataset.join`` of the pair table with the payload table, one
+join per side) must produce byte-identical pairs on a duplication-saturated
+corpus, and ``verify_mode="auto"`` must route (not raise) above the
+threshold.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _saturated_corpus(n_docs=60, n_templates=4, seed=11):
+    """Duplication-heavy corpus: n_templates base texts, each copied many
+    times with tiny perturbations — the shape near-dup detection targets."""
+    rng = np.random.default_rng(seed)
+    words = [f"tok{i}" for i in range(200)]
+    templates = [
+        " ".join(rng.choice(words, size=40, replace=True)) for _ in range(n_templates)
+    ]
+    rows = []
+    for d in range(n_docs):
+        t = templates[d % n_templates]
+        if rng.random() < 0.5:
+            parts = t.split()
+            parts[rng.integers(len(parts))] = rng.choice(words)
+            t = " ".join(parts)
+        rows.append({"doc_id": d, "text": t})
+    return rows
+
+
+def _pairset(df: pd.DataFrame):
+    return sorted(zip(df["id_a"].tolist(), df["id_b"].tolist()))
+
+
+class TestVerifyPaths:
+    def test_minhash_bucketed_equals_driver(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import minhash_lsh_pairs
+
+        rows = _saturated_corpus()
+        d = minhash_lsh_pairs(
+            rd.from_items(rows), threshold=0.5, verify_mode="driver"
+        ).to_pandas()
+        b = minhash_lsh_pairs(
+            rd.from_items(rows), threshold=0.5, verify_mode="bucketed"
+        ).to_pandas()
+        assert len(d) > 50  # saturated: many true near-dup pairs
+        assert _pairset(d) == _pairset(b)
+        dj = d.set_index(["id_a", "id_b"])["jaccard"].sort_index()
+        bj = b.set_index(["id_a", "id_b"])["jaccard"].sort_index()
+        assert np.allclose(dj.to_numpy(), bj.to_numpy())
+
+    def test_simhash_bucketed_equals_driver(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import simhash_neardup_pairs
+
+        rows = _saturated_corpus(n_docs=40)
+        d = simhash_neardup_pairs(
+            rd.from_items(rows), max_hamming=3, verify_mode="driver"
+        ).to_pandas()
+        b = simhash_neardup_pairs(
+            rd.from_items(rows), max_hamming=3, verify_mode="bucketed"
+        ).to_pandas()
+        assert _pairset(d) == _pairset(b)
+
+    def test_embedding_bucketed_equals_driver(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import embedding_neardup_pairs
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((5, 64))
+        rows = []
+        for i in range(40):
+            v = base[i % 5] + 0.01 * rng.standard_normal(64)
+            rows.append({"vec_id": i, "embedding": v.tolist()})
+        d = embedding_neardup_pairs(
+            rd.from_items(rows), threshold=0.99, verify_mode="driver"
+        ).to_pandas()
+        b = embedding_neardup_pairs(
+            rd.from_items(rows), threshold=0.99, verify_mode="bucketed"
+        ).to_pandas()
+        assert len(d) > 0
+        assert _pairset(d) == _pairset(b)
+
+    def test_auto_routes_to_bucketed_instead_of_raising(self, ray_session):
+        """Above max_driver_pairs auto must switch paths, not raise (the
+        round-2 behavior)."""
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import minhash_lsh_pairs
+
+        rows = _saturated_corpus()
+        auto = minhash_lsh_pairs(
+            rd.from_items(rows), threshold=0.5, verify_mode="auto",
+            max_driver_pairs=1,  # force every real candidate set over it
+        ).to_pandas()
+        ref = minhash_lsh_pairs(
+            rd.from_items(rows), threshold=0.5, verify_mode="driver"
+        ).to_pandas()
+        assert _pairset(auto) == _pairset(ref)
+
+
+class TestSaturatedBucketDegrade:
+    def test_star_pairs_instead_of_raise(self):
+        from libpdf_ray.ops.dedup import _bucket_pair_frame
+
+        g = pd.DataFrame({"doc_id": np.arange(50)[::-1]})
+        out = _bucket_pair_frame(g, "doc_id", max_ids=10)
+        # star around the min id: n-1 rows, all anchored at 0
+        assert len(out) == 49
+        assert (out["id_a"] == 0).all()
+        assert sorted(out["id_b"]) == list(range(1, 50))
+
+    def test_triu_matches_nested_loop_order(self):
+        from libpdf_ray.ops.dedup import _bucket_pair_frame
+
+        g = pd.DataFrame({"doc_id": [5, 3, 9, 3, 1]})
+        out = _bucket_pair_frame(g, "doc_id")
+        expect = []
+        ids = sorted(set(g["doc_id"]))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expect.append((ids[i], ids[j]))
+        assert list(zip(out["id_a"], out["id_b"])) == expect
