@@ -29,12 +29,22 @@ from __future__ import annotations
 def flatten_names_tree(names_nodes: list) -> dict:
     """Raw Names/Kids node list → ``{name: (page, x, y)}``.
 
-    Node 0 is the root.  Interior nodes carry ``kids`` (node ids); leaves
-    carry ``names``.  Mirrors resolve_name_obj's recursive Kids descent
+    The root is the node no other node's ``kids`` references (falling back
+    to node 0, then the first listed node, so legacy encodings keep
+    working).  Interior nodes carry ``kids`` (node ids); leaves carry
+    ``names``.  Mirrors resolve_name_obj's recursive Kids descent
     (catalog.py:116-133) with a visited-set cycle guard."""
     if not names_nodes:
         return {}
     by_id = {int(n["node_id"]): n for n in names_nodes}
+    referenced = {
+        int(k) for n in names_nodes for k in (n.get("kids") or [])
+    }
+    root_candidates = sorted(set(by_id) - referenced)
+    if root_candidates:
+        root = root_candidates[0] if 0 not in root_candidates else 0
+    else:  # fully cyclic encoding — keep the legacy node-0 entry point
+        root = 0 if 0 in by_id else next(iter(by_id))
     out: dict = {}
     seen: set = set()
 
@@ -52,7 +62,7 @@ def flatten_names_tree(names_nodes: list) -> dict:
         for kid in node.get("kids") or []:
             visit(int(kid))
 
-    visit(0)
+    visit(root)
     return out
 
 

@@ -171,7 +171,12 @@ def q_top_customers(sf_dir: str):
         ).head(10)
 
     combined = combine_partials(
-        partials, combine, key_cols="c_custkey", est_keys=est_keys
+        partials, combine, key_cols="c_custkey", est_keys=est_keys,
+        # pure partial→partial sum (no head(10)!) for intermediate tree
+        # levels — a key's partials may straddle two intermediate tasks
+        merge_fn=lambda df: df.groupby("c_custkey", as_index=False)[
+            ["spent_i", "n"]
+        ].sum(),
     )
     top = topk(
         combined, ["spent_i", "c_custkey"], descending=[True, False], k=10
@@ -591,8 +596,11 @@ def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
         merge_bucket, batch_format="pandas"
     )
 
+    def merge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False)[["rev_i", "n"]].sum()
+
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        agg = df.groupby("o_orderpriority", as_index=False)[["rev_i", "n"]].sum()
+        agg = merge_partial(df)
         return pd.DataFrame(
             {
                 "o_orderpriority": agg["o_orderpriority"],
@@ -601,7 +609,9 @@ def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
             }
         )
 
-    return partials.repartition(1).map_batches(combine, batch_format="pandas")
+    from .util import tree_merge
+
+    return tree_merge(partials, merge_partial, combine)
 
 
 def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",

@@ -21,6 +21,19 @@ def _as_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(e, dtype=np.float64) for e in col])
 
 
+def _empty_knn_frame(queries: dict) -> pd.DataFrame:
+    """Zero-row result with id dtypes derived from ``queries['ids']`` (not
+    hardcoded int64 — string vec_ids must keep the non-empty schema)."""
+    id_dtype = pd.Series(list(queries["ids"])).dtype
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=id_dtype),
+            "neighbor_id": pd.Series([], dtype=id_dtype),
+            "sim": pd.Series([], dtype="float64"),
+        }
+    )
+
+
 class _PartialTopK:
     """Per-batch exact cosine partials against the broadcast query matrix."""
 
@@ -79,18 +92,16 @@ def knn_bruteforce(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
         num_cpus=0.5,  # fractional: a full-CPU pool starves reads on small sessions
     )
 
-    # global merge: ≤ k·n_blocks partial rows per query — a single small
-    # task finishes all queries (a groupby shuffle here is overkill and
-    # trips on empty partial blocks)
+    # global merge: ≤ k·n_blocks partial rows per query — per-query
+    # sort+head(k) is associative, so the tree merge bounds every task at
+    # fan_in blocks (a groupby shuffle here is overkill and trips on empty
+    # partial blocks).  Capture only the tiny empty frame, not `queries`
+    # (the query MATRIX must never ride in a task closure).
+    empty = _empty_knn_frame(queries)
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         if "query_id" not in df.columns or not len(df):
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "sim": pd.Series([], dtype="float64"),
-                }
-            )
+            return empty
         top = (
             df.sort_values(["sim", "neighbor_id"], ascending=[False, True])
             .groupby("query_id", as_index=False)
@@ -101,9 +112,9 @@ def knn_bruteforce(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
         return top.sort_values(["query_id", "sim", "neighbor_id"],
                                ascending=[True, False, True])
 
-    return partials.repartition(1).map_batches(
-        merge, batch_format="pandas", batch_size=None
-    )
+    from .util import tree_merge
+
+    return tree_merge(partials, merge)
 
 
 class _IVFAssign:
@@ -200,17 +211,7 @@ def knn_ivf_partitioned(index_dir: str, queries: dict, centroids: np.ndarray,
     if not paths:
         # every probed cell is unpopulated (k-means keeps empty centroids on
         # small/skewed corpora) — the result is legitimately empty
-        import pandas as _pd
-
-        return rd.from_pandas(
-            _pd.DataFrame(
-                {
-                    "query_id": _pd.Series([], dtype="int64"),
-                    "neighbor_id": _pd.Series([], dtype="int64"),
-                    "sim": _pd.Series([], dtype="float64"),
-                }
-            )
-        )
+        return rd.from_pandas(_empty_knn_frame(queries))
     subset = rd.read_parquet(paths, columns=[id_col, "embedding"])
     return knn_bruteforce(subset, queries, k=k, id_col=id_col,
                           exclude_self=exclude_self)

@@ -97,13 +97,21 @@ def distinct_count_sketch(ds, col: str, p: int = 12):
         merged = HLL(p)
         for blob in df["sketch"]:
             merged = merged.merge(HLL.from_bytes(blob, p))
+        return merged
+
+    def merge_level(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"sketch": [merge(df).to_bytes()]})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"column": [col], "estimate": [float(merged.estimate())]}
+            {"column": [col], "estimate": [float(merge(df).estimate())]}
         )
 
-    return partials.repartition(1).map_batches(
-        merge, batch_format="pandas", batch_size=None
-    )
+    # sketches are mergeable at every level — the tree keeps the final
+    # task's input at ≤ fan_in kilobyte blobs even at 10^6 input blocks
+    from .util import tree_merge
+
+    return tree_merge(partials, merge_level, finalize)
 
 
 def bottomk_sample(ds, col: str, k: int = 1024):
@@ -127,9 +135,9 @@ def bottomk_sample(ds, col: str, k: int = 1024):
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values("key").head(k)
 
-    return partials.repartition(1).map_batches(
-        merge, batch_format="pandas", batch_size=None
-    )
+    from .util import tree_merge
+
+    return tree_merge(partials, merge)
 
 
 def quantile_sketch(ds, col: str, quantiles=(0.25, 0.5, 0.75, 0.95), k: int = 2048):

@@ -53,7 +53,7 @@ def shuffle_partitions(
 
     Replaces the round-1 hard-coded ``num_partitions=4/8`` constants (judged
     a scale-killer): partitions grow with expected distinct keys (one
-    partition per ~64k keys) and with shuffled bytes (one per ~256 MB), are
+    partition per ~64k keys) and with shuffled bytes (one per ~64 MB), are
     never fewer than 2 (a 6-key aggregate should not pay for hundreds of
     empty shuffle tasks — measured 10-15 s → ~2 s on this node), and are
     capped at 2×cluster CPUs so a 256-node cluster automatically fans out
@@ -118,6 +118,7 @@ def combine_partials(
     key_cols,
     est_keys: int,
     key_to_bucket=None,
+    merge_fn=None,
 ):
     """Combine per-batch partial aggregates, strategy chosen by key
     cardinality (the round-1 ``repartition(1)`` combine had no scale path):
@@ -130,8 +131,14 @@ def combine_partials(
 
     ``combine_fn`` must be a pandas frame → frame reduction that is correct
     both globally and per key-disjoint bucket (any per-key aggregation is).
+    ``merge_fn``, if given, is a pure partial→partial reduction (NO top-k /
+    formatting — intermediate tasks see arbitrary block subsets, not
+    key-disjoint buckets) that lets the single-task branch tree-merge
+    instead of funneling every partial block into one task.
     """
     if est_keys <= SINGLE_TASK_COMBINE_KEY_LIMIT:
+        if merge_fn is not None:
+            return tree_merge(partials, merge_fn, combine_fn)
         return partials.repartition(1).map_batches(
             combine_fn, batch_format="pandas", batch_size=None
         )
@@ -177,6 +184,41 @@ def tune_data_context() -> None:
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
 
 
+TREE_MERGE_FAN_IN = 64
+
+
+def tree_merge(partials, merge_fn, final_fn=None, fan_in: int = TREE_MERGE_FAN_IN,
+               est_blocks: int | None = None):
+    """Hierarchical final merge: coalesce blocks in waves of ≤ ``fan_in``
+    until one remains, so NO single task's input scales with block count
+    (the round-2 ``repartition(1)`` finals held k·n_blocks rows — fine at
+    thousands of blocks, a driver-shaped bottleneck at 10^6+).
+
+    ``merge_fn`` must be an associative partial→partial reduction over a
+    pandas frame (output consumable as input); ``final_fn`` (default
+    ``merge_fn``) formats the last level.  At ≤ ``fan_in`` blocks this is
+    byte-identical to the old single-task shape: one repartition(1) +
+    ``final_fn``.
+
+    ``est_blocks=None`` materializes ``partials`` (they are post-reduction
+    and tiny) to read the true block count; pass an estimate to keep the
+    pipeline fully streaming."""
+    if final_fn is None:
+        final_fn = merge_fn
+    if est_blocks is None:
+        partials = partials.materialize()
+        est_blocks = partials.num_blocks()
+    n = int(max(1, est_blocks))
+    while n > fan_in:
+        n = math.ceil(n / fan_in)
+        partials = partials.repartition(n).map_batches(
+            merge_fn, batch_format="pandas", batch_size=None
+        )
+    return partials.repartition(1).map_batches(
+        final_fn, batch_format="pandas", batch_size=None
+    )
+
+
 def topk(ds, keys, descending, k: int):
     """Deterministic global top-k: ``keys`` must be a total order (include
     tie-break columns).  ``descending`` is a list of bools per key."""
@@ -186,5 +228,6 @@ def topk(ds, keys, descending, k: int):
         return df.sort_values(keys, ascending=ascending).head(k)
 
     survivors = ds.map_batches(partial, batch_format="pandas")
-    # ≤ k rows per input block survive; one small task finishes the job
-    return survivors.repartition(1).map_batches(partial, batch_format="pandas")
+    # ≤ k rows per input block survive; sort+head is associative, so the
+    # tree merge finishes without a block-count-sized final task
+    return tree_merge(survivors, partial)
