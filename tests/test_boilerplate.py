@@ -76,3 +76,50 @@ def test_poison_document_becomes_error_row(ray_session):
     assert poison["error"] != "" and poison["n_spans"] == 0
     ok = out[out["doc_id"] == good["doc_id"]].iloc[0]
     assert ok["error"] == "" and ok["n_spans"] > 0
+
+
+def test_single_pass_no_double_execution(ray_session):
+    """Round-2 verdict item #4: the span table must be consumed by exactly
+    ONE streaming pass (the old shape either double-executed the upstream
+    extraction or pinned the full span corpus via materialize())."""
+    import ray
+    import ray.data as rd
+
+    from libpdf_ray.ops.boilerplate import find_boilerplate_hashes
+    from libpdf_ray.stages.parse import explode_spans
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def incr(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    corpus = _corpus(ray_session).repartition(4)
+
+    def tapped(counter):
+        def tap(df):
+            ray.get(counter.incr.remote())
+            return df
+
+        return (
+            corpus.map_batches(explode_spans, batch_format="pyarrow")
+            .map_batches(tap, batch_format="pandas", batch_size=None)
+        )
+
+    # baseline: one full consumption = this many per-block calls
+    c0 = Counter.remote()
+    tapped(c0).count()
+    one_pass_calls = ray.get(c0.get.remote())
+    assert one_pass_calls > 0
+
+    c1 = Counter.remote()
+    hot, total = find_boilerplate_hashes(
+        tapped(c1), min_doc_fraction=0.3, min_docs=3
+    )
+    assert total == 10 and len(hot) == 2  # results unchanged
+    assert ray.get(c1.get.remote()) == one_pass_calls
