@@ -265,7 +265,13 @@ def _q_elements(sf_dir: str):
     from libpdf_ray.pipelines.extract import read_corpus
     from libpdf_ray.stages.elements import elements_table
 
-    return elements_table(read_corpus(_query_corpus()), SMART_CROP_CONFIG)
+    # identity projection (uid path / type / page / payload / link count)
+    # matches the generator's expected_elements oracle column-for-column;
+    # the geometry columns (x0..y1) stay on the full view but are not part
+    # of the hash-checked contract (the generator does not model crop boxes)
+    return elements_table(read_corpus(_query_corpus()), SMART_CROP_CONFIG).select_columns(
+        ["doc_id", "uid", "etype", "page", "text", "media_ref", "n_links"]
+    )
 
 
 def _q_file_meta(sf_dir: str):
@@ -467,6 +473,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "links": f"""
             SELECT doc_id, unnest(expected_links, recursive := true)
+            FROM read_parquet('{corpus}')
+        """,
+        "elements": f"""
+            SELECT doc_id, unnest(expected_elements, recursive := true)
             FROM read_parquet('{corpus}')
         """,
         "pricing_summary": """

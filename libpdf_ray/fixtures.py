@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -173,6 +174,11 @@ class FlowBuilder:
         self.expected_links: list = []
         self._fig_counter: dict = {}
         self._table_counter = 0
+        # pre-crop placement counters for above-outline uid derivation:
+        # the engine assigns original extraction indices BEFORE smart crop
+        # (kernels/document.py:506-519), so furniture consumes indices
+        self._par_place = 0
+        self._table_place = 0
 
     # --- flow management ---
     def new_page(self):
@@ -193,8 +199,29 @@ class FlowBuilder:
         return self.page_no, y1, y0
 
     # --- primitives ---
-    def span(self, kind: str, text: str, media_ref: str = ""):
-        self.expected.append({"kind": kind, "text": text, "media_ref": media_ref})
+    def span(self, kind: str, text: str, media_ref: str = "", page=None,
+             path=None, place=None):
+        """Record an expected span.  ``page``/``path``/``place`` are
+        element-oracle metadata (kept on hidden keys, stripped from the
+        expected_spans column): the page the element sits on, the outline
+        path for chapters, and — for above-outline uids — the element's
+        pre-crop placement index (defaults to the builder's placement
+        counters)."""
+        rec = {"kind": kind, "text": text, "media_ref": media_ref,
+               "_page": page if page is not None else self.page_no}
+        if kind == "chapter":
+            rec["_path"] = path
+        elif kind == "paragraph":
+            rec["_place"] = place if place is not None else self._par_place
+        elif kind == "table":
+            self._table_place += 1
+            rec["_place"] = place if place is not None else self._table_place
+        elif kind == "rect":
+            rec["_place"] = place if place is not None else len(self.rects)
+        elif kind == "figure":
+            m = re.search(r"figure\.(\d+)\.png$", media_ref)
+            rec["_place"] = int(m.group(1)) if m else 1
+        self.expected.append(rec)
 
     def raw_textbox(
         self,
@@ -206,12 +233,19 @@ class FlowBuilder:
         fontname=None,
         as_chars: bool = False,
         word_styles=None,
+        counts_as_paragraph: bool = True,
     ) -> dict:
         """Place a textbox whose raw payload is SHUFFLED word (or char)
         boxes — the engine must re-derive lines and order from geometry.
 
         ``word_styles``: optional per-line list of per-word (ncolor,
-        fontname) tuples (overrides the box-level style)."""
+        fontname) tuples (overrides the box-level style).
+
+        ``counts_as_paragraph``: False for boxes that never reach the
+        engine's paragraph-candidate list (heading/number boxes consumed
+        by the chapter examiner, captions inside figures, table cell
+        texts) — they must not advance the pre-crop paragraph placement
+        counter the above-outline uid oracle relies on."""
         width = max(len(ln) for ln in lines) * CHAR_W
         height = len(lines) * LINE_H
         runs: list = []
@@ -237,6 +271,8 @@ class FlowBuilder:
             "chars": runs if as_chars else None,
         }
         self.textboxes.append(tb)
+        if counts_as_paragraph:
+            self._par_place += 1
         return tb
 
     def add_par(
@@ -250,7 +286,7 @@ class FlowBuilder:
         page_no, y1, _y0 = self.reserve(len(lines) * LINE_H)
         tb = self.raw_textbox(page_no, x0, y1, lines, ncolor, fontname, as_chars)
         if emit:
-            self.span("paragraph", "\n".join(lines))
+            self.span("paragraph", "\n".join(lines), page=page_no)
         return tb
 
     def add_outline_entry(
@@ -281,9 +317,11 @@ class FlowBuilder:
         """Numbered heading: outline title == rendered textbox text, so the
         fuzzy match wins on content similarity == 1."""
         page_no, y1, _ = self.reserve(LINE_H)
-        self.raw_textbox(page_no, MARGIN_X, y1, [display])
+        self.raw_textbox(page_no, MARGIN_X, y1, [display],
+                         counts_as_paragraph=False)
         self.add_outline_entry(path, display, page_no, MARGIN_X, y1, dest_kind)
-        self.span("chapter", span_text if span_text is not None else display)
+        self.span("chapter", span_text if span_text is not None else display,
+                  page=page_no, path=path)
         return page_no, y1
 
     def next_figure_ref(self, page_no: int) -> str:
@@ -370,7 +408,8 @@ class FlowBuilder:
                 continue
             x0 = col_edges[c - 1] + 3.0
             y1 = row_edges[r - 1] - 3.0
-            tb = self.raw_textbox(page_no, x0, y1, [text])
+            tb = self.raw_textbox(page_no, x0, y1, [text],
+                                  counts_as_paragraph=False)
             placed[(r, c)] = tb
         if emit:
             # swallowed positions: those merged into an anchor
@@ -390,7 +429,8 @@ class FlowBuilder:
                     else:
                         row.append(cell_texts.get((r, c), ""))
                 rows_txt.append(row)
-            self.span("table", "\n".join("\t".join(row) for row in rows_txt))
+            self.span("table", "\n".join("\t".join(row) for row in rows_txt),
+                      page=page_no)
         if count_cells:
             self._table_counter += 1
             for r in range(1, n_rows + 1):
@@ -517,11 +557,64 @@ class FlowBuilder:
             "figures": self.figures,
             "annotations": self.annotations,
             "expected_spans": [
-                {**sp, "offset": i} for i, sp in enumerate(self.expected)
+                {
+                    "kind": sp["kind"],
+                    "text": sp["text"],
+                    "media_ref": sp["media_ref"],
+                    "offset": i,
+                }
+                for i, sp in enumerate(self.expected)
             ],
             "expected_cells": self.expected_cells,
             "expected_links": self.expected_links,
+            "expected_elements": self._derive_expected_elements(),
         }
+
+    def _derive_expected_elements(self) -> list:
+        """Element-identity oracle rows (uid, etype, page, text, media_ref,
+        n_links), derived from the builder's OWN records — never from the
+        engine: span order == flat element order by construction; chapter
+        uid paths come from the outline paths the family declared; inline
+        elements use per-chapter counters in document order; above-outline
+        elements use the pre-crop placement counters
+        (kernels/document.py:506-519, 636-646, 671-678 describe the engine
+        semantics this mirrors)."""
+        n_links: dict = {}
+        for link in self.expected_links:
+            # only paragraph and figure elements carry link lists; cell
+            # links live on the cells view, not the element
+            if link["source_kind"] in ("paragraph", "figure"):
+                n_links[link["source_uid"]] = n_links.get(link["source_uid"], 0) + 1
+        out: list = []
+        stack: list = []  # chapter uid components of the open chain
+        counters: dict | None = None  # per-chapter idx counters, None = above
+        for e in self.expected:
+            kind = e["kind"]
+            if kind == "link":
+                continue
+            if kind == "chapter":
+                depth = len(str(e["_path"]).split("."))
+                number = e["text"].split(" ", 1)[0]
+                stack = stack[: depth - 1] + [f"chapter.{number}"]
+                uid = "/".join(stack)
+                counters = {"table": 1, "figure": 1, "paragraph": 1, "rect": 1}
+            elif counters is not None:
+                idx = counters[kind]
+                counters[kind] += 1
+                uid = "/".join(stack) + f"/{kind}.{idx}"
+            else:  # above the first chapter (or chapterless doc)
+                uid = f"{kind}.{e['_place']}"
+            out.append(
+                {
+                    "uid": uid,
+                    "etype": kind,
+                    "page": int(e["_page"]),
+                    "text": e["text"],
+                    "media_ref": e["media_ref"],
+                    "n_links": int(n_links.get(uid, 0)),
+                }
+            )
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -551,9 +644,9 @@ def _fam_outlined(b: FlowBuilder, rng):
     # virtual chapter: outline title carries no number → virt.<level>; it is
     # the 3rd top-level outline entry, so the number is virt.3
     page_no, y1, _ = b.reserve(LINE_H)
-    b.raw_textbox(page_no, MARGIN_X, y1, [titles[4]])
+    b.raw_textbox(page_no, MARGIN_X, y1, [titles[4]], counts_as_paragraph=False)
     b.add_outline_entry("3", titles[4], page_no, MARGIN_X, y1)
-    b.span("chapter", f"virt.3 {titles[4]}")
+    b.span("chapter", f"virt.3 {titles[4]}", page=page_no, path="3")
     b.add_par()
 
 
@@ -567,9 +660,9 @@ def _fam_chapternum(b: FlowBuilder, rng):
         b.add_par()
     t = _title(rng)
     page_no, y1, _ = b.reserve(LINE_H)
-    b.raw_textbox(page_no, MARGIN_X, y1, [t])
+    b.raw_textbox(page_no, MARGIN_X, y1, [t], counts_as_paragraph=False)
     b.add_outline_entry("6", t, page_no, MARGIN_X, y1)
-    b.span("chapter", f"virt.6 {t}")
+    b.span("chapter", f"virt.6 {t}", page=page_no, path="6")
     b.add_par()
 
 
@@ -578,18 +671,18 @@ def _fam_splitchapter(b: FlowBuilder, rng):
     # analysis (similarity_referee two-winner branch, textbox.py:489-504)
     t1, t2 = _titles(rng, 2)
     page_no, y1, _ = b.reserve(LINE_H)
-    b.raw_textbox(page_no, MARGIN_X, y1, ["2.3"])
-    b.raw_textbox(page_no, MARGIN_X + 40, y1, [t1])
+    b.raw_textbox(page_no, MARGIN_X, y1, ["2.3"], counts_as_paragraph=False)
+    b.raw_textbox(page_no, MARGIN_X + 40, y1, [t1], counts_as_paragraph=False)
     b.add_outline_entry("1", f"2.3 {t1}", page_no, MARGIN_X, y1)
-    b.span("chapter", f"2.3 {t1}")
+    b.span("chapter", f"2.3 {t1}", page=page_no, path="1")
     b.add_par()
     # virtual chapter adopting a standalone number textbox on its left
     # (textbox.py:440-462 + number adoption at textbox.py:204-213)
     page_no, y1, _ = b.reserve(LINE_H)
-    b.raw_textbox(page_no, MARGIN_X, y1, ["B.1"])
-    b.raw_textbox(page_no, MARGIN_X + 40, y1, [t2])
+    b.raw_textbox(page_no, MARGIN_X, y1, ["B.1"], counts_as_paragraph=False)
+    b.raw_textbox(page_no, MARGIN_X + 40, y1, [t2], counts_as_paragraph=False)
     b.add_outline_entry("2", t2, page_no, MARGIN_X, y1)
-    b.span("chapter", f"B.1 {t2}")
+    b.span("chapter", f"B.1 {t2}", page=page_no, path="2")
     b.add_par()
 
 
@@ -628,7 +721,7 @@ def _fam_figures(b: FlowBuilder, rng):
     caption = _body_line(rng)
     page_no, y1, y0 = b.reserve(60)
     b.figures.append({"page": page_no, "x0": 72.0, "y0": y0, "x1": 450.0, "y1": y1})
-    b.raw_textbox(page_no, 100.0, y0 + 22, [caption])
+    b.raw_textbox(page_no, 100.0, y0 + 22, [caption], counts_as_paragraph=False)
     b.span("figure", caption, b.next_figure_ref(page_no))
     # pr-138-example analog: negative x0 clamped to 0
     b.new_page()
@@ -673,21 +766,29 @@ def _fam_tables(b: FlowBuilder, rng):
     outer_rows = [y1, y1 - 100]
     outer_cols = [72.0, 222.0, 472.0]
     b.add_grid_segments(page_no, outer_rows, outer_cols)
-    own_tb = b.raw_textbox(page_no, 72.0 + 3.0, y1 - 3.0, [own])
+    own_tb = b.raw_textbox(page_no, 72.0 + 3.0, y1 - 3.0, [own],
+                           counts_as_paragraph=False)
     inner_rows = [y1 - 20, y1 - 50, y1 - 80]
     inner_cols = [242.0, 332.0, 422.0]
     b.add_grid_segments(page_no, inner_rows, inner_cols)
     inner_tbs = {}
     for (r, c), t in inner.items():
         inner_tbs[(r, c)] = b.raw_textbox(
-            page_no, inner_cols[c - 1] + 3.0, inner_rows[r - 1] - 3.0, [t]
+            page_no, inner_cols[c - 1] + 3.0, inner_rows[r - 1] - 3.0, [t],
+            counts_as_paragraph=False,
         )
     # reading order sorts by (page, height − y0): inner y0 (y1−80) is above
     # outer y0 (y1−100), so the INNER table comes first in document order —
-    # spans and table_idx ordinals follow that order.
+    # spans and table_idx ordinals follow that order.  EXTRACTION order
+    # (the above-outline uid) follows segment placement: the OUTER grid's
+    # segments were added first, so the outer table is detected first →
+    # outer = table.<n+1>, inner = table.<n+2> despite inner leading the
+    # span sequence.
+    outer_place, inner_place = b._table_place + 1, b._table_place + 2
     b.span(
         "table",
         "\n".join("\t".join([inner[(r, 1)], inner[(r, 2)]]) for r in (1, 2)),
+        page=page_no, place=inner_place,
     )
     b._table_counter += 1
     for (r, c), t in sorted(inner.items()):
@@ -700,7 +801,8 @@ def _fam_tables(b: FlowBuilder, rng):
     outer_cell2 = "\n".join(
         " ".join([inner[(r, 1)], inner[(r, 2)]]) for r in (1, 2)
     )
-    b.span("table", "\t".join([own, outer_cell2]))
+    b.span("table", "\t".join([own, outer_cell2]), page=page_no,
+           place=outer_place)
     b._table_counter += 1
     b.expected_cells.extend(
         [
@@ -845,19 +947,21 @@ def _fam_twocolumn(b: FlowBuilder, rng):
     side-by-side columns interleave by y.  The expected spans encode that
     quirk deliberately."""
     left_x, right_x = MARGIN_X, 330.0
-    placed = []  # (y0, lines)
+    placed = []  # (y0, lines, placement idx — the engine's pre-crop
+    # candidate order is PLACEMENT order, while spans follow y-sorted
+    # reading order, so above-outline uids must carry the placement idx
     cursor_l, cursor_r = TOP_Y, TOP_Y - float(int(rng.integers(5, 20)))
     for _ in range(3):
         lines = [_body_line(b.rng)]
         b.raw_textbox(1, left_x, cursor_l, lines)
-        placed.append((cursor_l - LINE_H, lines))
+        placed.append((cursor_l - LINE_H, lines, b._par_place))
         cursor_l -= LINE_H + b._gap()
         lines = [_body_line(b.rng)]
         b.raw_textbox(1, right_x, cursor_r, lines)
-        placed.append((cursor_r - LINE_H, lines))
+        placed.append((cursor_r - LINE_H, lines, b._par_place))
         cursor_r -= LINE_H + b._gap()
-    for _y0, lines in sorted(placed, key=lambda p: -p[0]):
-        b.span("paragraph", "\n".join(lines))
+    for _y0, lines, place in sorted(placed, key=lambda p: -p[0]):
+        b.span("paragraph", "\n".join(lines), page=1, place=place)
 
 
 def _fam_tablelinks(b: FlowBuilder, rng):
@@ -898,7 +1002,8 @@ def _fam_tablelinks(b: FlowBuilder, rng):
     caption = _body_line(rng)
     page_no, y1, y0 = b.reserve(60)
     b.figures.append({"page": page_no, "x0": 72.0, "y0": y0, "x1": 450.0, "y1": y1})
-    tb = b.raw_textbox(page_no, 100.0, y0 + 22, [caption])
+    tb = b.raw_textbox(page_no, 100.0, y0 + 22, [caption],
+                       counts_as_paragraph=False)
     b.annotations.append(
         {
             "page": page_no,
@@ -997,7 +1102,10 @@ def _fam_rawchars(b: FlowBuilder, rng):
             "chars": runs,
         }
     )
-    b.span("paragraph", mixed)
+    # manual textbox append bypasses raw_textbox — advance the paragraph
+    # placement counter by hand so the uid oracle stays aligned
+    b._par_place += 1
+    b.span("paragraph", mixed, page=page_no)
     b.add_par(as_chars=True)
 
 
@@ -1028,7 +1136,7 @@ def _fam_rawpage(b: FlowBuilder, rng):
     display = f"1 {t1}"
     soup = list(_line_words(display, MARGIN_X, y1h))
     b.add_outline_entry("1", display, page_no, MARGIN_X, y1h)
-    b.span("chapter", display)
+    b.span("chapter", display, page=page_no, path="1")
     for _ in range(3):
         lines = [_body_line(rng) for _ in range(1 + int(rng.integers(0, 3)))]
         page_no2, y1p, _ = b.reserve(len(lines) * LINE_H)

@@ -38,7 +38,7 @@ import pyarrow as pa
 
 #: bump when the sidecar layout changes — cache markers and corpus dirs
 #: embed this so stale fixture caches are never reused across rounds
-SCHEMA_VERSION = 4
+SCHEMA_VERSION = 5
 
 SPAN_STRUCT = pa.struct(
     [
@@ -93,6 +93,20 @@ EXPECTED_CELL_STRUCT = pa.struct(
         ("row", pa.int32()),
         ("col", pa.int32()),
         ("text", pa.string()),
+    ]
+)
+
+#: generator-as-oracle rows for the ``elements`` view (ApiObjects analog):
+#: uid paths + per-element identity, derived by the generator from its own
+#: placement knowledge (outline paths, placement order, link targets)
+EXPECTED_ELEMENT_STRUCT = pa.struct(
+    [
+        ("uid", pa.string()),
+        ("etype", pa.string()),
+        ("page", pa.int32()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("n_links", pa.int32()),
     ]
 )
 
@@ -268,5 +282,6 @@ RAW_DOC_SCHEMA = pa.schema(
         ("expected_spans", SPANS_TYPE),
         ("expected_cells", pa.list_(EXPECTED_CELL_STRUCT)),
         ("expected_links", pa.list_(EXPECTED_LINK_STRUCT)),
+        ("expected_elements", pa.list_(EXPECTED_ELEMENT_STRUCT)),
     ]
 )

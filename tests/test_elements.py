@@ -57,3 +57,29 @@ def test_skew_aware_parse_matches_plain(ray_session, small_corpus_dir):
     for f in glob.glob(f"{small_corpus_dir}/part-*.parquet"):
         pages += pq.read_table(f, columns=["est_pages"]).column("est_pages").to_pylist()
     assert any(p >= 4 for p in pages) and any(p < 4 for p in pages)
+
+
+def test_elements_match_generator_oracle():
+    """Engine element identity (uid path, type, page, payload, link count)
+    equals the generator's expected_elements column for every family —
+    the elements-view analog of the links/cells generator-as-oracle checks
+    (reference ApiObjects flattening, libpdf/apiobjects.py:18-79)."""
+    from libpdf_ray.fixtures import DEFAULT_FAMILIES, build_document
+    from libpdf_ray.kernels.document import extract_document_full
+
+    for fam in DEFAULT_FAMILIES:
+        for i in range(2):
+            row = build_document(i, fam, seed=42 + i, skew_pages=12)
+            _, els = extract_document_full(row, SMART_CROP_CONFIG)
+            got = [
+                {
+                    "uid": e["uid"],
+                    "etype": e["etype"],
+                    "page": e["page"],
+                    "text": e.get("text", ""),
+                    "media_ref": e.get("media_ref", ""),
+                    "n_links": len(e.get("links", [])),
+                }
+                for e in els
+            ]
+            assert got == row["expected_elements"], f"family {fam} doc {i}"
