@@ -375,26 +375,51 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def _bucketed_groups(ds, key: str, n_parts: int, kernel):
+    """Per-key grouped computation WITHOUT a per-group Python call:
+    hash-partition rows by ``key`` into disjoint buckets (every row of a
+    key lands in the same bucket) and run ``kernel`` ONCE per bucket as a
+    vectorized pandas pass over all of its keys.  Replaces
+    ``groupby(key).map_groups(per_key_fn)``, whose per-group interpreter
+    dispatch dominates wall time when keys are numerous and groups small
+    (~10k single-row pandas frames per partition at sf0.1)."""
+    nb = max(n_parts * 4, 16)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key], index=False).astype("int64")
+        return df.assign(_bucket=h.abs() % nb)
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return kernel(g.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket", num_partitions=n_parts)
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def q_events_sessions(sf_dir: str, gap_seconds: int = 1800):
-    """Sessionization: per-key ordered gap detection via
-    ``groupby(user).map_groups`` (the documented ordering assumption: events
-    are sorted by ts within the group before windowing)."""
+    """Sessionization: per-key ordered gap detection, vectorized over
+    hash-disjoint user buckets (events sorted by (user, ts) inside each
+    bucket; a session break is a user change or a gap > threshold)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
     gap_us = gap_seconds * 1_000_000
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        us = group["ts"].astype("int64").sort_values().to_numpy()
-        gaps = np.diff(us)
-        return pd.DataFrame(
-            {
-                "user_id": [group["user_id"].iloc[0]],
-                "n_events": np.asarray([len(us)], "int64"),
-                "n_sessions": np.asarray([1 + int((gaps > gap_us).sum())], "int64"),
-            }
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        us = g["ts"].astype("int64").to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.diff(us, prepend=us[:1])
+        new_sess = new_user | (gap > gap_us)
+        per = pd.DataFrame({"user_id": uid, "s": new_sess.astype("int64")})
+        return per.groupby("user_id", as_index=False, sort=False).agg(
+            n_events=("s", "size"), n_sessions=("s", "sum")
         )
 
-    return ds.groupby("user_id", num_partitions=n_parts).map_groups(sessions, batch_format="pandas")
+    return _bucketed_groups(ds, "user_id", n_parts, sessions)
 
 
 def q_events_sliding(sf_dir: str, window_hours: int = 2):
@@ -443,32 +468,23 @@ def q_user_gaps(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
 
-    def gaps(group: pd.DataFrame) -> pd.DataFrame:
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
         # integer-exact in MICROSECONDS (the storage precision) — flooring
         # to seconds first would round differently than the SQL window
-        us = group["ts"].astype("int64").sort_values().to_numpy()
-        d = np.diff(us)
-        if len(d) == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype=group["user_id"].dtype),
-                    "n_gaps": pd.Series([], dtype="int64"),
-                    "total_gap_us": pd.Series([], dtype="int64"),
-                    "max_gap_us": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "user_id": [group["user_id"].iloc[0]],
-                "n_gaps": np.asarray([len(d)], "int64"),
-                "total_gap_us": np.asarray([int(d.sum())], "int64"),
-                "max_gap_us": np.asarray([int(d.max())], "int64"),
-            }
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        us = g["ts"].astype("int64").to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]  # rows with a predecessor
+        d = np.diff(us, prepend=us[:1])
+        per = pd.DataFrame({"user_id": uid[same], "gap": d[same]})
+        # single-event users drop out here, matching the SQL lag() shape
+        return per.groupby("user_id", as_index=False, sort=False).agg(
+            n_gaps=("gap", "size"),
+            total_gap_us=("gap", "sum"),
+            max_gap_us=("gap", "max"),
         )
 
-    return ds.groupby("user_id", num_partitions=n_parts).map_groups(
-        gaps, batch_format="pandas"
-    )
+    return _bucketed_groups(ds, "user_id", n_parts, gaps)
 
 
 def q_distinct_parts(sf_dir: str):
@@ -483,17 +499,18 @@ def q_distinct_parts(sf_dir: str):
     )
     n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/lineitem.parquet"))
 
-    def nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "l_returnflag": [g["l_returnflag"].iloc[0]],
-                "n_parts": np.asarray([g["l_partkey"].nunique()], "int64"),
-            }
+    # partition by PARTKEY, not flag: 3 flag values would put the whole
+    # table through 3 groups (skew); partkey-disjoint buckets each count
+    # their own distinct (flag, partkey) pairs, then a tiny flag-sum merges
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        per = pd.DataFrame(
+            {"l_returnflag": d["l_returnflag"], "n_parts": np.ones(len(d), "int64")}
         )
+        return per.groupby("l_returnflag", as_index=False, sort=False).sum()
 
-    return deduped.groupby("l_returnflag", num_partitions=n_parts).map_groups(
-        nunique, batch_format="pandas"
-    )
+    partials = _bucketed_groups(deduped, "l_partkey", n_parts, count_bucket)
+    return _sum_combine(partials, "l_returnflag", est_keys=8)
 
 
 def q_filter_topk(sf_dir: str):
@@ -721,12 +738,15 @@ def q_top_event_per_user(sf_dir: str):
     )
     n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
 
-    def top1(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(
-            ["value", "event_id"], ascending=[False, True]
-        ).head(1)[["user_id", "event_id", "value"]]
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        # global sort by (value desc, event_id asc) + first-per-user ==
+        # per-user argmax with the same tie-break, one vectorized pass
+        g = g.sort_values(["value", "event_id"], ascending=[False, True], kind="stable")
+        return g.drop_duplicates("user_id", keep="first")[
+            ["user_id", "event_id", "value"]
+        ]
 
-    return ds.groupby("user_id", num_partitions=n_parts).map_groups(top1, batch_format="pandas")
+    return _bucketed_groups(ds, "user_id", n_parts, top1)
 
 
 # --- documents table ---
