@@ -89,12 +89,23 @@ def run_benchmarks() -> dict:
     read_corpus(corpus).count()
 
     timings: dict = {}
+    raw_runs: dict = {}
     n_docs = 0
 
     def timed(name, fn):
+        # min-of-2 for EVERY stage (uniform protocol — the r2 bench applied
+        # it to extract only, which biased the headline; both raw draws are
+        # recorded): this host's neighbor noise swings wall time up to 2x
+        # between minutes (BASELINE.md series) and a single unlucky draw
+        # would read as an engine regression
         t0 = time.time()
         out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        r1 = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn()
+        r2 = round(time.time() - t0, 3)
+        timings[name] = min(r1, r2)
+        raw_runs[name] = [r1, r2]
         return out
 
     # headline: full extraction of the interleaved corpus (fused
@@ -108,14 +119,8 @@ def run_benchmarks() -> dict:
         ds = extract_spans_fused(corpus, SMART_CROP_CONFIG)
         return ds.count()
 
-    t0 = time.time()
-    n_docs = _extract()
-    run1 = round(time.time() - t0, 3)
-    t0 = time.time()
-    _extract()
-    run2 = round(time.time() - t0, 3)
-    timings["extract"] = min(run1, run2)
-    extract_runs = [run1, run2]
+    n_docs = timed("extract", _extract)
+    extract_runs = raw_runs["extract"]
 
     if os.environ.get("BENCH_ONLY") == "extract":
         ray.shutdown()
@@ -125,6 +130,7 @@ def run_benchmarks() -> dict:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "query_runs": raw_runs,
             "sf": _sf_label(SF_DIR),
             "num_cpus": NUM_CPUS,
             "n_docs_extracted": n_docs,
@@ -142,12 +148,15 @@ def run_benchmarks() -> dict:
 
     ray.shutdown()
 
+    control = _noise_control()
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline pipelines wall time (extract + relational suite)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_runs": raw_runs,
         "sf": _sf_label(SF_DIR),
         "num_cpus": NUM_CPUS,
         "n_docs_extracted": n_docs,
@@ -155,7 +164,46 @@ def run_benchmarks() -> dict:
         "docs_per_sec_extract": round(n_docs / timings["extract"], 2)
         if timings.get("extract")
         else None,
+        "noise_control": control,
     }
+
+
+def _noise_control() -> dict:
+    """Fixed Ray-free multiprocessing control recorded alongside every suite
+    run: the same deterministic numpy workload (600x600 matmul x60, one
+    task per CPU) on the bare host.  ``par_inflation`` — mean parallel task
+    time over serial task time — is the host's concurrency tax at bench
+    time; on a quiet host it reads ~1.0-1.2, during neighbor-noise windows
+    it reads 1.5-2x+ (BASELINE.md series).  Lets any reader separate engine
+    regressions from host contention in the recorded number."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    serial = _burn(0)
+    with mp.Pool(NUM_CPUS) as pool:
+        t0 = time.time()
+        tasks = pool.map(_burn, range(NUM_CPUS))
+        wall = round(time.time() - t0, 3)
+    mean_task = round(sum(tasks) / len(tasks), 3)
+    return {
+        "serial_task_sec": round(serial, 3),
+        "parallel_wall_sec": wall,
+        "parallel_mean_task_sec": mean_task,
+        "par_inflation": round(mean_task / serial, 3) if serial else None,
+        "n_procs": NUM_CPUS,
+    }
+
+
+def _burn(_i) -> float:
+    import numpy as np
+
+    a = np.random.default_rng(0).random((600, 600))
+    t0 = time.time()
+    for _ in range(60):
+        a = a @ a
+        a /= np.abs(a).max() + 1.0  # keep values bounded
+    return time.time() - t0
 
 
 def run_scaling() -> dict:
