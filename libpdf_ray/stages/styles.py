@@ -119,8 +119,24 @@ def styles_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
 
 def rect_styles_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    import dataclasses
+
     from ..kernels.document import extract_document_full
 
+    # rects-only slice: the view carries no uid and no cross-element state,
+    # so every other extraction stage (figures/tables/paragraph rendering,
+    # outline chapter matching — the difflib path — and link resolution)
+    # is toggled off; rect geometry/color/cropped-text output is identical
+    # (rects interact with no other element kind in the reference,
+    # libpdf/extract.py:662-731)
+    cfg = dataclasses.replace(
+        cfg,
+        no_chapters=True,
+        no_paragraphs=True,
+        no_tables=True,
+        no_figures=True,
+        no_annotations=True,
+    )
     rows = batch.to_pylist()
     cols: dict = {
         k: []
