@@ -117,7 +117,8 @@ def list_fragments(paths) -> list:
 
 
 def extract_spans_fused(paths, cfg: PipelineConfig | None = None,
-                        fragments_per_task: int | None = None):
+                        fragments_per_task: int | None = None,
+                        row_filter=None):
     """Read+parse FUSED into one task per parquet row group.
 
     The separate ReadParquet → MapBatches plan ships every raw block
@@ -133,6 +134,11 @@ def extract_spans_fused(paths, cfg: PipelineConfig | None = None,
     corpus' row-group size — keep writing corpora with
     ``row_group_size ≈ parse_batch_size`` (fixtures.write_corpus default).
     Column pruning is preserved (``read_row_group(columns=...)``).
+
+    ``row_filter``: optional callable ``pa.Table -> pa.BooleanArray``
+    applied to each fragment INSIDE the fused task (the stand-in for the
+    reader predicate this path gives up) — rows failing it never reach the
+    parser or the object store.
     """
     import pyarrow as pa
     import pyarrow.parquet as _pq
@@ -161,6 +167,8 @@ def extract_spans_fused(paths, cfg: PipelineConfig | None = None,
                 int(item["rg"]),
                 columns=[c for c in PARSE_COLUMNS if c in avail],
             )
+            if row_filter is not None:
+                t = t.filter(row_filter(t))
             outs.append(parse_batch(t, cfg))
         return pa.concat_tables(outs)
 

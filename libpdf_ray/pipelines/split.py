@@ -40,7 +40,7 @@ import pyarrow as pa
 from ..config import PipelineConfig
 from ..kernels.document import finish_document, prepare_pages, selected_pages
 from ..schema import SPANS_TYPE
-from .extract import PARSE_COLUMNS, extract_spans
+from .extract import PARSE_COLUMNS, extract_spans_fused, list_fragments
 
 
 #: sidecar columns the finish phase needs besides the prepared payload
@@ -183,34 +183,42 @@ def extract_spans_split(
     heavy docs page-split → parallel prepare → groupby(doc_id) finish.
 
     Returns a Dataset of (doc_id, spans, n_spans) unioned across both
-    branches (plus est_pages/error columns on the light branch)."""
+    branches (plus est_pages/error columns on the light branch).
+
+    Both branches use the FUSED fragment read (read_row_group inside the
+    task): the light branch via ``extract_spans_fused`` with an in-task
+    ``est_pages < heavy_pages`` row filter, the heavy branch via a fused
+    read+explode — raw word-struct blocks never enter the object store on
+    either path (previously the heavy scan shipped every raw block to the
+    explode stage)."""
     import pandas as pd
-    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
     import ray.data
 
     cfg = cfg or PipelineConfig()
-    field = pads.field("est_pages")
-    # light branch: scan-level pushdown is fine (no shuffle downstream)
-    light = ray.data.read_parquet(
-        paths, columns=PARSE_COLUMNS, filter=field < heavy_pages
-    )
-    # heavy branch: row filter inside the explode stage (see _explode_heavy)
-    heavy = ray.data.read_parquet(paths, columns=PARSE_COLUMNS)
 
-    light_out = extract_spans(light, cfg).map_batches(
+    light_out = extract_spans_fused(
+        paths, cfg,
+        row_filter=lambda t: pc.less(t.column("est_pages"), heavy_pages),
+    ).map_batches(
         lambda df: df[["doc_id", "spans", "n_spans"]], batch_format="pandas"
     )
 
-    sub_rows = heavy.map_batches(
-        _explode_heavy,
-        fn_kwargs={
-            "cfg": cfg,
-            "split_pages": split_pages,
-            "heavy_pages": heavy_pages,
-        },
-        batch_format="pyarrow",
-        batch_size=1,
-    )
+    def read_and_explode(batch: pa.Table):
+        for item in batch.to_pylist():
+            pf = _pq.ParquetFile(item["path"])
+            avail = set(pf.schema_arrow.names)
+            t = pf.read_row_group(
+                int(item["rg"]),
+                columns=[c for c in PARSE_COLUMNS if c in avail],
+            )
+            yield from _explode_heavy(t, cfg, split_pages, heavy_pages)
+
+    items = list_fragments(paths)
+    sub_rows = ray.data.from_items(
+        items, override_num_blocks=max(1, len(items))
+    ).map_batches(read_and_explode, batch_format="pyarrow", batch_size=1)
     # the repartition breaks operator FUSION (explode->prepare would
     # otherwise run as ONE task per input block, serializing all ranges of
     # a manual on one worker) and spreads sub-rows one-per-block; the
