@@ -449,8 +449,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY kind
         """,
         "pages": f"""
-            SELECT doc_id, unnest(pages, recursive := true)
-            FROM read_parquet('{corpus}')
+            -- obj_id is a raw-sidecar internal (annot dest resolution);
+            -- the Page surface is number/width/height (models/page.py)
+            SELECT doc_id, p.number AS number, p.width AS width,
+                   p.height AS height
+            FROM (
+                SELECT doc_id, unnest(pages) AS p
+                FROM read_parquet('{corpus}')
+            )
         """,
         "file_meta": f"""
             SELECT doc_id,

@@ -150,6 +150,13 @@ def _line_chars(line: str, x0: float, y1_line: float, ncolor=None, fontname=None
     return out
 
 
+def _page_obj_id(page_no: int) -> int:
+    """Deterministic page OBJECT id — deliberately non-identity and
+    decreasing so an engine that confuses object ids with page numbers
+    (or assumes monotone ids) fails the links oracle."""
+    return 9973 - 31 * page_no
+
+
 class FlowBuilder:
     """Places content top-down in a page flow, recording raw layout and
     expected spans in one pass (placement order == reading order by
@@ -161,13 +168,16 @@ class FlowBuilder:
         self.rng = rng
         self.page_no = 1
         self.cursor = TOP_Y
-        self.pages = [{"number": 1, "width": PAGE_W, "height": PAGE_H}]
+        self.pages = [{"number": 1, "obj_id": _page_obj_id(1), "width": PAGE_W, "height": PAGE_H}]
         self.textboxes: list = []
         self.outline_entries: list = []  # {path,title,page,x0,y1,dest_kind}
         self.rects: list = []
         self.segments: list = []
         self.figures: list = []
         self.annotations: list = []
+        # extra RAW annot structs appended verbatim to raw_annots: noise the
+        # engine must skip (non-Link subtypes, non-GoTo actions)
+        self.raw_noise_annots: list = []
         self.named_dests: list = []  # {name,page,x,y}
         self.expected: list = []
         self.expected_cells: list = []
@@ -183,7 +193,8 @@ class FlowBuilder:
     # --- flow management ---
     def new_page(self):
         self.page_no += 1
-        self.pages.append({"number": self.page_no, "width": PAGE_W, "height": PAGE_H})
+        self.pages.append({"number": self.page_no, "obj_id": _page_obj_id(self.page_no),
+                           "width": PAGE_W, "height": PAGE_H})
         self.cursor = TOP_Y
 
     def _gap(self) -> float:
@@ -260,6 +271,21 @@ class FlowBuilder:
                 elif ncolor is not None or fontname is not None:
                     styles = [(ncolor, fontname)] * len(ln.split(" "))
                 runs.extend(_line_words(ln, float(x0), y1_line, styles))
+        if as_chars:
+            # pdfminer layout analysis injects pseudo ``anno`` whitespace
+            # glyphs with NO geometry into char streams (the pdfplumber
+            # quirk the reference scrubs in delete_page_ann,
+            # extract.py:446-486); NaN boxes encode "no coordinates" —
+            # the engine must delete them before assembly
+            nan = float("nan")
+            for _ in range(1 + int(self.rng.integers(0, 3))):
+                runs.append(
+                    {
+                        "text": " " if int(self.rng.integers(0, 2)) else "\n",
+                        "x0": nan, "y0": nan, "x1": nan, "y1": nan,
+                        "ncolor": None, "fontname": None,
+                    }
+                )
         self.rng.shuffle(runs)
         tb = {
             "page": page_no,
@@ -555,7 +581,7 @@ class FlowBuilder:
             "rects": self.rects,
             "segments": self.segments,
             "figures": self.figures,
-            "annotations": self.annotations,
+            "raw_annots": self._raw_annots(),
             "expected_spans": [
                 {
                     "kind": sp["kind"],
@@ -569,6 +595,43 @@ class FlowBuilder:
             "expected_links": self.expected_links,
             "expected_elements": self._derive_expected_elements(),
         }
+
+    def _raw_annots(self) -> list:
+        """Serialize the builder's resolved link intents as RAW annot
+        objects (schema v6): the engine must re-derive what the builder
+        knows.  Destination carriers alternate between the /A GoTo action
+        and the direct /Dest encodings (both resolve identically,
+        libpdf/catalog.py:442-520); explicit dests reference the target
+        page by OBJECT id; ``dest_fit`` intents encode as [page /Fit]
+        (engine must fall back to x=0 / y=MediaBox-top).  Noise structs
+        (non-Link subtypes, non-GoTo actions) are appended verbatim."""
+        out = []
+        for i, anno in enumerate(self.annotations):
+            enc = "action" if i % 2 == 0 else "dest"
+            rec = {
+                "page": int(anno["page"]),
+                "x0": float(anno["x0"]),
+                "y0": float(anno["y0"]),
+                "x1": float(anno["x1"]),
+                "y1": float(anno["y1"]),
+                "subtype": "Link",
+                "encoding": enc,
+                "action_type": "GoTo" if enc == "action" else "",
+                "dest_kind": "named",
+                "dest_page_obj": -1,
+                "dest_x": 0.0,
+                "dest_y": 0.0,
+                "dest_name": anno.get("dest_name") or "",
+            }
+            if not rec["dest_name"]:
+                rec["dest_kind"] = "fit" if anno.get("dest_fit") else "xyz"
+                rec["dest_page_obj"] = _page_obj_id(int(anno["dest_page"]))
+                if rec["dest_kind"] == "xyz":
+                    rec["dest_x"] = float(anno["dest_x"])
+                    rec["dest_y"] = float(anno["dest_y"])
+            out.append(rec)
+        out.extend(self.raw_noise_annots)
+        return out
 
     def _derive_expected_elements(self) -> list:
         """Element-identity oracle rows (uid, etype, page, text, media_ref,
@@ -890,6 +953,11 @@ def _fam_linked(b: FlowBuilder, rng):
     # paragraph C: link into empty space → raw page-coordinate fallback
     line_c = _body_line(rng)
     tb_c = b.add_par([line_c])
+    # paragraph D: [page /Fit] destination → engine falls back to
+    # x=0 / y=MediaBox-top of the target page (catalog.py:393-398);
+    # nothing sits at the page's top-left, so the raw-coordinate target
+    line_d = _body_line(rng)
+    tb_d = b.add_par([line_d])
     b.new_page()
     _, h2_y1 = b.add_heading("2", f"2 {t2}")
     h2_page = b.page_no
@@ -907,12 +975,38 @@ def _fam_linked(b: FlowBuilder, rng):
                 "dest_x": dest.get("x", 0.0),
                 "dest_y": dest.get("y", 0.0),
                 "dest_name": dest.get("name", ""),
+                "dest_fit": dest.get("fit", False),
             }
         )
 
     anno(tb_a, s, e, page=h2_page, x=MARGIN_X, y=h2_y1)
     anno(tb_b, 0, e_b, name="sec2")
     anno(tb_c, 0, 5, page=h2_page, x=560.0, y=400.0)
+    anno(tb_d, 0, 5, page=h2_page, fit=True)
+    # raw-annot noise the engine must SKIP: a URI action (link target not
+    # in this document, catalog.py:485-490) and a non-Link subtype
+    # (catalog.py:572) — both over real text, so a missing filter would
+    # emit extra link spans and fail the family
+    b.raw_noise_annots.append(
+        {
+            "page": tb_a["page"], "x0": tb_a["x0"] + 1,
+            "y0": tb_a["y1"] - LINE_H, "x1": tb_a["x0"] + 4 * CHAR_W,
+            "y1": tb_a["y1"], "subtype": "Link", "encoding": "action",
+            "action_type": "URI", "dest_kind": "", "dest_page_obj": -1,
+            "dest_x": 0.0, "dest_y": 0.0,
+            "dest_name": "https://example.invalid/external",
+        }
+    )
+    b.raw_noise_annots.append(
+        {
+            "page": tb_b["page"], "x0": tb_b["x0"] + 1,
+            "y0": tb_b["y1"] - LINE_H, "x1": tb_b["x0"] + 4 * CHAR_W,
+            "y1": tb_b["y1"], "subtype": "Square", "encoding": "dest",
+            "action_type": "", "dest_kind": "xyz",
+            "dest_page_obj": _page_obj_id(1), "dest_x": 100.0,
+            "dest_y": 100.0, "dest_name": "",
+        }
+    )
     b.named_dests.append(
         {"name": "sec2", "page": h2_page, "x": MARGIN_X, "y": h2_y1}
     )
@@ -929,16 +1023,20 @@ def _fam_linked(b: FlowBuilder, rng):
         link_span(line_b[0:e_b], "chapter.2"),
         b.expected[3],  # C
         link_span(line_c[0:5], f"page.{h2_page}/560.0:400.0"),
-        b.expected[4],  # ch2
-        b.expected[5],  # trailing paragraph
+        b.expected[4],  # D
+        link_span(line_d[0:5], f"page.{h2_page}/0.0:{PAGE_H}"),
+        b.expected[5],  # ch2
+        b.expected[6],  # trailing paragraph
     ]
-    # links view oracle: paragraphs A/B/C are chapter.1's 1st-3rd paragraphs
+    # links view oracle: paragraphs A–D are chapter.1's 1st-4th paragraphs
     b.expect_link("chapter.1/paragraph.1", "paragraph", s, e,
                   line_a[s:e], "chapter.2")
     b.expect_link("chapter.1/paragraph.2", "paragraph", 0, e_b,
                   line_b[0:e_b], "chapter.2")
     b.expect_link("chapter.1/paragraph.3", "paragraph", 0, 5,
                   line_c[0:5], f"page.{h2_page}/560.0:400.0")
+    b.expect_link("chapter.1/paragraph.4", "paragraph", 0, 5,
+                  line_d[0:5], f"page.{h2_page}/0.0:{PAGE_H}")
 
 
 def _fam_twocolumn(b: FlowBuilder, rng):

@@ -149,3 +149,73 @@ def resolve_catalog(doc: dict) -> tuple:
         named,
     )
     return tree, named
+
+
+def resolve_raw_annotations(raw_annots: list, pages: list) -> list:
+    """Resolve RAW page-annotation objects into link annos (the engine
+    analog of ``annotation_dict_extraction`` + ``update_ann_info``,
+    libpdf/catalog.py:403-583):
+
+    - only ``Subtype == Link`` annots are considered (catalog.py:572);
+    - an ``/A`` action carrier counts only when the action is ``GoTo`` —
+      any other action (URI, Launch, …) targets outside the document and
+      the annot is skipped (catalog.py:450,485-490);
+    - explicit destinations reference the target page by OBJECT id; the
+      page number is found by scanning the page list for a matching id
+      (``get_explict_dest``, catalog.py:384-389);
+    - ``[page /XYZ x y zoom]`` yields (x, y); any other dest array form
+      (``/Fit`` &c.) falls back to x=0 / y=MediaBox top of the TARGET
+      page (catalog.py:393-398);
+    - named destinations pass through as ``dest_name`` for the Names-tree
+      lookup downstream (catalog.py:471-483).
+
+    Returns resolved dicts ``{page, x0, y0, x1, y1, dest_page, dest_x,
+    dest_y, dest_name}`` — the shape ``extract_linked_chars`` consumes.
+    """
+    if not raw_annots:
+        return []
+    page_by_obj = {}
+    for p in pages or []:
+        oid = p.get("obj_id")
+        if oid is not None:
+            page_by_obj[int(oid)] = p
+    out: list = []
+    for ann in raw_annots:
+        if (ann.get("subtype") or "") != "Link":
+            continue
+        if (ann.get("encoding") or "") == "action" and (
+            ann.get("action_type") or ""
+        ) != "GoTo":
+            continue  # link target is not in this document
+        rec = {
+            "page": int(ann["page"]),
+            "x0": float(ann["x0"]),
+            "y0": float(ann["y0"]),
+            "x1": float(ann["x1"]),
+            "y1": float(ann["y1"]),
+            "dest_page": 0,
+            "dest_x": 0.0,
+            "dest_y": 0.0,
+            "dest_name": "",
+        }
+        kind = ann.get("dest_kind") or ""
+        if kind == "named":
+            name = ann.get("dest_name") or ""
+            if not name:
+                continue
+            rec["dest_name"] = name
+        else:
+            target = page_by_obj.get(int(ann.get("dest_page_obj") or -1))
+            if target is None:
+                # dangling page object reference — the reference would
+                # carry dest_page_num=None and fail later; drop the annot
+                continue
+            rec["dest_page"] = int(target["number"])
+            if kind == "xyz":
+                rec["dest_x"] = float(ann.get("dest_x") or 0.0)
+                rec["dest_y"] = float(ann.get("dest_y") or 0.0)
+            else:  # fit (or any non-XYZ dest array): page top
+                rec["dest_x"] = 0.0
+                rec["dest_y"] = float(target.get("height") or 0.0)
+        out.append(rec)
+    return out

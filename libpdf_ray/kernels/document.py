@@ -54,7 +54,7 @@ generator derives expected spans from the same conventions):
 from __future__ import annotations
 
 from ..config import PipelineConfig
-from .catalog import resolve_catalog
+from .catalog import resolve_catalog, resolve_raw_annotations
 from .chapters import (
     assign_chapter_numbers,
     chapter_examiner,
@@ -193,7 +193,11 @@ def prepare_pages(
 
     annos_by_page: dict = {}
     if not cfg.no_annotations:
-        for anno in doc.get("annotations") or []:
+        # raw annot objects → resolved link annos (Link/GoTo filters,
+        # explicit-dest page-object lookup; catalog.py:403-583)
+        for anno in resolve_raw_annotations(
+            doc.get("raw_annots") or [], doc.get("pages") or []
+        ):
             if int(anno["page"]) in subset:
                 annos_by_page.setdefault(int(anno["page"]), []).append(anno)
 

@@ -127,6 +127,25 @@ def _line_from_words(words: list) -> dict:
     return line
 
 
+def is_pseudo_anno(run: dict) -> bool:
+    """pdfminer layout analysis injects pseudo ``anno`` whitespace glyphs
+    with NO geometry into the char stream; the reference deletes them
+    before any processing (``delete_page_ann``, libpdf/extract.py:446-486:
+    ``object_type == "anno" and text in [" ", "\\n"]``).  Our sidecar
+    encodes "no coordinates" as NaN boxes — real space chars always carry
+    a real box, so the predicate is exact."""
+    if run.get("text") not in (" ", "\n"):
+        return False
+    x0 = run.get("x0")
+    return x0 is None or x0 != x0  # NaN test without importing math
+
+
+def delete_pseudo_annos(chars: list) -> list:
+    """Drop layout-analysis pseudo-anno glyphs from a char run list
+    (engine analog of ``delete_page_ann``, libpdf/extract.py:446-486)."""
+    return [c for c in chars if not is_pseudo_anno(c)]
+
+
 def assemble_textbox_lines(
     textbox: dict,
     y_tolerance: float = 0.5,
@@ -137,10 +156,12 @@ def assemble_textbox_lines(
 
     Accepts, in priority order: ``chars`` (rawest — char→word→line), then
     ``words`` (word→line), then pre-assembled ``lines`` (legacy corpora /
-    unit tests).  Returns ``[{"text", "ncolor", "fontname", "words"}, …]``
-    top-to-bottom."""
+    unit tests).  Pseudo-anno whitespace glyphs are deleted from char
+    streams first (libpdf/extract.py:446-486).  Returns ``[{"text",
+    "ncolor", "fontname", "words"}, …]`` top-to-bottom."""
     chars = textbox.get("chars")
     if chars:
+        chars = delete_pseudo_annos(chars)
         line_groups = _cluster_into_lines(list(chars), y_tolerance)
         return [
             _line_from_words(_chars_to_words(g, word_margin)) for g in line_groups
@@ -203,6 +224,31 @@ def assemble_lines_from_arrays(
     n = len(wt["text"])
     if n == 0:
         return []
+    if is_chars:
+        # delete pseudo-anno whitespace glyphs (no geometry ⇒ NaN box;
+        # libpdf/extract.py:446-486) BEFORE the geometric sort — NaN
+        # y-centers would poison the lexsort.  Text check only runs on
+        # the (rare) NaN rows.
+        nan_idx = np.nonzero(np.isnan(wt["x0"]))[0]
+        if len(nan_idx):
+            keep = np.ones(n, dtype=bool)
+            for i in nan_idx.tolist():
+                if wt["text"][i] in (" ", "\n"):
+                    keep[i] = False
+            if not keep.all():
+                ki = np.nonzero(keep)[0]
+                wt = {
+                    "text": [wt["text"][i] for i in ki],
+                    "ncolor": [wt["ncolor"][i] for i in ki],
+                    "fontname": [wt["fontname"][i] for i in ki],
+                    "x0": wt["x0"][ki],
+                    "y0": wt["y0"][ki],
+                    "x1": wt["x1"][ki],
+                    "y1": wt["y1"][ki],
+                }
+                n = len(wt["text"])
+                if n == 0:
+                    return []
     yc = (wt["y0"] + wt["y1"]) / 2.0
     order = np.lexsort((wt["x0"], -yc))
     yc_o = yc[order]

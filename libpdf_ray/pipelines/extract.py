@@ -40,14 +40,14 @@ PARSE_COLUMNS = [
     "rects",
     "segments",
     "figures",
-    "annotations",
+    "raw_annots",
 ]
 
 
 def read_corpus(paths, columns=PARSE_COLUMNS, **kwargs) -> "ray.data.Dataset":
     """Read the sidecar corpus with column pruning at the read.
 
-    Optional sidecar columns (rects, figures, annotations, …) may be
+    Optional sidecar columns (rects, figures, raw_annots, …) may be
     absent in lean corpora; the projection intersects with the actual file
     schema so such corpora parse with the matching stages as no-ops."""
     if columns:

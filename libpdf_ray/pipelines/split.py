@@ -78,7 +78,7 @@ def _prepare_split_batch(batch: pa.Table, cfg: PipelineConfig, split_pages: int)
     )
 
 
-_PAGE_LOCAL_COLUMNS = ("textboxes", "figures", "rects", "segments", "annotations")
+_PAGE_LOCAL_COLUMNS = ("textboxes", "figures", "rects", "segments", "raw_annots")
 _DOC_LEVEL_COLUMNS = ("doc_id", "est_pages", "pages", "outline_nodes", "outline_root", "names_nodes")
 
 

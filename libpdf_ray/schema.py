@@ -27,6 +27,14 @@ the generator, performs the hard reference operators:
 - ``meta`` carries the full FileMeta surface incl. subject/keywords/
   modified_date/trapped (libpdf/models/file_meta.py:15-64).
 
+Schema v6 (round 3) — annotations arrive RAW: one struct per page annot
+object (any subtype, action/dest encodings, unresolved page-object dest
+refs).  The engine performs the reference's full annotation resolution
+(libpdf/catalog.py:403-583) including the Link/GoTo filters and the
+explicit-dest page-object→page-number lookup via ``pages[].obj_id``; chars
+streams may carry pdfminer pseudo-``anno`` whitespace glyphs with no
+geometry, which the engine deletes (libpdf/extract.py:446-486).
+
 ``expected_spans`` / ``expected_cells`` are generator-as-oracle columns used
 ONLY by tests and DuckDB oracle queries — the pipeline's column pruning never
 reads them.
@@ -38,7 +46,7 @@ import pyarrow as pa
 
 #: bump when the sidecar layout changes — cache markers and corpus dirs
 #: embed this so stale fixture caches are never reused across rounds
-SCHEMA_VERSION = 5
+SCHEMA_VERSION = 6
 
 SPAN_STRUCT = pa.struct(
     [
@@ -137,6 +145,11 @@ RAW_DOC_SCHEMA = pa.schema(
                 pa.struct(
                     [
                         ("number", pa.int32()),
+                        # raw PDF page OBJECT id — explicit annot dests
+                        # reference pages by object id, not page number
+                        # (libpdf/catalog.py:384-389 pageid scan); the
+                        # engine builds the obj_id→number map itself
+                        ("obj_id", pa.int32()),
                         ("width", pa.float64()),
                         ("height", pa.float64()),
                     ]
@@ -261,8 +274,26 @@ RAW_DOC_SCHEMA = pa.schema(
                 )
             ),
         ),
+        # RAW page annotation objects (schema v6) — the pre-resolution
+        # encoding of what pdfminer hands the reference per page
+        # (libpdf/catalog.py:403-583 update_ann_info /
+        # annotation_dict_extraction).  The engine performs the whole
+        # resolution itself: Link-subtype filter, GoTo-action filter
+        # (non-GoTo = external target, skipped), explicit-dest page-object
+        # lookup, Fit → page-top fallback, named-dest pass-through.
+        #
+        # encoding ∈ {action, dest}: the two mutually-exclusive PDF ways to
+        #   carry a destination — an /A action dict vs a direct /Dest
+        #   (catalog.py:424-425 "Key A and Dest can not coexist").
+        # action_type: the /S name of the action ("GoTo", "URI", …); only
+        #   meaningful when encoding == action.
+        # dest_kind ∈ {xyz, fit, named}: explicit [page /XYZ x y zoom],
+        #   explicit [page /Fit] (x := 0, y := dest page MediaBox top,
+        #   catalog.py:393-398), or a name looked up in the Names tree.
+        # dest_page_obj: raw page OBJECT id for explicit dests (-1 for
+        #   named) — resolved against pages[].obj_id.
         (
-            "annotations",
+            "raw_annots",
             pa.list_(
                 pa.struct(
                     [
@@ -271,7 +302,11 @@ RAW_DOC_SCHEMA = pa.schema(
                         ("y0", pa.float64()),
                         ("x1", pa.float64()),
                         ("y1", pa.float64()),
-                        ("dest_page", pa.int32()),
+                        ("subtype", pa.string()),
+                        ("encoding", pa.string()),
+                        ("action_type", pa.string()),
+                        ("dest_kind", pa.string()),
+                        ("dest_page_obj", pa.int32()),
                         ("dest_x", pa.float64()),
                         ("dest_y", pa.float64()),
                         ("dest_name", pa.string()),

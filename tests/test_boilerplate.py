@@ -68,7 +68,7 @@ def test_poison_document_becomes_error_row(ray_session):
     bad["doc_id"] = "doc-poison"
     # null page height → float(None) raises inside extraction (schema stays
     # consistent so the Arrow ingest itself succeeds)
-    bad["pages"] = [{"number": 1, "width": 612.0, "height": None}]
+    bad["pages"] = [{"number": 1, "obj_id": 9942, "width": 612.0, "height": None}]
     ds = rd.from_items([good, bad])
     out = extract_spans(ds, SMART_CROP_CONFIG).to_pandas()
     assert len(out) == 2

@@ -255,3 +255,122 @@ class TestTextboxGrouping:
             assert len(doc["textboxes"]) == 1  # one soup in the sidecar
             assert doc["textboxes"][0]["ungrouped"] is True
             assert extract_document(doc, SMART_CROP_CONFIG) == doc["expected_spans"]
+
+
+class TestRawAnnotResolution:
+    """resolve_raw_annotations — the engine analog of
+    annotation_dict_extraction/update_ann_info (libpdf/catalog.py:403-583)."""
+
+    PAGES = [
+        {"number": 1, "obj_id": 900, "width": 612.0, "height": 792.0},
+        {"number": 2, "obj_id": 850, "width": 612.0, "height": 700.0},
+    ]
+
+    @staticmethod
+    def _ann(**kw):
+        base = {
+            "page": 1, "x0": 10.0, "y0": 10.0, "x1": 50.0, "y1": 22.0,
+            "subtype": "Link", "encoding": "dest", "action_type": "",
+            "dest_kind": "xyz", "dest_page_obj": 850, "dest_x": 5.0,
+            "dest_y": 6.0, "dest_name": "",
+        }
+        base.update(kw)
+        return base
+
+    def test_xyz_dest_resolves_page_by_object_id(self):
+        from libpdf_ray.kernels.catalog import resolve_raw_annotations
+
+        out = resolve_raw_annotations([self._ann()], self.PAGES)
+        assert out == [
+            {"page": 1, "x0": 10.0, "y0": 10.0, "x1": 50.0, "y1": 22.0,
+             "dest_page": 2, "dest_x": 5.0, "dest_y": 6.0, "dest_name": ""}
+        ]
+
+    def test_fit_dest_falls_back_to_target_page_top(self):
+        from libpdf_ray.kernels.catalog import resolve_raw_annotations
+
+        out = resolve_raw_annotations(
+            [self._ann(dest_kind="fit", dest_x=99.0, dest_y=99.0)], self.PAGES
+        )
+        assert out[0]["dest_x"] == 0.0
+        assert out[0]["dest_y"] == 700.0  # MediaBox top of page obj 850
+
+    def test_goto_action_and_direct_dest_resolve_identically(self):
+        from libpdf_ray.kernels.catalog import resolve_raw_annotations
+
+        via_dest = resolve_raw_annotations([self._ann()], self.PAGES)
+        via_action = resolve_raw_annotations(
+            [self._ann(encoding="action", action_type="GoTo")], self.PAGES
+        )
+        assert via_dest == via_action
+
+    def test_non_goto_action_is_skipped(self):
+        from libpdf_ray.kernels.catalog import resolve_raw_annotations
+
+        anns = [self._ann(encoding="action", action_type="URI",
+                          dest_name="https://x.invalid")]
+        assert resolve_raw_annotations(anns, self.PAGES) == []
+
+    def test_non_link_subtype_is_skipped(self):
+        from libpdf_ray.kernels.catalog import resolve_raw_annotations
+
+        assert resolve_raw_annotations(
+            [self._ann(subtype="Square")], self.PAGES
+        ) == []
+
+    def test_named_dest_passes_through(self):
+        from libpdf_ray.kernels.catalog import resolve_raw_annotations
+
+        out = resolve_raw_annotations(
+            [self._ann(dest_kind="named", dest_name="sec2")], self.PAGES
+        )
+        assert out[0]["dest_name"] == "sec2"
+        assert out[0]["dest_page"] == 0
+
+    def test_dangling_page_object_reference_dropped(self):
+        from libpdf_ray.kernels.catalog import resolve_raw_annotations
+
+        assert resolve_raw_annotations(
+            [self._ann(dest_page_obj=12345)], self.PAGES
+        ) == []
+
+
+class TestPseudoAnnoCleanup:
+    """delete_page_ann analog (libpdf/extract.py:446-486): layout-analysis
+    pseudo whitespace glyphs with NaN geometry are deleted before
+    assembly; REAL space chars (with boxes) still split words."""
+
+    def test_pseudo_glyphs_deleted_dict_path(self):
+        nan = float("nan")
+        chars = [_char("a", 0.0, 12.0), _char("b", 6.0, 12.0)]
+        chars.insert(1, {"text": " ", "x0": nan, "y0": nan, "x1": nan,
+                         "y1": nan, "ncolor": None, "fontname": None})
+        chars.append({"text": "\n", "x0": nan, "y0": nan, "x1": nan,
+                      "y1": nan, "ncolor": None, "fontname": None})
+        lines = assemble_textbox_lines({"chars": chars})
+        assert [ln["text"] for ln in lines] == ["ab"]
+
+    def test_pseudo_glyphs_deleted_array_path(self):
+        import numpy as np
+
+        from libpdf_ray.kernels.textmodel import assemble_lines_from_arrays
+
+        nan = float("nan")
+        wt = {
+            "text": ["a", " ", "b", "\n"],
+            "x0": np.array([0.0, nan, 6.0, nan]),
+            "y0": np.array([0.0, nan, 0.0, nan]),
+            "x1": np.array([6.0, nan, 12.0, nan]),
+            "y1": np.array([12.0, nan, 12.0, nan]),
+            "ncolor": [None] * 4,
+            "fontname": [None] * 4,
+        }
+        lines = assemble_lines_from_arrays(wt, is_chars=True)
+        assert [ln["text"] for ln in lines] == ["ab"]
+
+    def test_real_space_char_with_geometry_survives(self):
+        # an explicit space char WITH a box is a word break, not noise
+        chars = [_char("a", 0.0, 12.0), _char(" ", 6.0, 12.0),
+                 _char("b", 12.0, 12.0)]
+        lines = assemble_textbox_lines({"chars": chars})
+        assert [ln["text"] for ln in lines] == ["a b"]
