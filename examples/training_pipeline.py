@@ -41,12 +41,17 @@ pairs = minhash_lsh_pairs(
     rd.read_parquet(docs_path, columns=["doc_id", "text"]), threshold=0.8
 ).to_pandas()
 drop = set(pairs["id_b"])
-neardup_free = deduped.filter(lambda row: row["doc_id"] not in drop)
+# vectorized batch mask (a row-wise ds.filter(lambda) would run one Python
+# call per document); the drop set is tiny — closure capture ships it once
+# per task alongside the UDF
+neardup_free = deduped.map_batches(
+    lambda df: df[~df["doc_id"].isin(drop)], batch_format="pandas"
+)
 
 # 3. quality filter (actor-pool scorer) + token stats
 scored = neardup_free.map_batches(QualityScorer, batch_format="pandas",
                                   concurrency=2)
-kept = scored.filter(lambda row: row["q_keep"])
+kept = scored.map_batches(lambda df: df[df["q_keep"]], batch_format="pandas")
 stats = kept.map_batches(add_text_stats, batch_format="pandas")
 
 out = stats.map_batches(
