@@ -23,6 +23,11 @@ from typing import Any
 _QUERY_CORPUS_DOCS = 96
 
 
+def _read_sized(path, columns=None, **kw):
+    from libpdf_ray.ops.util import read_sized
+    return read_sized(path, columns=columns, **kw)
+
+
 def _query_corpus() -> str:
     """Deterministic synthetic interleaved corpus for the extraction
     queries (generator-as-oracle, seed=42; cached across calls).  The
@@ -102,7 +107,7 @@ def _q_langid(sf_dir: str):
     from libpdf_ray.ops.text import LangIdModel
     from libpdf_ray.ops.util import shuffle_partitions
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ds = _read_sized(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
     pred = ds.map_batches(LangIdModel, batch_format="pandas", concurrency=2)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -127,7 +132,7 @@ def _q_quality_filter(sf_dir: str):
     from libpdf_ray.ops.text import QualityScorer
     from libpdf_ray.ops.util import shuffle_partitions
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ds = _read_sized(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
     scored = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -152,7 +157,7 @@ def _q_fingerprints(sf_dir: str):
 
     from libpdf_ray.ops.text import add_fingerprint
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
         lambda df: add_fingerprint(df)[["doc_id", "fingerprint"]],
         batch_format="pandas",
@@ -164,7 +169,7 @@ def _q_simhash(sf_dir: str):
 
     from libpdf_ray.ops.dedup import SimHasher
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     hashed = ds.map_batches(SimHasher, batch_format="pandas", concurrency=2)
     return hashed.map_batches(
         lambda df: df[["doc_id", "simhash"]], batch_format="pandas"
@@ -176,7 +181,7 @@ def _q_simhash_pairs(sf_dir: str):
 
     from libpdf_ray.ops.dedup import simhash_neardup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_neardup_pairs(ds, max_hamming=3)
 
 
@@ -185,7 +190,7 @@ def _q_minhash_pairs(sf_dir: str):
 
     from libpdf_ray.ops.dedup import minhash_lsh_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
@@ -194,7 +199,7 @@ def _q_embedding_neardup(sf_dir: str):
 
     from libpdf_ray.ops.dedup import embedding_neardup_pairs
 
-    ds = rd.read_parquet(
+    ds = _read_sized(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return embedding_neardup_pairs(ds, threshold=0.9)
@@ -212,7 +217,7 @@ def _q_knn_ivf(sf_dir: str):
     mat = np.stack(
         [np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()[:8]]
     )
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     centroids = ivf_fit_centroids(ds, n_cells=16)
     return knn_ivf(ds, {"ids": ids, "matrix": mat}, centroids, k=5, n_probe=4)
 
@@ -234,7 +239,7 @@ def _q_knn_ivf_partitioned(sf_dir: str):
     )
 
     src = f"{sf_dir}/embeddings.parquet"
-    ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    ds = _read_sized(src, columns=["vec_id", "embedding"])
     centroids = ivf_fit_centroids(ds, n_cells=16)
     st = os.stat(src)
     tag = hashlib.md5(
@@ -244,7 +249,7 @@ def _q_knn_ivf_partitioned(sf_dir: str):
     marker = os.path.join(index_dir, "_built")
     if not os.path.exists(marker):
         ivf_build_index(
-            rd.read_parquet(src, columns=["vec_id", "embedding"]),
+            _read_sized(src, columns=["vec_id", "embedding"]),
             centroids,
             index_dir,
         )
@@ -280,7 +285,7 @@ def _q_file_meta(sf_dir: str):
     from libpdf_ray.stages.meta import file_meta_table
 
     return file_meta_table(
-        rd.read_parquet(_query_corpus(), columns=["doc_id", "meta", "pages"])
+        _read_sized(_query_corpus(), columns=["doc_id", "meta", "pages"])
     )
 
 
@@ -289,7 +294,7 @@ def _q_pages(sf_dir: str):
 
     from libpdf_ray.stages.meta import pages_table
 
-    return pages_table(rd.read_parquet(_query_corpus(), columns=["doc_id", "pages"]))
+    return pages_table(_read_sized(_query_corpus(), columns=["doc_id", "pages"]))
 
 
 def _q_text_spans(sf_dir: str):
@@ -343,7 +348,7 @@ def _q_distinct_sketch(sf_dir: str):
 
     from libpdf_ray.ops.sketch import distinct_count_sketch
 
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    ds = _read_sized(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
     return distinct_count_sketch(ds, "l_partkey")
 
 
@@ -352,7 +357,7 @@ def _q_price_quantiles(sf_dir: str):
 
     from libpdf_ray.ops.sketch import quantile_sketch
 
-    ds = rd.read_parquet(
+    ds = _read_sized(
         f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
     )
     return quantile_sketch(ds, "l_extendedprice")

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from .text import add_text_stats
-from .util import file_bytes, shuffle_partitions
+from .util import file_bytes, read_sized, shuffle_partitions
 
 
 def _cents(col: pd.Series) -> pd.Series:
@@ -81,7 +81,7 @@ def _sum_combine(partials, key_cols, est_keys: int):
 
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary with partial aggregation."""
-    ds = rd.read_parquet(
+    ds = read_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -159,7 +159,7 @@ def q_top_customers(sf_dir: str):
     from .util import combine_partials, parquet_row_count, topk
 
     est_keys = parquet_row_count(f"{sf_dir}/customer.parquet")
-    ds = rd.read_parquet(
+    ds = read_sized(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -220,7 +220,7 @@ def q_revenue_by_nation(sf_dir: str):
     combiner: zero shuffle joins."""
     cust_nation = _lookup(sf_dir, "customer", "c_custkey", "c_nationkey")
     nation_name = _lookup(sf_dir, "nation", "n_nationkey", "n_name")
-    ds = rd.read_parquet(
+    ds = read_sized(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -253,7 +253,7 @@ def q_revenue_by_nation(sf_dir: str):
 def q_supplier_region(sf_dir: str):
     nation_region = _lookup(sf_dir, "nation", "n_nationkey", "n_regionkey")
     region_name = _lookup(sf_dir, "region", "r_regionkey", "r_name")
-    ds = rd.read_parquet(
+    ds = read_sized(
         f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
     )
 
@@ -283,7 +283,7 @@ def q_supplier_region(sf_dir: str):
 
 
 def q_order_priority(sf_dir: str):
-    ds = rd.read_parquet(
+    ds = read_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderdate"]
     )
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
@@ -307,7 +307,7 @@ def q_order_priority(sf_dir: str):
 
 
 def q_parts_by_brand(sf_dir: str):
-    ds = rd.read_parquet(
+    ds = read_sized(
         f"{sf_dir}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
     )
 
@@ -341,7 +341,7 @@ def q_parts_by_brand(sf_dir: str):
 def q_events_hourly(sf_dir: str):
     """Streaming-shaped log → keyed tumbling-window counts (the engine's
     window model: event-time bucketing as a grouped aggregate)."""
-    ds = rd.read_parquet(
+    ds = read_sized(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
 
@@ -403,7 +403,7 @@ def q_events_sessions(sf_dir: str, gap_seconds: int = 1800):
     """Sessionization: per-key ordered gap detection, vectorized over
     hash-disjoint user buckets (events sorted by (user, ts) inside each
     bucket; a session break is a user change or a gap > threshold)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = read_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
     gap_us = gap_seconds * 1_000_000
 
@@ -426,7 +426,7 @@ def q_events_sliding(sf_dir: str, window_hours: int = 2):
     """Sliding event-time windows (size 2h, step 1h): each event lands in
     ``window_hours`` buckets; expressed as a vectorized per-batch expansion
     + one grouped sum — the engine's sliding-window model."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    ds = read_sized(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         hour = df["ts"].astype("int64") // 3_600_000_000
@@ -465,7 +465,7 @@ def q_user_gaps(sf_dir: str):
     """LAG-window analog: per-user inter-event gap statistics (the
     event-time ordering + lag() OVER (PARTITION BY user ORDER BY ts)
     pattern), as a per-key sorted diff inside ``map_groups``."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = read_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
@@ -491,7 +491,7 @@ def q_distinct_parts(sf_dir: str):
     """COUNT(DISTINCT) with ONE shuffle: per-batch pair dedup (the
     combiner), then ``groupby(flag).map_groups(nunique)`` — the shuffle
     carries only the per-batch-distinct (flag, partkey) pairs."""
-    ds = rd.read_parquet(
+    ds = read_sized(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
     )
     deduped = ds.map_batches(
@@ -514,7 +514,7 @@ def q_distinct_parts(sf_dir: str):
 
 
 def q_filter_topk(sf_dir: str):
-    ds = rd.read_parquet(
+    ds = read_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -562,7 +562,7 @@ def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
             est_bytes=file_bytes(f"{sf_dir}/lineitem.parquet")
             + file_bytes(f"{sf_dir}/orders.parquet")
         )
-    li = rd.read_parquet(
+    li = read_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -583,7 +583,7 @@ def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
         return agg[["key", "rev_i", "n", "side", "o_orderpriority"]]
 
     left = li.map_batches(partial, batch_format="pandas")
-    orders = rd.read_parquet(
+    orders = read_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
 
@@ -659,7 +659,7 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         + file_bytes(f"{sf_dir}/orders.parquet")
     )
 
-    orders = rd.read_parquet(
+    orders = read_sized(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
@@ -675,7 +675,7 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             }
         )
 
-    li = rd.read_parquet(
+    li = read_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -733,7 +733,7 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
 def q_top_event_per_user(sf_dir: str):
     """Per-key argmax (window row_number()=1 analog) via
     groupby().map_groups with a total ordering."""
-    ds = rd.read_parquet(
+    ds = read_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
     )
     n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
@@ -753,7 +753,7 @@ def q_top_event_per_user(sf_dir: str):
 
 
 def q_doc_stats(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    ds = read_sized(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         part = pd.DataFrame(
@@ -782,7 +782,7 @@ def q_doc_stats(sf_dir: str):
 
 
 def q_token_counts(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ds = read_sized(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = add_text_stats(df)
@@ -811,7 +811,7 @@ def q_token_counts(sf_dir: str):
 
 
 def q_alpha_quality(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    ds = read_sized(f"{sf_dir}/documents.parquet", columns=["source", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = add_text_stats(df)
@@ -844,7 +844,7 @@ def q_exact_dedup(sf_dir: str):
     from .dedup import exact_dedup_stats
     from .util import parquet_row_count
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup_stats(
         ds, est_keys=parquet_row_count(f"{sf_dir}/documents.parquet")
     )
@@ -859,5 +859,5 @@ def q_knn(sf_dir: str, n_queries: int = 8, k: int = 5):
     q_mat = np.stack(
         [np.asarray(queries_t.column("embedding")[i].as_py(), dtype=np.float64) for i in mask]
     )
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_bruteforce(ds, {"ids": q_ids, "matrix": q_mat}, k=k)

@@ -231,3 +231,51 @@ def topk(ds, keys, descending, k: int):
     # ≤ k rows per input block survive; sort+head is associative, so the
     # tree merge finishes without a block-count-sized final task
     return tree_merge(survivors, partial)
+
+
+# Size-aware read block sizing: target this many FILE bytes per read block
+# (≈3× that decompressed in memory).  Ray Data's own parallelism floor is
+# 2× cluster CPUs regardless of input size, which splits a 10 MB table
+# into 64 sub-MB blocks and makes every downstream map stage pay ~64 task
+# launches for milliseconds of vectorized work each (measured: the read +
+# SplitBlocks(64) operator alone spent 1.5-2.0 s per query at sf0.1 while
+# its remote compute summed to ~120 ms).
+TARGET_READ_BLOCK_BYTES = 8 << 20
+
+
+def read_sized(path, columns=None, **kwargs):
+    """``read_parquet`` with column pruning and SIZE-AWARE block count.
+
+    Blocks ≈ file_bytes / :data:`TARGET_READ_BLOCK_BYTES`, clamped to
+    [1, 4 × cluster CPUs].  At warehouse scale the size term dominates and
+    the CPU cap binds, so behavior converges to Ray's default; at small
+    scale it stops paying per-task scheduling for confetti blocks.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    size = 0
+    try:
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                size += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        size = 0
+    if size <= 0:
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 8)
+    else:
+        cpus = os.cpu_count() or 8
+    blocks = max(1, min(4 * cpus, math.ceil(size / TARGET_READ_BLOCK_BYTES)))
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=blocks, **kwargs
+    )
