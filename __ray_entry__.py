@@ -194,6 +194,13 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    from libpdf_ray.ops.dedup import jaccard_pairs_exact
+
+    ds = _read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return jaccard_pairs_exact(ds, threshold=0.5, est_docs=1000)
+
+
 def _q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -417,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "jaccard_pairs": _q_jaccard_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
@@ -660,6 +668,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(doc_id) AS BIGINT) AS keep_id,
                    CAST(COUNT(*) AS BIGINT) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "jaccard_pairs": """
+            -- exact word-trigram Jaccard ≥ 0.5; threshold in INTEGERS
+            -- (inter·10000 ≥ 5000·uni) to match the engine bit-for-bit
+            WITH ws AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) >= 3 THEN
+                             list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                         WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                         ELSE CAST([] AS VARCHAR[]) END)) AS gram
+                FROM ws
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   CAST(i.c AS BIGINT) AS inter,
+                   CAST(sa.n + sb.n - i.c AS BIGINT) AS uni,
+                   i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.id_a
+            JOIN sz sb ON sb.doc_id = i.id_b
+            WHERE i.c * 10000 >= 5000 * (sa.n + sb.n - i.c)
         """,
         "knn_bruteforce": """
             WITH q AS (

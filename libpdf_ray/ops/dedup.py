@@ -639,6 +639,152 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, threshold: float = 0.5,
+                        max_df: int | None = None,
+                        est_docs: int | None = None):
+    """EXACT word-k-gram Jaccard for every document pair sharing ≥1 shingle.
+
+    The exact companion (and recall oracle) to :func:`minhash_lsh_pairs`
+    — same shingle definition, no signature approximation.  Output columns
+    ``(id_a, id_b, inter, uni, jaccard)`` with ``id_a < id_b`` and
+    ``jaccard = inter/uni ≥ threshold``; the threshold test runs in
+    INTEGERS (``inter·10000 ≥ round(threshold·10000)·uni``) so engine and
+    SQL oracle agree at the boundary bit-for-bit.
+
+    Distributed shape (inverted-index all-pairs, à la prefix-filtering
+    similarity joins):
+
+    1. ``map_batches``: per-doc DISTINCT shingle hashes (61-bit, the
+       MinHasher's) exploded to ``(gram, id, n)`` rows, where
+       ``n = |shingle set|`` rides along so the pair stage needs no extra
+       size join.  Bodies never leave the first stage.
+    2. ``groupby(gram)`` → per-gram pair rows ``(id_a, id_b, n_a, n_b)``
+       via ``np.triu_indices``.  Natural-language gram frequencies are
+       heavy-tailed — ``max_df`` drops grams present in more than that
+       many docs (a stop-gram cutoff; standard in exact similarity joins
+       because a gram shared by b docs emits b²/2 rows).  ``None`` = fully
+       exact; at 100 TB set it (a gram in >10⁴ docs contributes ~0 bits of
+       pair evidence but 10⁸ rows).
+    3. ``groupby(id_a, id_b)`` → ``inter`` = row count,
+       ``uni = n_a + n_b − inter``, integer threshold filter.
+
+    Both shuffles move scalar int64 rows only.  Collision note: distinct
+    grams are compared by 61-bit hash; a false shared-gram needs an md5
+    collision (≈2⁻⁶¹ per pair·gram) — negligible below ~10⁹ distinct
+    grams, and document-level jaccard shifts by at most 1/uni.
+    """
+    from .util import shuffle_partitions
+
+    thr = int(round(threshold * 10000))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        grams_col, ids_col, n_col = [], [], []
+        for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
+            g = np.unique(_shingle_hashes(text, k)) if text.split() else \
+                np.empty(0, dtype=np.uint64)
+            if len(g) == 0:
+                continue
+            grams_col.append(g.astype(np.int64))
+            ids_col.append(np.full(len(g), doc_id))
+            n_col.append(np.full(len(g), len(g), dtype=np.int64))
+        if not grams_col:
+            return pd.DataFrame({"gram": pd.Series([], dtype="int64"),
+                                 id_col: df[id_col].iloc[:0],
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"gram": np.concatenate(grams_col),
+                             id_col: np.concatenate(ids_col),
+                             "n": np.concatenate(n_col)})
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+
+    n_docs = est_docs if est_docs is not None else 10_000
+    n_parts = shuffle_partitions(est_keys=n_docs * 64)
+
+    # per-gram / per-pair groups are tiny (mostly 2-3 rows) — shuffling by a
+    # hash BUCKET and combining each bucket with one vectorized pandas/numpy
+    # pass avoids Ray's per-group map_groups dispatch (the exact_dedup_stats
+    # shape; measured order-of-magnitude on many-small-group workloads)
+    def add_gbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["gbucket"] = (df["gram"].to_numpy() % n_parts).astype(np.int64)
+        return df
+
+    def gram_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": bucket[id_col].iloc[:0],
+                              "id_b": bucket[id_col].iloc[:0],
+                              "n_a": pd.Series([], dtype="int64"),
+                              "n_b": pd.Series([], dtype="int64")})
+        if len(bucket) < 2:
+            return empty
+        order = np.lexsort((bucket[id_col].to_numpy(),
+                            bucket["gram"].to_numpy()))
+        grams = bucket["gram"].to_numpy()[order]
+        ids = bucket[id_col].to_numpy()[order]
+        ns = bucket["n"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
+        sizes = np.diff(np.r_[starts, len(grams)])
+        ia_parts, ib_parts = [], []
+        # one numpy shot per DISTINCT gram-frequency (heavy-tailed → a
+        # handful of sizes), not per gram
+        for m in np.unique(sizes):
+            if m < 2 or (max_df is not None and m > max_df):
+                continue
+            seg_starts = starts[sizes == m]
+            ii, jj = np.triu_indices(m, k=1)
+            ia_parts.append((seg_starts[:, None] + ii[None, :]).ravel())
+            ib_parts.append((seg_starts[:, None] + jj[None, :]).ravel())
+        if not ia_parts:
+            return empty
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                             "n_a": ns[ia], "n_b": ns[ib]})
+
+    pair_rows = (
+        exploded.map_batches(add_gbucket, batch_format="pandas")
+        .groupby("gbucket", num_partitions=n_parts)
+        .map_groups(gram_pairs, batch_format="pandas")
+    )
+
+    def add_pbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(
+            df[["id_a", "id_b"]], index=False
+        ).to_numpy()
+        df["pbucket"] = (h % np.uint64(n_parts)).astype(np.int64)
+        return df
+
+    def finish(bucket: pd.DataFrame) -> pd.DataFrame:
+        if len(bucket) == 0:
+            return pd.DataFrame({"id_a": bucket["id_a"],
+                                 "id_b": bucket["id_b"],
+                                 "inter": pd.Series([], dtype="int64"),
+                                 "uni": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        agg = (
+            bucket.groupby(["id_a", "id_b"], sort=False)
+            .agg(inter=("n_a", "size"), n_a=("n_a", "first"),
+                 n_b=("n_b", "first"))
+            .reset_index()
+        )
+        inter = agg["inter"].to_numpy(dtype=np.int64)
+        uni = (agg["n_a"].to_numpy(dtype=np.int64)
+               + agg["n_b"].to_numpy(dtype=np.int64) - inter)
+        keep = inter * 10000 >= thr * uni
+        return pd.DataFrame({"id_a": agg["id_a"].to_numpy()[keep],
+                             "id_b": agg["id_b"].to_numpy()[keep],
+                             "inter": inter[keep],
+                             "uni": uni[keep],
+                             "jaccard": inter[keep] / uni[keep]})
+
+    return (
+        pair_rows.map_batches(add_pbucket, batch_format="pandas")
+        .groupby("pbucket", num_partitions=n_parts)
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (random-hyperplane LSH)
 # ---------------------------------------------------------------------------

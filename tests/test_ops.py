@@ -121,6 +121,66 @@ class TestDedupDatasets:
         pairs = minhash_lsh_pairs(rd.from_items(rows), threshold=0.5).to_pandas()
         assert {(1, 2)} == set(zip(pairs["id_a"], pairs["id_b"]))
 
+    def test_jaccard_pairs_exact_matches_bruteforce(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import jaccard_pairs_exact, ngram_jaccard
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away"
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("away", "home")},
+            {"doc_id": 3, "text": base},  # exact duplicate of 1
+            {"doc_id": 4, "text": "totally unrelated words in this one here"},
+            {"doc_id": 5, "text": "two words"},  # < k words → one joined gram
+            {"doc_id": 6, "text": ""},  # no grams → never paired
+            {"doc_id": 7, "text": "two words"},  # dup of the short doc
+        ]
+        got = jaccard_pairs_exact(
+            rd.from_items(rows), threshold=0.3, est_docs=10
+        ).to_pandas()
+        got_pairs = {
+            (a, b): round(j, 6)
+            for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"])
+        }
+        texts = {r["doc_id"]: r["text"] for r in rows}
+        want_pairs = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            if not texts[a].split() or not texts[b].split():
+                continue  # op never pairs gram-less docs
+            j = ngram_jaccard(texts[a], texts[b])
+            # integer threshold semantics: inter·10000 ≥ 3000·uni
+            if j > 0 and j >= 0.3:
+                want_pairs[(a, b)] = round(j, 6)
+        assert got_pairs == want_pairs
+        # inter/uni are consistent with jaccard
+        assert (got["inter"] / got["uni"] == got["jaccard"]).all()
+        # exact duplicates score 1.0
+        assert got_pairs[(1, 3)] == 1.0 and got_pairs[(5, 7)] == 1.0
+
+    def test_jaccard_pairs_max_df_drops_stop_grams(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import jaccard_pairs_exact
+
+        # every doc shares the stop gram "a b c"; only 1/2 share the rest
+        rows = [
+            {"doc_id": i, "text": "a b c " + ("x y z w v" if i < 2 else f"u{i} q{i} r{i} s{i} t{i}")}
+            for i in range(6)
+        ]
+        full = jaccard_pairs_exact(
+            rd.from_items(rows), threshold=0.05, est_docs=10
+        ).to_pandas()
+        filtered = jaccard_pairs_exact(
+            rd.from_items(rows), threshold=0.05, est_docs=10, max_df=3
+        ).to_pandas()
+        # with the ubiquitous grams dropped, only the truly-overlapping pair
+        # (0,1) survives; the full run pairs everything through "a b c"
+        assert len(full) > len(filtered)
+        assert set(zip(filtered["id_a"], filtered["id_b"])) == {(0, 1)}
+
     def test_embedding_neardup(self, ray_session):
         import ray.data as rd
 
