@@ -17,7 +17,48 @@ verbatim because it decides ties).
 from __future__ import annotations
 
 import re
+from collections import Counter
 from difflib import SequenceMatcher
+
+
+def _ratio_from(matches: int, length: int) -> float:
+    # difflib._calculate_ratio, re-derived from its docs: both empty → 1.0
+    return 2.0 * matches / length if length else 1.0
+
+
+def _pruned_ratios(texts: list, counters: list, target: str):
+    """Exact ``SequenceMatcher(None, t, target).ratio()`` for every text that
+    could reach the maximum; upper-bound placeholders (< max) for the rest.
+
+    Returns ``(exact: dict[idx→ratio], max_ratio, ub: list)``.  Candidates
+    are visited in decreasing ``real_quick_ratio`` order (computable from
+    lengths alone); each is refined through ``quick_ratio`` (multiset char
+    overlap) and only then pays for the full quadratic match.  Both are
+    documented upper bounds of ``ratio()``, so every skipped candidate's
+    true ratio is strictly below the returned max."""
+    lb = len(target)
+    cb = Counter(target)
+    las = [len(t) for t in texts]
+    rqr = [_ratio_from(min(la, lb), la + lb) for la in las]
+    ub = list(rqr)
+    order = sorted(range(len(texts)), key=lambda j: -rqr[j])
+    exact: dict = {}
+    cur_max = -1.0
+    m = SequenceMatcher(None, "", target)
+    for j in order:
+        if rqr[j] < cur_max:
+            break  # sorted: everything after is lower still
+        inter = sum((counters[j] & cb).values())
+        q = _ratio_from(inter, las[j] + lb)
+        ub[j] = q
+        if q < cur_max:
+            continue
+        m.set_seq1(texts[j])
+        r = m.ratio()
+        exact[j] = r
+        if r > cur_max:
+            cur_max = r
+    return exact, cur_max, ub
 
 # Supported chapter indices: 1.2.3 | 2.a.i | 2.a.IV | 1.2.3. | A | A.a.2
 # (verbatim from libpdf/catalog.py:208-209)
@@ -125,32 +166,44 @@ def chapter_examiner(
     if not cand_idx:
         return []
 
-    # SequenceMatcher preprocesses seq2 (b2j) once per object — reuse one
-    # matcher per comparison target across all candidate boxes.  Values are
-    # bit-identical to constructing a fresh matcher per pair (the reference
-    # does the latter, textbox.py:357-371; this is the hot path of manual
-    # parsing, ~60 µs per ratio call).
+    # Full difflib ratio() per (candidate × target) dominated the whole
+    # extraction profile (~65% of extract_document).  The referee only ever
+    # READS exact values for argmax-winner groups and their tie-breaks, so
+    # prune with difflib's documented upper bounds (real_quick_ratio ≥
+    # quick_ratio ≥ ratio): exact ratios are computed branch-and-bound in
+    # upper-bound order, everything provably below the per-target max keeps
+    # its (strictly smaller) upper bound as a placeholder.  Winner groups,
+    # whole-dict equality ties and threshold tests are bit-identical to the
+    # all-exact reference semantics (textbox.py:357-371): any dict that
+    # could equal a group max gets all its keys computed exactly.
     is_virt = "virt." in chapter["number"]
-    m_title = SequenceMatcher(None, "", chapter["title"])
+    texts = [textboxes[i]["text"].strip() for i in cand_idx]
+    counters = [Counter(t) for t in texts]
+    keys = ("title",) if is_virt else ("title", "number", "content")
+    targets = {"title": chapter["title"]}
     if not is_virt:
-        m_number = SequenceMatcher(None, "", chapter["number"])
-        m_content = SequenceMatcher(
-            None, "", f"{chapter['number']} {chapter['title']}"
-        )
+        targets["number"] = chapter["number"]
+        targets["content"] = f"{chapter['number']} {chapter['title']}"
+    res = {k: _pruned_ratios(texts, counters, targets[k]) for k in keys}
+    needed = set()
+    for k in keys:
+        exact, mx, _ = res[k]
+        needed |= {j for j, v in exact.items() if v == mx}
+    for k in keys:
+        exact, _, _ = res[k]
+        missing = needed - exact.keys()
+        if missing:
+            m = SequenceMatcher(None, "", targets[k])
+            for j in missing:
+                m.set_seq1(texts[j])
+                exact[j] = m.ratio()
     sims = []
-    for i in cand_idx:
-        text = textboxes[i]["text"].strip()
-        m_title.set_seq1(text)
-        sim_title = m_title.ratio()
-        if is_virt:
-            sim_number = None
-            sim_content = None
-        else:
-            m_number.set_seq1(text)
-            sim_number = m_number.ratio()
-            m_content.set_seq1(text)
-            sim_content = m_content.ratio()
-        sims.append({"title": sim_title, "number": sim_number, "content": sim_content})
+    for j in range(len(texts)):
+        d = {"title": None, "number": None, "content": None}
+        for k in keys:
+            exact, _, ub = res[k]
+            d[k] = exact.get(j, ub[j])
+        sims.append(d)
 
     winners_local = _similarity_referee(
         sims,
