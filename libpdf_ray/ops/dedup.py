@@ -382,6 +382,12 @@ def _verified_pairs(
 
     sig_a = sig_join.map_batches(rename_side("a"), batch_format="pyarrow")
     sig_b = sig_join.map_batches(rename_side("b"), batch_format="pyarrow")
+    # deduped is post-shuffle: merge away the schema-less empty blocks Ray
+    # emits for unpopulated shuffle partitions before the Arrow hash join
+    # chokes on them (see ops/util.py:normalize_blocks)
+    from .util import normalize_blocks
+
+    deduped = normalize_blocks(deduped)
     joined = deduped.join(sig_a, "inner", num_partitions=join_parts, on=("id_a",))
     joined = joined.join(sig_b, "inner", num_partitions=join_parts, on=("id_b",))
     return joined.map_batches(batch_verify, batch_format="pandas")

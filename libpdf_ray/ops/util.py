@@ -44,6 +44,22 @@ def cluster_cpus(default: int = 8) -> int:
     return default
 
 
+def normalize_blocks(ds, target_blocks: int | None = None):
+    """Merge away the COLUMN-LESS empty pandas blocks that Ray's hash
+    shuffle emits for key-partitions that received no rows.
+
+    Map UDFs are skipped on empty blocks, so these schema-less empties
+    survive every downstream map stage — and then crash ``Dataset.join``
+    (Arrow: "No match or multiple matches for key field") or any other
+    consumer that needs a per-block schema.  ``repartition`` rebuilds
+    blocks by concatenation, which restores the real schema everywhere.
+
+    Cost: one pass over the dataset's bytes (no hash exchange).  Use on
+    the post-shuffle side(s) of a join; reads/maps from parquet never need
+    it."""
+    return ds.repartition(target_blocks or max(2, cluster_cpus() // 2))
+
+
 def shuffle_partitions(
     est_keys: int | None = None,
     est_bytes: int | None = None,
