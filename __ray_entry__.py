@@ -210,6 +210,23 @@ def _q_neardup_clusters(sf_dir: str):
     return connected_components(pairs, est_nodes=1000)
 
 
+def _q_dedup_docs(sf_dir: str):
+    """Full near-dup dedup pipeline: pair generation → transitive
+    clustering → drop everything but each cluster's representative."""
+    from libpdf_ray.ops.dedup import jaccard_pairs_exact
+    from libpdf_ray.ops.graph import (connected_components,
+                                      dedup_keep_representatives)
+
+    ds = _read_sized(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text", "lang", "source"])
+    pairs = jaccard_pairs_exact(
+        ds.select_columns(["doc_id", "text"]), threshold=0.5, est_docs=1000
+    )
+    clusters = connected_components(pairs, est_nodes=1000)
+    kept = dedup_keep_representatives(ds, clusters)
+    return kept.select_columns(["doc_id", "lang", "source"])
+
+
 def _q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -435,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "neardup_clusters": _q_neardup_clusters,
+        "dedup_docs": _q_dedup_docs,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
@@ -756,6 +774,57 @@ def oracle_sql() -> dict[str, str]:
                     SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
             )
             SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u
+        """,
+        "dedup_docs": """
+            -- full dedup: cluster the jaccard_pairs graph transitively and
+            -- keep only each cluster's min-id representative (plus every
+            -- unclustered document)
+            WITH RECURSIVE ws AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) >= 3 THEN
+                             list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                         WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                         ELSE CAST([] AS VARCHAR[]) END)) AS gram
+                FROM ws
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sz sa ON sa.doc_id = i.id_a
+                JOIN sz sb ON sb.doc_id = i.id_b
+                WHERE i.c * 10000 >= 5000 * (sa.n + sb.n - i.c)
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                    SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                    SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+            ),
+            clusters AS (
+                SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d
+            WHERE d.doc_id NOT IN (
+                SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+            )
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -23,6 +23,7 @@ CHECKED = [
     "shipping_priority",
     "user_gaps",
     "exact_dedup",
+    "dedup_docs",
     "knn_bruteforce",
     # extraction views over the synthetic corpus (generator-as-oracle)
     "extract_spans",
@@ -70,4 +71,4 @@ def test_every_oracle_key_has_a_query():
 
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
     assert set(sqls) <= set(qs)
-    assert len(sqls) >= 26
+    assert len(sqls) >= 30
