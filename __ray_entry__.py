@@ -331,9 +331,31 @@ def _q_pages(sf_dir: str):
 
 
 def _q_text_spans(sf_dir: str):
+    """Plain-text source → span contract, exploded to one row per span so
+    the driver can hash-check it against the SQL segmentation oracle (the
+    nested shape itself is what downstream pipelines consume)."""
+    import pyarrow as pa
+
     from libpdf_ray.sources.text_source import read_text_documents
 
-    return read_text_documents(f"{sf_dir}/documents.parquet")
+    ds = read_text_documents(f"{sf_dir}/documents.parquet")
+
+    def explode(t: pa.Table) -> pa.Table:
+        n_spans = pa.compute.list_value_length(t.column("spans"))
+        doc_ids = pa.compute.list_parent_indices(t.column("spans").combine_chunks())
+        flat = t.column("spans").combine_chunks().flatten()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").take(doc_ids),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+                "offset": flat.field("offset"),
+                "n_spans": pa.compute.take(n_spans, doc_ids),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 def _q_links(sf_dir: str):
@@ -475,6 +497,18 @@ def oracle_sql() -> dict[str, str]:
     # (generator-as-oracle expected_* columns); make sure it exists even if
     # the driver evaluates SQL before running the Ray queries
     corpus = f"{_query_corpus()}/part-*.parquet"
+
+    # FNV-1a 64 fold over one 16-byte window, generated as a 16-level nested
+    # expression (HUGEINT wrap-around via % 2^64).  The corpus is pure ASCII
+    # (guarded in tests) so utf-8 bytes == code points and ord(substr(..))
+    # is exactly the byte the engine folds (ops/text.py:rolling_fingerprint).
+    fnv = "14695981039346656037::HUGEINT"
+    for _j in range(16):
+        fnv = (
+            f"((xor({fnv}, ord(substr(text, s + {_j}, 1))::HUGEINT))"
+            f" * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT"
+        )
+
     return {
         # --- extraction views: hash-checked against the generator oracle ---
         "extract_spans": f"""
@@ -690,6 +724,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT)*1.0
                        / SUM(length(text)) AS alpha_ratio
             FROM documents GROUP BY 1
+        """,
+        "text_spans": """
+            -- text_source segmentation parity: no document here contains a
+            -- blank line (guarded by the corpus shape), so segmentation is
+            -- the fixed 50-word-window branch of segment_text
+            WITH w AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ),
+            seg AS (
+                SELECT doc_id, ws,
+                       unnest(range(0, len(ws), 50)) AS woff
+                FROM w
+            )
+            SELECT doc_id,
+                   'paragraph' AS kind,
+                   array_to_string(ws[woff + 1 : woff + 50], ' ') AS text,
+                   '' AS media_ref,
+                   CAST(woff / 50 AS INTEGER) AS "offset",
+                   CAST(CAST(ceil(len(ws) / 50.0) AS BIGINT) AS INTEGER)
+                       AS n_spans
+            FROM seg
+        """,
+        "fingerprints": f"""
+            -- rolling min-FNV document fingerprint, bit-exact: windows of 16
+            -- bytes at stride 8 (every text here is > 16 bytes — the short-
+            -- text whole-string branch is unreachable and unmodeled), min
+            -- over window hashes, rendered as the engine's %016x hex string
+            WITH sw AS (
+                SELECT doc_id, text,
+                       unnest(range(1, length(text) - 14, 8)) AS s
+                FROM documents
+            ),
+            h AS (SELECT doc_id, {fnv} AS hv FROM sw)
+            SELECT doc_id,
+                   lpad(lower(to_hex(CAST(min(hv) AS UBIGINT))), 16, '0')
+                       AS fingerprint
+            FROM h GROUP BY doc_id
+        """,
+        "quality_filter": """
+            -- QualityScorer parity: q_tokens = count of \\S+ runs,
+            -- mean token length = sum(len)/n (one double division, same
+            -- operands both sides → bit-identical), keep = n>=5 and
+            -- 2.0 <= mean <= 12.0 (ops/text.py:QualityScorer)
+            WITH m AS (
+                SELECT lang,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                       list_sum(list_transform(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           x -> length(x))) AS sum_len
+                FROM documents
+                WHERE trim(text) <> ''
+                UNION ALL
+                SELECT lang, 0, 0 FROM documents WHERE trim(text) = ''
+            )
+            SELECT lang,
+                   CAST(SUM(CASE WHEN n_tok >= 5
+                                  AND sum_len * 1.0 / n_tok >= 2.0
+                                  AND sum_len * 1.0 / n_tok <= 12.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM m GROUP BY lang
+        """,
+        "langid_confusion": """
+            -- LangIdModel parity (ops/text.py): the corpus is pure ASCII
+            -- (asserted in tests), so the unicode word regex [^\\W\\d_]+
+            -- degenerates to [a-z]+ over lower(text) and the CJK branch
+            -- never fires.  Winner = first lang in (en,de,fr,es) order with
+            -- max stopword hits; no hits at all → 'en'; no words → 'und'.
+            WITH h AS (
+                SELECT lang,
+                    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_w,
+                    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                        x -> x IN ('the','and','of','to','a','in','is','for','on','with'))) AS h_en,
+                    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                        x -> x IN ('der','die','das','und','ist','von','mit','für','auf','ein'))) AS h_de,
+                    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                        x -> x IN ('le','la','les','et','de','un','une','est','pour','dans'))) AS h_fr,
+                    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                        x -> x IN ('el','la','los','y','de','un','una','es','para','en'))) AS h_es
+                FROM documents
+            ),
+            p AS (
+                SELECT lang,
+                       CASE WHEN n_w = 0 THEN 'und'
+                            WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'en'
+                            WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                            WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                            WHEN h_fr >= h_es THEN 'fr'
+                            ELSE 'es' END AS lang_pred
+                FROM h
+            )
+            SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM p GROUP BY lang, lang_pred
         """,
         "exact_dedup": """
             SELECT md5(text) AS content_hash,

@@ -24,6 +24,10 @@ CHECKED = [
     "user_gaps",
     "exact_dedup",
     "dedup_docs",
+    "quality_filter",
+    "langid_confusion",
+    "fingerprints",
+    "text_spans",
     "knn_bruteforce",
     # extraction views over the synthetic corpus (generator-as-oracle)
     "extract_spans",
@@ -64,6 +68,18 @@ def test_query_matches_duckdb(ray_session, duck, name):
             assert (
                 pd.Series(a).astype(str) == pd.Series(b).astype(str)
             ).all(), f"{name}.{col}: values differ"
+
+
+def test_documents_ascii_precondition(duck):
+    """The quality_filter / langid_confusion / fingerprints oracles assume a
+    pure-ASCII corpus (unicode word classes degenerate to [a-z]+ and utf-8
+    bytes == code points).  Guard the assumption so a future testdata change
+    fails loudly here instead of as a silent hash mismatch."""
+    bad = duck.sql(
+        r"SELECT count(*) AS n FROM documents "
+        r"WHERE regexp_matches(text, '[^\x00-\x7F]')"
+    ).df()["n"][0]
+    assert bad == 0
 
 
 def test_every_oracle_key_has_a_query():
