@@ -560,6 +560,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(expected_elements, recursive := true)
             FROM read_parquet('{corpus}')
         """,
+        "text_styles": f"""
+            SELECT doc_id, unnest(expected_text_styles, recursive := true)
+            FROM read_parquet('{corpus}')
+        """,
+        "rect_styles": f"""
+            SELECT doc_id, unnest(expected_rect_styles, recursive := true)
+            FROM read_parquet('{corpus}')
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -724,6 +732,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT)*1.0
                        / SUM(length(text)) AS alpha_ratio
             FROM documents GROUP BY 1
+        """,
+        "boilerplate": f"""
+            -- corpus boilerplate summary parity: a paragraph text is hot
+            -- when distinct docs containing it >= max(5, trunc(0.5 * total
+            -- docs)); md5 is collision-free here so distinct texts stand in
+            -- for distinct hashes (ops/boilerplate.py:find_boilerplate_hashes)
+            WITH sp AS (
+                SELECT doc_id, unnest(expected_spans, recursive := true)
+                FROM read_parquet('{corpus}')
+            ),
+            tot AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sp),
+            freq AS (
+                SELECT text, COUNT(DISTINCT doc_id) AS nd
+                FROM sp WHERE kind = 'paragraph' AND text <> ''
+                GROUP BY text
+            )
+            SELECT
+                CAST((SELECT COUNT(*) FROM freq, tot
+                      WHERE nd >= greatest(5, CAST(trunc(0.5 * tot.n_docs)
+                                                   AS BIGINT))) AS BIGINT)
+                    AS n_boilerplate_texts,
+                CAST((SELECT n_docs FROM tot) AS BIGINT) AS corpus_docs
         """,
         "text_spans": """
             -- text_source segmentation parity: no document here contains a

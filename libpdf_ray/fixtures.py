@@ -150,6 +150,75 @@ def _line_chars(line: str, x0: float, y1_line: float, ncolor=None, fontname=None
     return out
 
 
+def _norm_rgb(color):
+    """(r, g, b) floats or (None, None, None) — the flat encoding the
+    style views use (stages/styles.py:_rgb over textmodel._norm_color)."""
+    if color is None:
+        return (None, None, None)
+    c = tuple(float(v) for v in color)
+    return (c + (None, None, None))[:3]
+
+
+def _lift(values):
+    """Uniform-or-None attribute lift (horizontal_box.py:85-98 semantics,
+    mirrored independently of the engine's textmodel._uniform)."""
+    vals = list(values)
+    if not vals:
+        return None
+    first = vals[0]
+    for v in vals[1:]:
+        if v != first:
+            return None
+    return first
+
+
+def _style_rows(lines_words: list, page_no: int, box_idx: int) -> list:
+    """Expected ``text_styles`` rows for one textbox.
+
+    ``lines_words``: per line (top→bottom), list of (word_text, ncolor,
+    fontname) in left→right order — the generator's own placement
+    knowledge.  Applies the word→line→box uniform-or-None lift."""
+    line_lifts = []
+    for ws in lines_words:
+        line_lifts.append(
+            (
+                _lift(tuple(_norm_rgb(nc)) for _, nc, _f in ws),
+                _lift(fn or None for _, _nc, fn in ws),
+            )
+        )
+    box_nc = _lift(nc for nc, _ in line_lifts)
+    box_fn = _lift(fn for _, fn in line_lifts)
+    bor, bog, bob = box_nc if box_nc is not None else (None, None, None)
+    rows = []
+    for line_idx, ws in enumerate(lines_words):
+        lnc, lfn = line_lifts[line_idx]
+        lr, lg, lb = lnc if lnc is not None else (None, None, None)
+        for word_idx, (text, nc, fn) in enumerate(ws):
+            wr, wg, wb = _norm_rgb(nc)
+            rows.append(
+                {
+                    "page": page_no,
+                    "box_idx": box_idx,
+                    "line_idx": line_idx,
+                    "word_idx": word_idx,
+                    "word_text": text,
+                    "word_ncolor_r": wr,
+                    "word_ncolor_g": wg,
+                    "word_ncolor_b": wb,
+                    "word_fontname": fn or None,
+                    "line_ncolor_r": lr,
+                    "line_ncolor_g": lg,
+                    "line_ncolor_b": lb,
+                    "line_fontname": lfn,
+                    "box_ncolor_r": bor,
+                    "box_ncolor_g": bog,
+                    "box_ncolor_b": bob,
+                    "box_fontname": box_fn,
+                }
+            )
+    return rows
+
+
 def _page_obj_id(page_no: int) -> int:
     """Deterministic page OBJECT id — deliberately non-identity and
     decreasing so an engine that confuses object ids with page numbers
@@ -182,6 +251,7 @@ class FlowBuilder:
         self.expected: list = []
         self.expected_cells: list = []
         self.expected_links: list = []
+        self.expected_styles: list = []
         self._fig_counter: dict = {}
         self._table_counter = 0
         # pre-crop placement counters for above-outline uid derivation:
@@ -297,6 +367,32 @@ class FlowBuilder:
             "chars": runs if as_chars else None,
         }
         self.textboxes.append(tb)
+        # expected text_styles rows from the SAME placement knowledge the
+        # runs were printed with (word order left→right, lines top→down —
+        # the order the engine's geometric sort re-derives)
+        lines_words = []
+        for i, ln in enumerate(lines):
+            if as_chars:
+                ws = [
+                    (w, ncolor, fontname)
+                    for w in ln.split(" ")
+                    if w != ""
+                ]
+            else:
+                styles = None
+                if word_styles is not None:
+                    styles = word_styles[i]
+                elif ncolor is not None or fontname is not None:
+                    styles = [(ncolor, fontname)] * len(ln.split(" "))
+                ws = []
+                for k, w in enumerate(ln.split(" ")):
+                    if w != "":
+                        wn, wf = (styles[k] if styles else (None, None))
+                        ws.append((w, wn, wf))
+            lines_words.append(ws)
+        self.expected_styles.extend(
+            _style_rows(lines_words, page_no, len(self.textboxes) - 1)
+        )
         if counts_as_paragraph:
             self._par_place += 1
         return tb
@@ -594,7 +690,32 @@ class FlowBuilder:
             "expected_cells": self.expected_cells,
             "expected_links": self.expected_links,
             "expected_elements": self._derive_expected_elements(),
+            "expected_text_styles": self.expected_styles,
+            "expected_rect_styles": self._derive_expected_rect_styles(),
         }
+
+    def _derive_expected_rect_styles(self) -> list:
+        """Rect-view oracle rows: raw rect geometry + fill color zipped with
+        the rect span texts (rects and their spans are recorded in the same
+        order by every family builder)."""
+        texts = [sp["text"] for sp in self.expected if sp["kind"] == "rect"]
+        out = []
+        for rect, text in zip(self.rects, texts):
+            r, g, b = _norm_rgb(rect.get("non_stroking_color"))
+            out.append(
+                {
+                    "page": int(rect["page"]),
+                    "x0": float(rect["x0"]),
+                    "y0": float(rect["y0"]),
+                    "x1": float(rect["x1"]),
+                    "y1": float(rect["y1"]),
+                    "ncolor_r": r,
+                    "ncolor_g": g,
+                    "ncolor_b": b,
+                    "text": text,
+                }
+            )
+        return out
 
     def _raw_annots(self) -> list:
         """Serialize the builder's resolved link intents as RAW annot
@@ -1201,7 +1322,20 @@ def _fam_rawchars(b: FlowBuilder, rng):
         }
     )
     # manual textbox append bypasses raw_textbox — advance the paragraph
-    # placement counter by hand so the uid oracle stays aligned
+    # placement counter and record the style oracle rows by hand
+    b.expected_styles.extend(
+        _style_rows(
+            [
+                [
+                    (w, [1.0, 0.0, 0.0] if k == 0 else [0.0, 0.0, 0.0],
+                     "Courier")
+                    for k, w in enumerate(words)
+                ]
+            ],
+            page_no,
+            len(b.textboxes) - 1,
+        )
+    )
     b._par_place += 1
     b.span("paragraph", mixed, page=page_no)
     b.add_par(as_chars=True)
@@ -1233,6 +1367,7 @@ def _fam_rawpage(b: FlowBuilder, rng):
     page_no, y1h, _ = b.reserve(LINE_H)
     display = f"1 {t1}"
     soup = list(_line_words(display, MARGIN_X, y1h))
+    soup_lines = [display]
     b.add_outline_entry("1", display, page_no, MARGIN_X, y1h)
     b.span("chapter", display, page=page_no, path="1")
     for _ in range(3):
@@ -1241,6 +1376,7 @@ def _fam_rawpage(b: FlowBuilder, rng):
         assert page_no2 == page_no, "rawpage fixture must fit one page"
         for i, ln in enumerate(lines):
             soup.extend(_line_words(ln, MARGIN_X, y1p - i * LINE_H))
+        soup_lines.extend(lines)
         b.span("paragraph", "\n".join(lines))
     rng.shuffle(soup)
     b.textboxes.append(
@@ -1254,6 +1390,19 @@ def _fam_rawpage(b: FlowBuilder, rng):
             "chars": None,
             "ungrouped": True,
         }
+    )
+    # style-oracle rows for the soup box: the style view assembles lines
+    # box-wide (no group_textlines split), so the page's lines appear
+    # top→down under ONE box_idx; every word is unstyled (None/None)
+    b.expected_styles.extend(
+        _style_rows(
+            [
+                [(w, None, None) for w in ln.split(" ") if w != ""]
+                for ln in soup_lines
+            ],
+            page_no,
+            len(b.textboxes) - 1,
+        )
     )
 
 
@@ -1292,6 +1441,17 @@ FAMILY_BUILDERS = {
 }
 
 
+# fixed cross-document boilerplate (license-blurb analog): planted verbatim
+# in every even-indexed document so corpus-level boilerplate detection has
+# ceil(n/2) >= max(min_docs, trunc(0.5 n)) hits — a non-trivial oracle for
+# ops/boilerplate.py.  Vocabulary is disjoint from WORDS and TITLE_WORDS so
+# chapter fuzzy matching can never cross on it.
+BOILERPLATE_LINES = [
+    "content provided verbatim without warranty of merchantability",
+    "redistribution restricted to accredited research consortium members",
+]
+
+
 def build_document(doc_index: int, family: str, seed: int = 42, skew_pages: int = 40) -> dict:
     rng = np.random.default_rng([seed, doc_index])
     doc_id = f"doc-{doc_index:06d}"
@@ -1300,6 +1460,14 @@ def build_document(doc_index: int, family: str, seed: int = 42, skew_pages: int 
         _fam_skew(b, rng, n_pages=skew_pages)
     else:
         FAMILY_BUILDERS[family](b, rng)
+    if doc_index % 2 == 0:
+        # families that manage their own y cursors (twocolumn) leave
+        # b.cursor above already-placed boxes; drop below page content so
+        # the blurb is LAST in (page, height−y0) reading order
+        ys = [tb["y0"] for tb in b.textboxes if tb["page"] == b.page_no]
+        if ys:
+            b.cursor = min(b.cursor, min(ys) - 10.0)
+        b.add_par(lines=list(BOILERPLATE_LINES))
     return b.build_row(family)
 
 

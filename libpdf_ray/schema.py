@@ -35,9 +35,14 @@ explicit-dest page-object→page-number lookup via ``pages[].obj_id``; chars
 streams may carry pdfminer pseudo-``anno`` whitespace glyphs with no
 geometry, which the engine deletes (libpdf/extract.py:446-486).
 
-``expected_spans`` / ``expected_cells`` are generator-as-oracle columns used
-ONLY by tests and DuckDB oracle queries — the pipeline's column pruning never
-reads them.
+Schema v7 (round 3) — generator-as-oracle columns for the style views
+(``expected_text_styles`` / ``expected_rect_styles``), and the corpus plants
+a fixed cross-document boilerplate paragraph in every even-indexed document
+so corpus-level boilerplate detection has a non-trivial oracle.
+
+``expected_spans`` / ``expected_cells`` (and the other ``expected_*``
+columns) are generator-as-oracle columns used ONLY by tests and DuckDB
+oracle queries — the pipeline's column pruning never reads them.
 """
 
 from __future__ import annotations
@@ -46,7 +51,7 @@ import pyarrow as pa
 
 #: bump when the sidecar layout changes — cache markers and corpus dirs
 #: embed this so stale fixture caches are never reused across rounds
-SCHEMA_VERSION = 6
+SCHEMA_VERSION = 7
 
 SPAN_STRUCT = pa.struct(
     [
@@ -115,6 +120,48 @@ EXPECTED_ELEMENT_STRUCT = pa.struct(
         ("text", pa.string()),
         ("media_ref", pa.string()),
         ("n_links", pa.int32()),
+    ]
+)
+
+#: generator-as-oracle rows for the ``text_styles`` view: one row per word
+#: with line/box lifted attributes, derived from the generator's OWN style
+#: knowledge (the styles it printed each word with, plus the uniform-or-None
+#: lift rule) — never from the engine's assembly
+EXPECTED_TEXT_STYLE_STRUCT = pa.struct(
+    [
+        ("page", pa.int32()),
+        ("box_idx", pa.int32()),
+        ("line_idx", pa.int32()),
+        ("word_idx", pa.int32()),
+        ("word_text", pa.string()),
+        ("word_ncolor_r", pa.float64()),
+        ("word_ncolor_g", pa.float64()),
+        ("word_ncolor_b", pa.float64()),
+        ("word_fontname", pa.string()),
+        ("line_ncolor_r", pa.float64()),
+        ("line_ncolor_g", pa.float64()),
+        ("line_ncolor_b", pa.float64()),
+        ("line_fontname", pa.string()),
+        ("box_ncolor_r", pa.float64()),
+        ("box_ncolor_g", pa.float64()),
+        ("box_ncolor_b", pa.float64()),
+        ("box_fontname", pa.string()),
+    ]
+)
+
+#: generator-as-oracle rows for the ``rect_styles`` view: raw rect geometry
+#: + fill color + the text the engine must crop out of the rect region
+EXPECTED_RECT_STYLE_STRUCT = pa.struct(
+    [
+        ("page", pa.int32()),
+        ("x0", pa.float64()),
+        ("y0", pa.float64()),
+        ("x1", pa.float64()),
+        ("y1", pa.float64()),
+        ("ncolor_r", pa.float64()),
+        ("ncolor_g", pa.float64()),
+        ("ncolor_b", pa.float64()),
+        ("text", pa.string()),
     ]
 )
 
@@ -318,5 +365,7 @@ RAW_DOC_SCHEMA = pa.schema(
         ("expected_cells", pa.list_(EXPECTED_CELL_STRUCT)),
         ("expected_links", pa.list_(EXPECTED_LINK_STRUCT)),
         ("expected_elements", pa.list_(EXPECTED_ELEMENT_STRUCT)),
+        ("expected_text_styles", pa.list_(EXPECTED_TEXT_STYLE_STRUCT)),
+        ("expected_rect_styles", pa.list_(EXPECTED_RECT_STYLE_STRUCT)),
     ]
 )

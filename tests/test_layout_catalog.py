@@ -252,8 +252,10 @@ class TestTextboxGrouping:
 
         for i in (14, 28, 42):
             doc = build_document(i, "rawpage")
-            assert len(doc["textboxes"]) == 1  # one soup in the sidecar
+            # soup + (even doc index) the planted boilerplate blurb box
+            assert len(doc["textboxes"]) == 2
             assert doc["textboxes"][0]["ungrouped"] is True
+            assert doc["textboxes"][1].get("ungrouped") is None
             assert extract_document(doc, SMART_CROP_CONFIG) == doc["expected_spans"]
 
 

@@ -36,6 +36,9 @@ CHECKED = [
     "file_meta",
     "cells",
     "links",
+    "text_styles",
+    "rect_styles",
+    "boilerplate",
 ]
 
 
@@ -63,7 +66,13 @@ def test_query_matches_duckdb(ray_session, duck, name):
     for col in got.columns:
         a, b = got[col].to_numpy(), exp[col].to_numpy()
         if a.dtype.kind == "f" or b.dtype.kind == "f":
-            assert (a == b).all(), f"{name}.{col}: float values differ"
+            # exact equality, but NaN == NaN (nullable style columns)
+            import numpy as np
+
+            af, bf = a.astype(float), b.astype(float)
+            assert np.array_equal(
+                af, bf, equal_nan=True
+            ), f"{name}.{col}: float values differ"
         else:
             assert (
                 pd.Series(a).astype(str) == pd.Series(b).astype(str)
