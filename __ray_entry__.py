@@ -100,6 +100,34 @@ def _q_media_features(sf_dir: str):
     return extract_media_features(_q_extract_spans(sf_dir))
 
 
+def _q_media_meta(sf_dir: str):
+    """Scalar projection of the multimodal decode path (width/height +
+    mean-RGB channels from the feature tail).  The stub decode derives
+    everything from md5(media_ref), which DuckDB reproduces hex-digit for
+    hex-digit — so even the fake-codec plumbing is hash-gated."""
+    import pandas as pd
+
+    from libpdf_ray.ops.multimodal import extract_media_features
+
+    feats = extract_media_features(_q_extract_spans(sf_dir))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        rgb = [list(f[-3:]) for f in df["media_features"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "media_ref": df["media_ref"],
+                "media_width": df["media_width"],
+                "media_height": df["media_height"],
+                "mean_r": [c[0] for c in rgb],
+                "mean_g": [c[1] for c in rgb],
+                "mean_b": [c[2] for c in rgb],
+            }
+        )
+
+    return feats.map_batches(project, batch_format="pandas")
+
+
 def _q_langid(sf_dir: str):
     import pandas as pd
     import ray.data as rd
@@ -194,6 +222,17 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
+def _q_minhash_verified_pairs(sf_dir: str):
+    """LSH candidates + EXACT jaccard verify: with 64 bands × 2 rows the
+    recall at threshold 0.5 is 1 − 1e-8 per pair, so the output equals the
+    exact all-pairs join — hash-checked against the same SQL oracle as
+    jaccard_pairs."""
+    from libpdf_ray.ops.dedup import minhash_exact_pairs
+
+    ds = _read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_exact_pairs(ds, threshold=0.5, num_perm=128, bands=64)
+
+
 def _q_jaccard_pairs(sf_dir: str):
     from libpdf_ray.ops.dedup import jaccard_pairs_exact
 
@@ -253,6 +292,27 @@ def _q_knn_ivf(sf_dir: str):
     ds = _read_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     centroids = ivf_fit_centroids(ds, n_cells=16)
     return knn_ivf(ds, {"ids": ids, "matrix": mat}, centroids, k=5, n_probe=4)
+
+
+def _q_knn_ivf_exact(sf_dir: str):
+    """IVF with n_probe = n_cells probes every cell — the result is exactly
+    brute force, so the whole IVF machinery (assignment, probe filter,
+    partial top-k, tree merge) gets the brute-force SQL oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from libpdf_ray.ops.similarity import ivf_fit_centroids, knn_ivf
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = [i for i, v in enumerate(t.column("vec_id").to_pylist()) if v < 8]
+    ids = [t.column("vec_id")[i].as_py() for i in mask]
+    mat = np.stack(
+        [np.asarray(t.column("embedding")[i].as_py(), dtype=np.float64) for i in mask]
+    )
+    ds = _read_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    centroids = ivf_fit_centroids(ds, n_cells=16)
+    return knn_ivf(ds, {"ids": ids, "matrix": mat}, centroids, k=5,
+                   n_probe=len(centroids))
 
 
 def _q_knn_ivf_partitioned(sf_dir: str):
@@ -466,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": _q_extract_spans,
         "span_kinds": _q_span_kinds,
         "media_features": _q_media_features,
+        "media_meta": _q_media_meta,
         "langid_confusion": _q_langid,
         "quality_filter": _q_quality_filter,
         "fingerprints": _q_fingerprints,
@@ -473,10 +534,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_verified_pairs": _q_minhash_verified_pairs,
         "neardup_clusters": _q_neardup_clusters,
         "dedup_docs": _q_dedup_docs,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_exact": _q_knn_ivf_exact,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
         "text_spans": _q_text_spans,
         "elements": _q_elements,
@@ -509,11 +572,99 @@ def oracle_sql() -> dict[str, str]:
             f" * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT"
         )
 
+    # shared by jaccard_pairs (exact all-pairs join) and
+    # minhash_verified_pairs (LSH candidates + exact verify): with 64 bands
+    # × 2 rows the LSH recall at threshold 0.5 is 1 − 1e-8 per pair, so both
+    # engines must produce THIS exact result
+    jaccard_sql = """
+        -- exact word-trigram Jaccard ≥ 0.5; threshold in INTEGERS
+        -- (inter·10000 ≥ 5000·uni) to match the engine bit-for-bit
+        WITH ws AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS w
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(w) >= 3 THEN
+                         list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                     ELSE CAST([] AS VARCHAR[]) END)) AS gram
+            FROM ws
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               CAST(i.c AS BIGINT) AS inter,
+               CAST(sa.n + sb.n - i.c AS BIGINT) AS uni,
+               i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.id_a
+        JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE i.c * 10000 >= 5000 * (sa.n + sb.n - i.c)
+    """
+
+    # shared by knn_bruteforce and knn_ivf_exact (n_probe = n_cells probes
+    # every cell, so IVF degenerates to exact brute force)
+    knn_sql = """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 8
+        ),
+        s AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])) AS sim_raw
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id
+            ) AS rn
+            FROM s
+        )
+        WHERE rn <= 5
+    """
+
     return {
         # --- extraction views: hash-checked against the generator oracle ---
         "extract_spans": f"""
             SELECT doc_id, unnest(expected_spans, recursive := true)
             FROM read_parquet('{corpus}')
+        """,
+        "minhash_verified_pairs": jaccard_sql,
+        "knn_ivf_exact": knn_sql,
+        "media_meta": f"""
+            -- the stub decode derives width/height/mean-RGB from
+            -- md5(media_ref) (ops/multimodal.py:_fake_decode); DuckDB
+            -- reproduces it hex-digit for hex-digit, so the whole
+            -- multimodal plumbing is hash-gated
+            WITH sp AS (
+                SELECT doc_id, unnest(expected_spans, recursive := true)
+                FROM read_parquet('{corpus}')
+            ),
+            m AS (
+                SELECT doc_id, media_ref, md5(media_ref) AS h
+                FROM sp WHERE kind = 'figure' AND media_ref <> ''
+            )
+            SELECT doc_id, media_ref,
+                   CAST(64 + CAST(('0x' || substr(h, 1, 2)) AS INTEGER) * 8
+                        AS BIGINT) AS media_width,
+                   CAST(64 + CAST(('0x' || substr(h, 3, 2)) AS INTEGER) * 8
+                        AS BIGINT) AS media_height,
+                   CAST(('0x' || substr(h, 5, 2)) AS INTEGER) / 255.0 AS mean_r,
+                   CAST(('0x' || substr(h, 7, 2)) AS INTEGER) / 255.0 AS mean_g,
+                   CAST(('0x' || substr(h, 9, 2)) AS INTEGER) / 255.0 AS mean_b
+            FROM m
         """,
         "span_kinds": f"""
             SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_spans
@@ -856,40 +1007,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_copies
             FROM documents GROUP BY 1
         """,
-        "jaccard_pairs": """
-            -- exact word-trigram Jaccard ≥ 0.5; threshold in INTEGERS
-            -- (inter·10000 ≥ 5000·uni) to match the engine bit-for-bit
-            WITH ws AS (
-                SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(trim(text), '\\s+')
-                       END AS w
-                FROM documents
-            ),
-            g AS (
-                SELECT doc_id, unnest(list_distinct(
-                    CASE WHEN len(w) >= 3 THEN
-                             list_transform(range(1, len(w) - 1),
-                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-                         WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
-                         ELSE CAST([] AS VARCHAR[]) END)) AS gram
-                FROM ws
-            ),
-            sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT i.id_a, i.id_b,
-                   CAST(i.c AS BIGINT) AS inter,
-                   CAST(sa.n + sb.n - i.c AS BIGINT) AS uni,
-                   i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
-            FROM inter i
-            JOIN sz sa ON sa.doc_id = i.id_a
-            JOIN sz sb ON sb.doc_id = i.id_b
-            WHERE i.c * 10000 >= 5000 * (sa.n + sb.n - i.c)
-        """,
+        "jaccard_pairs": jaccard_sql,
         "neardup_clusters": """
             -- transitive closure of the jaccard_pairs graph: min-reachable-id
             -- labeling via recursive CTE (engine: iterated min-label
@@ -985,25 +1103,5 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
             )
         """,
-        "knn_bruteforce": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qe
-                FROM embeddings WHERE vec_id < 8
-            ),
-            s AS (
-                SELECT q.query_id, e.vec_id AS neighbor_id,
-                       list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
-                                              CAST(e.embedding AS DOUBLE[])) AS sim_raw
-                FROM q CROSS JOIN embeddings e
-                WHERE e.vec_id <> q.query_id
-            )
-            SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim
-            FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id
-                ) AS rn
-                FROM s
-            )
-            WHERE rn <= 5
-        """,
+        "knn_bruteforce": knn_sql,
     }

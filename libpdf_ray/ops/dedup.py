@@ -159,7 +159,12 @@ class MinHasher:
         self.shingle_k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
-        x = _shingle_hashes(text, self.shingle_k)
+        return self.signature_of(_shingle_hashes(text, self.shingle_k))
+
+    def signature_of(self, x: np.ndarray) -> np.ndarray:
+        """Signature from precomputed shingle hashes (duplicates in ``x``
+        don't change the row-min, so unique'd inputs give identical
+        signatures)."""
         if len(x) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         # (P, S) permuted hashes → row-min, fully vectorized: multiply-xor
@@ -497,6 +502,121 @@ def minhash_lsh_pairs(
         verify_mode=verify_mode, max_driver_pairs=max_driver_pairs,
         max_bucket_ids=max_bucket_ids,
         payload_encode=lambda s: _pack_payload(s, np.int64),
+    )
+
+
+def minhash_exact_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 128,
+    bands: int = 64,
+    threshold: float = 0.5,
+    verify_mode: str = "auto",
+    max_driver_pairs: int = MAX_CANDIDATE_PAIRS,
+    max_bucket_ids: int = MAX_BUCKET_IDS,
+):
+    """MinHash-LSH candidate pruning + EXACT word-k-gram Jaccard verify.
+
+    The production MinHash-dedup shape: banding prunes the pair space, the
+    verify stage recomputes the TRUE jaccard from the document texts — so
+    output pairs carry NO signature-estimation error.  With bands/rows sized
+    for recall ≈ 1 at ``threshold`` (default 64 bands × 2 rows: a pair at
+    true jaccard ``s`` is missed with probability ``(1 − s²)^64`` ≈ 1e-8 at
+    s = 0.5, 1e-28 at s = 0.8) the output equals
+    :func:`jaccard_pairs_exact` bit-for-bit — the DuckDB oracle gate checks
+    exactly that equality, making this the LSH family's end-to-end
+    correctness anchor.
+
+    Columns ``(id_a, id_b, inter, uni, jaccard)`` with ``id_a < id_b``; the
+    threshold test runs in INTEGERS (``inter·10000 ≥ round(thr·10000)·uni``)
+    and ``jaccard = inter/uni`` in IEEE double division, both matching
+    :func:`jaccard_pairs_exact` and its SQL oracle.
+
+    Scale shape: identical to :func:`minhash_lsh_pairs` (scalar band rows in
+    the candidate shuffle, driver-collect verify below
+    ``max_driver_pairs``, distributed bucketed-join verify above) — the
+    verify payload is the raw text column instead of the packed signature.
+    """
+    thr = int(round(threshold * 10000))
+
+    class _SigAndGrams(MinHasher):
+        """Per-doc minhash (for banding) + the unique shingle-hash set
+        packed to bytes (for exact verification).  Shingles are md5-hashed
+        ONCE per document here — the verify stage only intersects presorted
+        integer arrays, never touching md5 again."""
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sigs, grams = [], []
+            for t in batch[text_col].fillna(""):
+                x = (
+                    np.unique(_shingle_hashes(t, self.shingle_k))
+                    if t.split()
+                    else np.empty(0, dtype=np.uint64)
+                )
+                grams.append(x.astype("<u8").tobytes())
+                sigs.append(self.signature_of(x).tolist())
+            return pd.DataFrame(
+                {id_col: batch[id_col], "minhash": sigs, "grams": grams}
+            )
+
+    sig_ds = ds.map_batches(
+        _SigAndGrams,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pandas",
+        concurrency=4,
+        num_cpus=0.5,
+    )
+    # consumed twice (band explosion, then grams lookup in verification)
+    sig_ds = sig_ds.materialize()
+    n_docs = sig_ds.count()  # metadata-only after materialize
+
+    rows = num_perm // bands
+    exploded = sig_ds.map_batches(
+        lambda df: _band_rows(df, bands, rows, id_col), batch_format="pandas"
+    )
+
+    empty_out = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="object"),
+         "id_b": pd.Series([], dtype="object"),
+         "inter": pd.Series([], dtype="int64"),
+         "uni": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
+
+    def batch_verify(df: pd.DataFrame) -> pd.DataFrame:
+        ia, ib, inters, unis, jacs = [], [], [], [], []
+        for id_a, id_b, pa, pb in zip(
+            df["id_a"], df["id_b"], df["__pl_a"], df["__pl_b"]
+        ):
+            ga = np.frombuffer(pa or b"", dtype="<u8")
+            gb = np.frombuffer(pb or b"", dtype="<u8")
+            # zero-shingle docs are excluded, as in jaccard_pairs_exact
+            if len(ga) == 0 or len(gb) == 0:
+                continue
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            uni = len(ga) + len(gb) - inter
+            if inter * 10000 >= thr * uni:
+                ia.append(id_a)
+                ib.append(id_b)
+                inters.append(inter)
+                unis.append(uni)
+                jacs.append(inter / uni)
+        if not ia:
+            return empty_out
+        return pd.DataFrame(
+            {"id_a": ia, "id_b": ib,
+             "inter": np.asarray(inters, dtype=np.int64),
+             "uni": np.asarray(unis, dtype=np.int64),
+             "jaccard": np.asarray(jacs, dtype=np.float64)}
+        )
+
+    return _verified_pairs(
+        sig_ds, exploded, ["band", "band_hash"], id_col, "grams",
+        batch_verify, empty_out, n_docs, bands,
+        verify_mode=verify_mode, max_driver_pairs=max_driver_pairs,
+        max_bucket_ids=max_bucket_ids,
     )
 
 

@@ -88,7 +88,7 @@ def knn_bruteforce(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
             "exclude_self": exclude_self,
         },
         batch_format="pandas",
-        concurrency=4,
+        concurrency=(1, 4),  # autoscaling: shrink on small sessions so chained pools never starve the read
         num_cpus=0.5,  # fractional: a full-CPU pool starves reads on small sessions
     )
 
@@ -167,7 +167,7 @@ def ivf_build_index(ds, centroids: np.ndarray, out_dir: str,
         _IVFAssign,
         fn_constructor_kwargs={"centroids_ref": centroids_ref},
         batch_format="pandas",
-        concurrency=4,
+        concurrency=(1, 4),  # autoscaling: shrink on small sessions so chained pools never starve the read
         num_cpus=0.5,
     )
 
@@ -228,7 +228,7 @@ def knn_ivf(ds, queries: dict, centroids: np.ndarray, k: int = 5,
         _IVFAssign,
         fn_constructor_kwargs={"centroids_ref": centroids_ref},
         batch_format="pandas",
-        concurrency=4,
+        concurrency=(1, 4),  # autoscaling: shrink on small sessions so chained pools never starve the read
         num_cpus=0.5,
     )
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)

@@ -107,6 +107,30 @@ class TestVerifyPaths:
         ).to_pandas()
         assert _pairset(auto) == _pairset(ref)
 
+    def test_minhash_exact_equals_allpairs_join(self, ray_session):
+        """LSH candidates + exact verify must reproduce the exact all-pairs
+        Jaccard join bit-for-bit (64 bands × 2 rows: recall 1 − 1e-8 per
+        pair at threshold 0.5) — on a saturated corpus, in both verify
+        modes."""
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import jaccard_pairs_exact, minhash_exact_pairs
+
+        rows = _saturated_corpus()
+        exact = jaccard_pairs_exact(
+            rd.from_items(rows), threshold=0.5, est_docs=60
+        ).to_pandas()
+        for mode in ("driver", "bucketed"):
+            lsh = minhash_exact_pairs(
+                rd.from_items(rows), threshold=0.5, num_perm=128, bands=64,
+                verify_mode=mode,
+            ).to_pandas()
+            assert _pairset(lsh) == _pairset(exact)
+            le = lsh.set_index(["id_a", "id_b"]).sort_index()
+            ee = exact.set_index(["id_a", "id_b"]).sort_index()
+            for col in ("inter", "uni", "jaccard"):
+                assert (le[col].to_numpy() == ee[col].to_numpy()).all(), col
+
 
 class TestSaturatedBucketDegrade:
     def test_star_pairs_instead_of_raise(self):

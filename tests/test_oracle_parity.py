@@ -39,6 +39,9 @@ CHECKED = [
     "text_styles",
     "rect_styles",
     "boilerplate",
+    "minhash_verified_pairs",
+    "knn_ivf_exact",
+    "media_meta",
 ]
 
 
