@@ -20,10 +20,35 @@ import re
 from collections import Counter
 from difflib import SequenceMatcher
 
+import numpy as np
+
 
 def _ratio_from(matches: int, length: int) -> float:
     # difflib._calculate_ratio, re-derived from its docs: both empty → 1.0
     return 2.0 * matches / length if length else 1.0
+
+
+def _char_counts(s: str):
+    """Multiset char-frequency representation: a 128-bin numpy vector for
+    ASCII strings (virtually all outline/heading text; intersecting is one
+    ``np.minimum``), a ``collections.Counter`` otherwise — both represent
+    exactly difflib's quick_ratio character multiset."""
+    if s.isascii():
+        return np.bincount(
+            np.frombuffer(s.encode("ascii"), np.uint8), minlength=128
+        )
+    return Counter(s)
+
+
+def _multiset_inter(a, b) -> int:
+    """Character-multiset overlap across the two representations."""
+    if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+        return int(np.minimum(a, b).sum())
+    if isinstance(a, np.ndarray):
+        a = Counter({chr(i): int(n) for i, n in enumerate(a) if n})
+    if isinstance(b, np.ndarray):
+        b = Counter({chr(i): int(n) for i, n in enumerate(b) if n})
+    return sum((a & b).values())
 
 
 def _pruned_ratios(texts: list, counters: list, target: str):
@@ -37,22 +62,31 @@ def _pruned_ratios(texts: list, counters: list, target: str):
     documented upper bounds of ``ratio()``, so every skipped candidate's
     true ratio is strictly below the returned max."""
     lb = len(target)
-    cb = Counter(target)
+    cb = _char_counts(target)
     las = [len(t) for t in texts]
     rqr = [_ratio_from(min(la, lb), la + lb) for la in las]
     ub = list(rqr)
     order = sorted(range(len(texts)), key=lambda j: -rqr[j])
     exact: dict = {}
     cur_max = -1.0
-    m = SequenceMatcher(None, "", target)
+    m = None
     for j in order:
         if rqr[j] < cur_max:
             break  # sorted: everything after is lower still
-        inter = sum((counters[j] & cb).values())
+        if texts[j] == target:
+            # identical strings: ratio() is exactly 1.0 (all chars match) —
+            # the overwhelmingly common case on real outlines, where the
+            # heading box renders the outline text verbatim
+            exact[j] = 1.0
+            cur_max = 1.0
+            continue
+        inter = _multiset_inter(counters[j], cb)
         q = _ratio_from(inter, las[j] + lb)
         ub[j] = q
         if q < cur_max:
             continue
+        if m is None:
+            m = SequenceMatcher(None, "", target)
         m.set_seq1(texts[j])
         r = m.ratio()
         exact[j] = r
@@ -177,8 +211,19 @@ def chapter_examiner(
     # all-exact reference semantics (textbox.py:357-371): any dict that
     # could equal a group max gets all its keys computed exactly.
     is_virt = "virt." in chapter["number"]
-    texts = [textboxes[i]["text"].strip() for i in cand_idx]
-    counters = [Counter(t) for t in texts]
+    # stripped text + char Counter memoized on the textbox dict: the same
+    # boxes are candidates for every chapter whose window overlaps them
+    # (~3× reuse on outlined manuals)
+    texts, counters = [], []
+    for i in cand_idx:
+        tb = textboxes[i]
+        cached = tb.get("_exam_tc")
+        if cached is None:
+            t = tb["text"].strip()
+            cached = (t, _char_counts(t))
+            tb["_exam_tc"] = cached
+        texts.append(cached[0])
+        counters.append(cached[1])
     keys = ("title",) if is_virt else ("title", "number", "content")
     targets = {"title": chapter["title"]}
     if not is_virt:

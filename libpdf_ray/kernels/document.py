@@ -73,6 +73,7 @@ from .regions import (
 from .textmodel import (
     assemble_lines_from_arrays,
     assemble_textbox_lines,
+    assemble_word_boxes_batched,
     group_lines_into_boxes,
     is_whitespace_only,
     textbox_text,
@@ -142,6 +143,7 @@ def prepare_pages(
         tuple(float(v) for v in cfg.page_crop) if cfg.page_crop else (0, 0, 0, 0)
     )
     textboxes_by_page: dict = {}
+    kept_boxes: list = []
     for tb in doc.get("textboxes") or []:
         t = dict(tb)
         t["page"] = int(t["page"])
@@ -166,19 +168,30 @@ def prepare_pages(
         # assembly + style lifting (utils.py:467-631).  Array-backed
         # textboxes (from the parse stage's flat Arrow decode) take the
         # vectorized twin; dict-backed ones (unit tests, direct rows) the
-        # reference-shaped fold — identical output.
-        if t.get("wordtab") is not None or t.get("chartab") is not None:
-            is_chars = t.get("chartab") is not None
+        # reference-shaped fold — identical output.  Word-array boxes
+        # (the overwhelmingly common form) defer to ONE batched numpy
+        # pass over the whole document below.
+        if t.get("chartab") is not None:
             t["lines"] = assemble_lines_from_arrays(
-                t["chartab"] if is_chars else t["wordtab"],
-                is_chars,
-                cfg.line_y_tolerance,
-                cfg.word_margin,
+                t["chartab"], True, cfg.line_y_tolerance, cfg.word_margin
             )
-        else:
+        elif t.get("wordtab") is None:
             t["lines"] = assemble_textbox_lines(
                 t, cfg.line_y_tolerance, cfg.word_margin
             )
+        kept_boxes.append(t)
+
+    word_boxes = [t for t in kept_boxes if "lines" not in t]
+    if word_boxes:
+        for t, lines in zip(
+            word_boxes,
+            assemble_word_boxes_batched(
+                [t["wordtab"] for t in word_boxes], cfg.line_y_tolerance
+            ),
+        ):
+            t["lines"] = lines
+
+    for t in kept_boxes:
         if t.get("ungrouped"):
             # the rawest form: an ungrouped page region — run pdfminer's
             # missing step and cluster the lines into textboxes

@@ -297,6 +297,100 @@ def assemble_lines_from_arrays(
     return lines
 
 
+def assemble_word_boxes_batched(tabs: list, y_tolerance: float = 0.5) -> list:
+    """Batched word→line assembly for MANY word-backed textboxes of one
+    document — output-identical to running the words path of
+    :func:`assemble_lines_from_arrays` per box, but the geometric sorts run
+    as ONE numpy pass over the document's concatenated word table instead
+    of ~15 small-array kernel calls per box (per-box dispatch overhead was
+    ~40% of parse-task time on 100-page manuals).
+
+    ``tabs``: per-box word tables (``None``/empty allowed).  Returns one
+    assembled line list per input tab.
+
+    Ordering semantics, kept bit-identical to the per-box twin: the
+    grouping sort is ``lexsort((x0, −y_center, box))`` (stable), lines
+    break on box change or ``|Δ y-center| ≥ y_tolerance``, and within each
+    line rows re-sort stably by x0 — expressed here as a second global
+    ``lexsort((x0, line_id))``.
+    """
+    import numpy as np
+
+    nb = len(tabs)
+    counts = np.fromiter(
+        (len(t["text"]) if t else 0 for t in tabs), dtype=np.int64, count=nb
+    )
+    out: list = [[] for _ in range(nb)]
+    total = int(counts.sum())
+    if total == 0:
+        return out
+
+    live = [t for t in tabs if t and len(t["text"])]
+    x0 = np.concatenate([t["x0"] for t in live])
+    y0 = np.concatenate([t["y0"] for t in live])
+    x1 = np.concatenate([t["x1"] for t in live])
+    y1 = np.concatenate([t["y1"] for t in live])
+    texts: list = []
+    ncolors: list = []
+    fonts: list = []
+    for t in live:
+        texts.extend(t["text"])
+        ncolors.extend(t["ncolor"])
+        fonts.extend(t["fontname"])
+    box_id = np.repeat(np.arange(nb, dtype=np.int64), counts)
+
+    yc = (y0 + y1) / 2.0
+    ord1 = np.lexsort((x0, -yc, box_id))
+    b1 = box_id[ord1]
+    yc1 = yc[ord1]
+    newline = np.empty(total, dtype=bool)
+    newline[0] = True
+    newline[1:] = (b1[1:] != b1[:-1]) | (
+        np.abs(np.diff(yc1)) >= y_tolerance
+    )
+    line_id = np.cumsum(newline) - 1
+    ord2 = np.lexsort((x0[ord1], line_id))
+    fin = ord1[ord2]  # final row order: by line, then x0, stable
+
+    line_starts = np.nonzero(newline)[0]  # line_id[ord2] stays sorted
+    gx0 = x0[fin]
+    lx0 = np.minimum.reduceat(gx0, line_starts)
+    ly0 = np.minimum.reduceat(y0[fin], line_starts)
+    lx1 = np.maximum.reduceat(x1[fin], line_starts)
+    ly1 = np.maximum.reduceat(y1[fin], line_starts)
+    lbox = box_id[fin[line_starts]]
+    line_ends = np.r_[line_starts[1:], total]
+
+    wt_all = {
+        "text": texts, "ncolor": ncolors, "fontname": fonts,
+        "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+    }
+    # unstyled documents (no word carries a color/font anywhere) skip the
+    # per-line uniform-or-None lift — it is None by construction
+    any_color = any(c is not None for c in ncolors)
+    any_font = any(f for f in fonts)
+    for li in range(len(line_starts)):
+        idx = fin[line_starts[li]:line_ends[li]]
+        out[int(lbox[li])].append(
+            {
+                "text": " ".join(texts[i] for i in idx),
+                "ncolor": _uniform(_norm_color(ncolors[i]) for i in idx)
+                if any_color
+                else None,
+                "fontname": _uniform(fonts[i] or None for i in idx)
+                if any_font
+                else None,
+                "x0": float(lx0[li]),
+                "y0": float(ly0[li]),
+                "x1": float(lx1[li]),
+                "y1": float(ly1[li]),
+                "_wt": wt_all,
+                "_idx": idx,
+            }
+        )
+    return out
+
+
 def line_word_dicts(line: dict) -> list:
     """Word dicts of an assembled line, materializing lazily for
     array-backed lines (the ``_wt``/``_idx`` form)."""
