@@ -516,6 +516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": R.q_shipping_priority,
         "top_event_per_user": R.q_top_event_per_user,
         "user_gaps": R.q_user_gaps,
+        "events_asof_join": R.q_events_asof_join,
+        "events_range_join": R.q_events_range_join,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -553,6 +555,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_price_quantiles,
         "boilerplate": _q_boilerplate,
     }
+
+
+def _range_join_sql() -> str:
+    """Interval-overlap join oracle sharing the engine's literal window
+    table (``relational.PROMO_WINDOWS`` is the single source of truth)."""
+    from libpdf_ray.ops import relational as R
+
+    values = ",\n                ".join(
+        f"({wid}, TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+        for wid, lo, hi in R.PROMO_WINDOWS
+    )
+    return f"""
+        WITH windows(window_id, w_start, w_end) AS (
+            VALUES {values}
+        )
+        SELECT CAST(w.window_id AS BIGINT) AS window_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS BIGINT)/100.0
+                   AS total_value
+        FROM events e
+        JOIN windows w ON e.ts >= w.w_start AND e.ts < w.w_end
+        GROUP BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -835,6 +860,12 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rn = 1
         """,
+        "events_asof_join": """
+            SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_range_join": _range_join_sql(),
         "user_gaps": """
             SELECT user_id,
                    CAST(COUNT(*) AS BIGINT) AS n_gaps,

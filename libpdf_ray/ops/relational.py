@@ -749,6 +749,162 @@ def q_top_event_per_user(sf_dir: str):
     return _bucketed_groups(ds, "user_id", n_parts, top1)
 
 
+def q_events_asof_join(sf_dir: str):
+    """AS-OF join (point-in-time lookup): for every event, the user's most
+    recent order at-or-before the event timestamp — the canonical
+    feature-backfill join of a training-data pipeline (DuckDB expresses it
+    as ``ASOF LEFT JOIN``; Ray Data has no native analog).
+
+    Shape: BOTH sides hash-partition ONCE by the join key into disjoint
+    buckets (every event and every order of a user land in the same
+    bucket), then each bucket runs pandas ``merge_asof`` — a vectorized
+    sorted backward search — in one task.  No broadcast (the right side
+    scales with users), no per-key Python dispatch, and the only shuffle
+    is the single key-hash exchange; at 100 TB the bucket count grows with
+    byte size via ``shuffle_partitions``.  Only the matched order DATE is
+    projected, so (custkey, date) ties cannot make the result
+    nondeterministic."""
+    ev_f = f"{sf_dir}/events.parquet"
+    or_f = f"{sf_dir}/orders.parquet"
+    ev = read_sized(ev_f, columns=["event_id", "user_id", "ts"])
+    orders = read_sized(or_f, columns=["o_custkey", "o_orderdate"])
+    n_parts = shuffle_partitions(est_bytes=file_bytes(ev_f) + file_bytes(or_f))
+    nb = max(n_parts * 4, 16)
+
+    def ev_side(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["user_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key,
+                "event_id": df["event_id"].astype("int64"),
+                "t": df["ts"],
+                "side": np.ones(len(df), "int64"),
+                "_bucket": key % nb,
+            }
+        )
+
+    def ord_side(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "key": key,
+                "event_id": np.zeros(len(df), "int64"),
+                "t": df["o_orderdate"],
+                "side": np.zeros(len(df), "int64"),
+                "_bucket": key % nb,
+            }
+        )
+
+    tagged = ev.map_batches(ev_side, batch_format="pandas").union(
+        orders.map_batches(ord_side, batch_format="pandas")
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 1][["key", "event_id", "t"]].sort_values(
+            "t", kind="stable"
+        )
+        o = (
+            g[g["side"] == 0][["key", "t"]]
+            .rename(columns={"t": "od"})
+            .sort_values("od", kind="stable")
+        )
+        if e.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "last_order_date": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        m = pd.merge_asof(
+            e.reset_index(drop=True),
+            o.reset_index(drop=True),
+            left_on="t",
+            right_on="od",
+            by="key",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["key"],
+                "last_order_date": m["od"],
+            }
+        )
+
+    return tagged.groupby("_bucket", num_partitions=n_parts).map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+
+# 4-day promo windows stepping 2 days over the events month: OVERLAPPING
+# intervals, so an interior event matches exactly two — a genuine range
+# join, not a binning.  Literal constants so the DuckDB oracle can carry
+# the identical VALUES list.
+PROMO_WINDOWS: list[tuple[int, str, str]] = [
+    (k, f"2024-01-{1 + 2 * k:02d}", f"2024-01-{min(5 + 2 * k, 31):02d}")
+    for k in range(14)
+]
+
+
+def q_events_range_join(sf_dir: str):
+    """Range (interval-overlap) join: events × overlapping promo windows,
+    aggregated per window.  The window table is tiny and CONSTANT, so it
+    ships inside the task closure (broadcast-by-closure — the ``ray.put``
+    pattern without even needing the put); each batch computes per-window
+    membership as vectorized timestamp masks and pre-aggregates, so only
+    (window, count, cents) partials — a few rows per batch — enter the
+    one small hash shuffle.  Integer-cents math keeps the float total
+    bit-identical to the SQL oracle."""
+    ds = read_sized(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    bounds = [
+        (wid, pd.Timestamp(lo), pd.Timestamp(hi)) for wid, lo, hi in PROMO_WINDOWS
+    ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"]
+        cents = _cents(df["value"])
+        out = []
+        for wid, lo, hi in bounds:
+            m = (ts >= lo) & (ts < hi)
+            n = int(m.sum())
+            if n:
+                out.append((wid, n, int(cents[m.to_numpy()].sum())))
+        if not out:
+            return pd.DataFrame(
+                {
+                    "window_id": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "cents": pd.Series([], dtype="int64"),
+                }
+            )
+        w, n, c = zip(*out)
+        return pd.DataFrame(
+            {
+                "window_id": np.asarray(w, "int64"),
+                "n": np.asarray(n, "int64"),
+                "cents": np.asarray(c, "int64"),
+            }
+        )
+
+    agg = _sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["window_id"],
+        est_keys=len(PROMO_WINDOWS),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_id": df["window_id"].astype("int64"),
+                "n_events": df["n"].astype("int64"),
+                "total_value": df["cents"] / 100.0,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
 # --- documents table ---
 
 

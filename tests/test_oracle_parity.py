@@ -22,6 +22,8 @@ CHECKED = [
     "priority_revenue",
     "shipping_priority",
     "user_gaps",
+    "events_asof_join",
+    "events_range_join",
     "exact_dedup",
     "dedup_docs",
     "quality_filter",
