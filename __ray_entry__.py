@@ -494,6 +494,7 @@ def _q_boilerplate(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from libpdf_ray.ops import corpus as Co
     from libpdf_ray.ops import relational as R
     from libpdf_ray.ops.util import tune_data_context
 
@@ -554,6 +555,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sketch": _q_distinct_sketch,
         "price_quantiles": _q_price_quantiles,
         "boilerplate": _q_boilerplate,
+        # corpus-curation suite (SQL-checked; ops/corpus.py)
+        "vocab_stats": Co.q_vocab_stats,
+        "repetition_stats": Co.q_repetition_stats,
+        "hash_sample": Co.q_hash_sample,
+        "decontaminate": Co.q_decontaminate,
+        "customers_no_orders": Co.q_customers_no_orders,
     }
 
 
@@ -1135,4 +1142,85 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "knn_bruteforce": knn_sql,
+        # ---- corpus-curation suite (ops/corpus.py) -------------------
+        # shared tokenizer: lower + split on [^a-z0-9]+, empties dropped
+        # (DuckDB regexp_split_to_array == Python re.split, verified)
+        "vocab_stats": """
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            )
+            SELECT term,
+                   CAST(COUNT(*) AS BIGINT) AS tf,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY term
+            ORDER BY tf DESC, term LIMIT 50
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ),
+            pt AS (
+                SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       CAST(MAX(c) AS BIGINT) AS max_tf
+                FROM pt GROUP BY 1
+            )
+            -- same integer operands through one double division as the
+            -- engine → bit-identical dup_frac
+            SELECT doc_id, n_tokens, n_distinct, max_tf,
+                   CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_frac
+            FROM g WHERE n_tokens > 0
+        """,
+        "hash_sample": """
+            -- Knuth multiplicative hash on the 32-bit ring, exact integer
+            -- math (HUGEINT avoids int64 overflow for large ids; the
+            -- engine's uint64 wrap is congruent mod 2^32)
+            SELECT doc_id, lang, source FROM documents
+            WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 <
+                  CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                       THEN 3221225472 ELSE 1073741824 END
+        """,
+        "decontaminate": """
+            -- benchmark = the deterministic doc_id % 97 = 0 slice; a corpus
+            -- doc is contaminated if it shares any word 4-gram with any
+            -- benchmark doc; n_hits = distinct shared 4-grams
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS a
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(a) >= 4 THEN
+                        list_transform(range(1, len(a) - 2),
+                            i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                                 || ' ' || a[i+3])
+                    ELSE CAST([] AS VARCHAR[]) END)) AS g
+                FROM toks
+            ),
+            bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+            SELECT s.doc_id, CAST(COUNT(DISTINCT s.g) AS BIGINT) AS n_hits
+            FROM sh s JOIN bench b ON s.g = b.g
+            WHERE s.doc_id % 97 <> 0
+            GROUP BY s.doc_id
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= DATE '2000-01-01'
+            )
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+        """,
     }

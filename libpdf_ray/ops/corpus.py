@@ -1,0 +1,355 @@
+"""Corpus-level text analytics for training-data curation.
+
+Operators a large-scale LLM-data pipeline runs over the whole corpus (the
+``documents`` table shape ``doc_id, text, lang, source, n_chars``), beyond
+the per-document stats in :mod:`.text`:
+
+- :func:`vocab_stats` — corpus vocabulary (term → document frequency +
+  total term frequency), the DF half of TF-IDF.  Per-batch partial
+  aggregation (each doc contributes its term multiset exactly once, so
+  per-batch distinct-doc counts sum to the global DF), then one
+  cardinality-routed combine — at warehouse scale the vocabulary (10^7-10^9
+  terms) takes the bucketed co-group path, never a driver collect.
+- :func:`repetition_stats` — Gopher-style per-document repetition signals
+  (duplicate-token fraction, most-frequent-term share).  Entirely
+  doc-local: one vectorized explode+groupby per batch, ZERO shuffles.
+- :func:`hash_sample` — deterministic stratified downsampling by exact
+  integer hashing (Knuth multiplicative), so the engine and any SQL engine
+  agree bit-for-bit on the kept set and a re-run (or a resumed run) keeps
+  identical documents.  Pure filter: no shuffle, no state.
+- :func:`decontaminate` — benchmark n-gram decontamination: flag corpus
+  documents sharing any word n-gram with a (small) held-out benchmark
+  set.  The benchmark side is collected once and broadcast via
+  ``ray.put`` (eval benchmarks are ~10^3-10^5 docs even for a 100 TB
+  corpus); a size guard refuses silently unsafe broadcasts.
+- :func:`customers_no_orders` — distributed ANTI-join (key-set semi
+  difference): build the distinct right-side key set with a per-batch
+  combiner, broadcast it (size-guarded), and mask the left side in-stream.
+
+Tokenization is the shared :func:`tokenize_series` — lowercase, split on
+``[^a-z0-9]+`` — chosen because DuckDB's ``regexp_split_to_array(lower(t),
+'[^a-z0-9]+')`` produces the identical token stream, which is what makes
+every operator here hash-checkable against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from .util import (
+    BROADCAST_LOOKUP_ROW_LIMIT,
+    combine_partials,
+    parquet_row_count,
+    read_sized,
+    topk,
+)
+
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+# Knuth multiplicative hash over the 32-bit ring: exact integer arithmetic
+# reproducible in any SQL engine (no float, no library hash).
+_HASH_MULT = 2654435761
+_HASH_MOD = 1 << 32
+
+
+def tokenize_series(text: pd.Series) -> pd.Series:
+    """Series of str → Series of token lists (lowercase, ``[^a-z0-9]+``
+    separators, empty tokens dropped — DuckDB-parity tokenizer)."""
+    toks = text.fillna("").str.lower().str.split(_TOKEN_RE)
+    return toks.map(lambda ts: [t for t in ts if t])
+
+
+def _explode_tokens(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) batch → one row per token occurrence."""
+    from itertools import chain
+
+    toks = tokenize_series(df["text"])
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), counts),
+            "term": np.fromiter(
+                chain.from_iterable(toks), dtype=object, count=total
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary / document frequency
+# ---------------------------------------------------------------------------
+
+
+def vocab_stats(docs, est_docs: int, k: int = 50):
+    """Top-``k`` corpus vocabulary terms by total term frequency.
+
+    ``docs``: Dataset of (doc_id, text).  Returns (term, df, tf) with
+    ``df`` = number of documents containing the term and ``tf`` = total
+    occurrences — the corpus-wide half of TF-IDF.
+
+    Scale shape: per-batch explode → per-batch (term, tf, df) partials
+    (valid because every document lives in exactly one batch, so
+    batch-local distinct-doc counts are disjoint), then ONE
+    cardinality-routed combine (`combine_partials`) and a shuffle-free
+    tree top-k.  The vocabulary never transits the driver.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(df)
+        if not len(ex):
+            return pd.DataFrame({"term": [], "tf": [], "df": []}).astype(
+                {"term": object, "tf": "int64", "df": "int64"}
+            )
+        g = ex.groupby("term", as_index=False).agg(
+            tf=("doc_id", "size"), df=("doc_id", "nunique")
+        )
+        return g.astype({"tf": "int64", "df": "int64"})
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", as_index=False).sum()
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    # vocabulary cardinality heuristic: ~16 new terms per doc keeps small
+    # corpora on the single-task combine and routes web-scale corpora
+    # (10^8+ est keys) onto the bucketed co-group path
+    agg = combine_partials(
+        partials, red, ["term"], est_keys=max(64, est_docs * 16), merge_fn=red
+    )
+    return topk(agg, ["tf", "term"], [True, False], k)
+
+
+def q_vocab_stats(sf_dir: str):
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_sized(path, columns=["doc_id", "text"])
+    return vocab_stats(docs, est_docs=parquet_row_count(path))
+
+
+# ---------------------------------------------------------------------------
+# per-document repetition signals (Gopher-style quality metrics)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs):
+    """Per-document repetition metrics: ``n_tokens``, ``n_distinct``,
+    ``max_tf`` (count of the most frequent term) and ``dup_frac`` =
+    (n_tokens - n_distinct) / n_tokens — the fraction of token occurrences
+    that are repeats (Rae et al., Gopher app. A1.1 repetition filters,
+    public).  Documents with zero tokens are dropped (no defined ratio).
+
+    Doc-local by construction: one explode + two grouped reductions per
+    batch, no shuffle at any scale.  The single double division has
+    identical operands in SQL, so values are bit-exact."""
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(df)
+        if not len(ex):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=df["doc_id"].dtype),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "n_distinct": pd.Series([], dtype="int64"),
+                    "max_tf": pd.Series([], dtype="int64"),
+                    "dup_frac": pd.Series([], dtype="float64"),
+                }
+            )
+        per_term = ex.groupby(["doc_id", "term"], as_index=False).agg(
+            c=("term", "size")
+        )
+        g = per_term.groupby("doc_id", as_index=False).agg(
+            n_tokens=("c", "sum"), n_distinct=("c", "size"), max_tf=("c", "max")
+        )
+        g = g[g["n_tokens"] > 0]
+        n_tok = g["n_tokens"].to_numpy(dtype=np.int64)
+        n_dis = g["n_distinct"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": n_tok,
+                "n_distinct": n_dis,
+                "max_tf": g["max_tf"].astype("int64"),
+                "dup_frac": (n_tok - n_dis).astype("float64") / n_tok,
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pandas")
+
+
+def q_repetition_stats(sf_dir: str):
+    docs = read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: per-stratum keep thresholds on the 32-bit hash ring (exact integers:
+#: 0.75·2^32 for the boosted sources, 0.25·2^32 for the rest)
+SAMPLE_BOOST_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+SAMPLE_BOOST_THRESHOLD = 3 * (1 << 30)
+SAMPLE_BASE_THRESHOLD = 1 << 30
+
+
+def hash_sample(docs):
+    """Deterministic stratified downsample: keep a document iff
+    ``(doc_id * 2654435761) mod 2^32`` falls below its stratum's
+    threshold (75% for :data:`SAMPLE_BOOST_SOURCES`, 25% otherwise).
+
+    Exact integer arithmetic end to end — any engine (and any resumed
+    run) selects the identical sample, which is what makes sampling
+    decisions reproducible across a 10^12-doc corpus.  Pure in-stream
+    filter: no shuffle, no randomness, no state."""
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        # uint64 arithmetic: a wrap at 2^64 preserves the value mod 2^32
+        # (2^32 divides 2^64), so the kept set stays exact even for ids
+        # beyond 2^33 where int64 multiply would overflow
+        h = (
+            df["doc_id"].to_numpy(dtype=np.uint64) * np.uint64(_HASH_MULT)
+        ) % np.uint64(_HASH_MOD)
+        thr = np.where(
+            df["source"].isin(SAMPLE_BOOST_SOURCES),
+            SAMPLE_BOOST_THRESHOLD,
+            SAMPLE_BASE_THRESHOLD,
+        )
+        return df.loc[h < thr, ["doc_id", "lang", "source"]]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+def q_hash_sample(sf_dir: str):
+    docs = read_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    return hash_sample(docs)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _shingle_set(tokens: list, n: int) -> set:
+    return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+
+def decontaminate(docs, bench_docs, n: int = 4):
+    """Benchmark n-gram decontamination: for every corpus document NOT in
+    the benchmark set, count the distinct word ``n``-grams it shares with
+    ANY benchmark document.  Returns (doc_id, n_hits) for contaminated
+    docs only (n_hits ≥ 1) — the drop set of a train/test-leakage filter
+    (standard practice, e.g. GPT-3 app. C / PaLM sec. 8, public).
+
+    Scale shape: the benchmark side (a held-out eval set — ~10^3-10^5
+    docs regardless of corpus size) is reduced to its shingle set ONCE,
+    put in the object store, and read zero-copy by every filter task; the
+    corpus side streams.  A row-count guard refuses benchmark sets too
+    large to broadcast — those want the bucketed shingle join instead.
+    """
+    import ray
+
+    bench_tbl = bench_docs.to_pandas()
+    if len(bench_tbl) > BROADCAST_LOOKUP_ROW_LIMIT:
+        raise ValueError(
+            f"benchmark set has {len(bench_tbl)} docs — too large to "
+            "broadcast; shard it or use an explicit shingle-join path"
+        )
+    bench_ids = set(bench_tbl["doc_id"].tolist())
+    shingles: set = set()
+    for toks in tokenize_series(bench_tbl["text"]):
+        shingles |= _shingle_set(toks, n)
+    ref = ray.put(shingles)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(ref)
+        mask = ~df["doc_id"].isin(bench_ids)
+        sub = df.loc[mask]
+        hits = [
+            len(_shingle_set(toks, n) & bench)
+            for toks in tokenize_series(sub["text"])
+        ]
+        out = pd.DataFrame(
+            {"doc_id": sub["doc_id"], "n_hits": pd.array(hits, dtype="int64")}
+        )
+        return out[out["n_hits"] > 0]
+
+    return docs.map_batches(flag, batch_format="pandas")
+
+
+def q_decontaminate(sf_dir: str, bench_mod: int = 97):
+    """Driver-contract form: the 'benchmark' is the deterministic slice
+    ``doc_id % 97 == 0`` of the same corpus (stand-in for a held-out eval
+    set; keeps the query self-contained on the test tables)."""
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_sized(path, columns=["doc_id", "text"])
+
+    def is_bench(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % bench_mod == 0]
+
+    bench = read_sized(path, columns=["doc_id", "text"]).map_batches(
+        is_bench, batch_format="pandas"
+    )
+    return decontaminate(docs, bench)
+
+
+# ---------------------------------------------------------------------------
+# distributed anti-join
+# ---------------------------------------------------------------------------
+
+
+#: churn cutoff for the anti-join query (non-empty at every test scale)
+RECENT_ORDER_CUTOFF = "2000-01-01"
+
+
+def customers_no_orders(customer, orders, est_keys: int, k: int = 20):
+    """Churned customers (TPC-H Q22 flavor): top-``k`` by account balance
+    among customers with NO order since :data:`RECENT_ORDER_CUTOFF`.
+    Distributed ANTI-join: the right side collapses to its distinct key
+    set via a per-batch combiner (kilobytes per block regardless of order
+    count), is broadcast once (size-guarded — beyond the limit the right
+    key set belongs in a bucketed co-group, see ``relational``'s hash
+    join), and the left side streams through an in-task mask."""
+    import ray
+
+    cutoff = pd.Timestamp(RECENT_ORDER_CUTOFF)
+
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        recent = df.loc[pd.to_datetime(df["o_orderdate"]) >= cutoff, "o_custkey"]
+        return pd.DataFrame({"o_custkey": recent.unique()})
+
+    keys = combine_partials(
+        orders.map_batches(key_partial, batch_format="pandas"),
+        lambda df: df.drop_duplicates("o_custkey"),
+        ["o_custkey"],
+        est_keys=est_keys,  # distinct custkeys are bounded by |customer|
+        merge_fn=lambda df: df.drop_duplicates("o_custkey"),
+    ).to_pandas()
+    if len(keys) > BROADCAST_LOOKUP_ROW_LIMIT:
+        raise ValueError(
+            "order key set too large to broadcast — route through the "
+            "bucketed hash join (relational.bucketed_join) instead"
+        )
+    ref = ray.put(frozenset(keys["o_custkey"].tolist()))
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        have = ray.get(ref)
+        out = df.loc[
+            ~df["c_custkey"].isin(have), ["c_custkey", "c_name", "c_acctbal"]
+        ]
+        return out
+
+    survivors = customer.map_batches(anti, batch_format="pandas")
+    return topk(survivors, ["c_acctbal", "c_custkey"], [True, False], k)
+
+
+def q_customers_no_orders(sf_dir: str):
+    cpath = f"{sf_dir}/customer.parquet"
+    customer = read_sized(cpath, columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = read_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    return customers_no_orders(customer, orders, est_keys=parquet_row_count(cpath))

@@ -1,0 +1,202 @@
+"""Unit tests for the corpus-curation operators (ops/corpus.py).
+
+DuckDB-oracle parity at sf0.001 is covered in test_oracle_parity.py; these
+pin the kernel semantics on hand-built inputs where the expected output is
+computable by eye (or by a trivial pure-Python reference)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from libpdf_ray.ops.corpus import (
+    SAMPLE_BASE_THRESHOLD,
+    SAMPLE_BOOST_SOURCES,
+    SAMPLE_BOOST_THRESHOLD,
+    _shingle_set,
+    customers_no_orders,
+    decontaminate,
+    hash_sample,
+    repetition_stats,
+    tokenize_series,
+    vocab_stats,
+)
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+class TestTokenizer:
+    def test_duckdb_parity_tokens(self):
+        import duckdb
+
+        texts = [
+            "Hello, World! 42",
+            "  mixed CASE and ümlauts über  ",
+            "",
+            "a-b_c.d",
+        ]
+        got = tokenize_series(pd.Series(texts)).tolist()
+        exp = duckdb.sql(
+            "SELECT list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),"
+            " x -> x <> '') FROM (SELECT unnest(?) AS t)",
+            params=[texts],
+        ).fetchall()
+        assert got == [row[0] for row in exp]
+
+    def test_shingles(self):
+        assert _shingle_set(["a", "b", "c", "d"], 4) == {"a b c d"}
+        assert _shingle_set(["a", "b", "c"], 4) == set()
+        assert _shingle_set(list("abcde"), 4) == {"a b c d", "b c d e"}
+
+
+class TestVocabStats:
+    def test_counts(self, ray_session):
+        docs = _ds(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": ["the cat the dog", "the cat", "bird"],
+                }
+            )
+        )
+        out = (
+            vocab_stats(docs, est_docs=3, k=10)
+            .to_pandas()
+            .set_index("term")
+            .sort_index()
+        )
+        assert out.loc["the", "tf"] == 3 and out.loc["the", "df"] == 2
+        assert out.loc["cat", "tf"] == 2 and out.loc["cat", "df"] == 2
+        assert out.loc["bird", "df"] == 1
+
+    def test_topk_cut_is_deterministic(self, ray_session):
+        # 4 terms tied at tf=1 → k=2 keeps the lexicographically first two
+        docs = _ds(pd.DataFrame({"doc_id": [1], "text": ["d c b a"]}))
+        out = vocab_stats(docs, est_docs=1, k=2).to_pandas()
+        assert sorted(out["term"]) == ["a", "b"]
+
+
+class TestRepetitionStats:
+    def test_metrics(self, ray_session):
+        docs = _ds(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": ["a a a b", "x y z", "   "],
+                }
+            )
+        )
+        out = repetition_stats(docs).to_pandas().set_index("doc_id")
+        assert 3 not in out.index  # zero-token doc dropped
+        assert out.loc[1, "n_tokens"] == 4
+        assert out.loc[1, "n_distinct"] == 2
+        assert out.loc[1, "max_tf"] == 3
+        assert out.loc[1, "dup_frac"] == pytest.approx(0.5)
+        assert out.loc[2, "dup_frac"] == 0.0
+
+
+class TestHashSample:
+    def test_matches_scalar_hash(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(1000, dtype=np.int64),
+                "lang": "en",
+                "source": ["src0" if i % 2 else "src9" for i in range(1000)],
+            }
+        )
+        kept = set(hash_sample(_ds(df)).to_pandas()["doc_id"])
+        for _, row in df.iterrows():
+            thr = (
+                SAMPLE_BOOST_THRESHOLD
+                if row["source"] in SAMPLE_BOOST_SOURCES
+                else SAMPLE_BASE_THRESHOLD
+            )
+            expect = (int(row["doc_id"]) * 2654435761) % (1 << 32) < thr
+            assert (row["doc_id"] in kept) == expect
+
+    def test_uint64_wrap_is_congruent(self):
+        # ids beyond 2^33: numpy uint64 wrap must equal exact integer math
+        ids = np.array([2**40 + 7, 2**52 + 123456789], dtype=np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        for i, v in enumerate([2**40 + 7, 2**52 + 123456789]):
+            assert int(h[i]) == (v * 2654435761) % (1 << 32)
+
+
+class TestDecontaminate:
+    def test_flags_only_real_overlap(self, ray_session):
+        corpus = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 97],
+                "text": [
+                    "alpha beta gamma delta epsilon",  # shares 4-gram w/ bench
+                    "one two three four five",  # no overlap
+                    "beta gamma delta epsilon zeta",  # shares shifted 4-gram
+                    "alpha beta gamma delta",  # the benchmark doc itself
+                ],
+            }
+        )
+        bench = corpus[corpus["doc_id"] == 97]
+        out = (
+            decontaminate(_ds(corpus), _ds(bench), n=4)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert set(out.index) == {1}  # doc 3 shares no 4-gram with bench
+        assert out.loc[1, "n_hits"] == 1
+
+    def test_benchmark_doc_never_flagged(self, ray_session):
+        corpus = pd.DataFrame(
+            {"doc_id": [97, 5], "text": ["a b c d e", "a b c d e"]}
+        )
+        bench = corpus[corpus["doc_id"] == 97]
+        out = decontaminate(_ds(corpus), _ds(bench), n=4).to_pandas()
+        assert set(out["doc_id"]) == {5}
+
+    def test_broadcast_guard(self, ray_session, monkeypatch):
+        import libpdf_ray.ops.corpus as C
+
+        monkeypatch.setattr(C, "BROADCAST_LOOKUP_ROW_LIMIT", 1)
+        corpus = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "e f g h"]})
+        with pytest.raises(ValueError, match="too large to broadcast"):
+            decontaminate(_ds(corpus), _ds(corpus), n=4)
+
+
+class TestAntiJoin:
+    def test_matches_pandas_reference(self, ray_session):
+        rng = np.random.RandomState(7)
+        cust = pd.DataFrame(
+            {
+                "c_custkey": np.arange(200, dtype=np.int64),
+                "c_name": [f"c{i}" for i in range(200)],
+                "c_acctbal": rng.uniform(0, 1000, 200).round(2),
+            }
+        )
+        orders = pd.DataFrame(
+            {
+                "o_custkey": rng.choice(200, 500).astype(np.int64),
+                "o_orderdate": pd.to_datetime(
+                    rng.choice(["1999-06-01", "2000-06-01"], 500)
+                ),
+            }
+        )
+        got = (
+            customers_no_orders(_ds(cust), _ds(orders), est_keys=200, k=10)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        recent = set(
+            orders.loc[orders["o_orderdate"] >= "2000-01-01", "o_custkey"]
+        )
+        exp = (
+            cust[~cust["c_custkey"].isin(recent)]
+            .sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+            .head(10)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["c_custkey", "c_name", "c_acctbal"]],
+            exp[["c_custkey", "c_name", "c_acctbal"]],
+        )

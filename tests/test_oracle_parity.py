@@ -44,6 +44,12 @@ CHECKED = [
     "minhash_verified_pairs",
     "knn_ivf_exact",
     "media_meta",
+    # corpus-curation suite (ops/corpus.py)
+    "vocab_stats",
+    "repetition_stats",
+    "hash_sample",
+    "decontaminate",
+    "customers_no_orders",
 ]
 
 
