@@ -519,6 +519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gaps": R.q_user_gaps,
         "events_asof_join": R.q_events_asof_join,
         "events_range_join": R.q_events_range_join,
+        "median_order_price": R.q_median_order_price,
+        "revenue_rollup": R.q_revenue_rollup,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -1142,6 +1144,29 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "knn_bruteforce": knn_sql,
+        "median_order_price": """
+            -- exact grouped median over integer cents (the engine builds a
+            -- distributed histogram; percentile_disc(0.5) = first value at
+            -- 1-based rank ceil(n/2) in both engines)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   percentile_disc(0.5) WITHIN GROUP (
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                   ) / 100.0 AS median_price
+            FROM orders GROUP BY 1
+        """,
+        "revenue_rollup": """
+            SELECT COALESCE(r.r_name, 'ALL') AS r_name,
+                   COALESCE(n.n_name, 'ALL') AS n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS revenue
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY ROLLUP(r.r_name, n.n_name)
+        """,
         # ---- corpus-curation suite (ops/corpus.py) -------------------
         # shared tokenizer: lower + split on [^a-z0-9]+, empties dropped
         # (DuckDB regexp_split_to_array == Python re.split, verified)

@@ -1017,3 +1017,127 @@ def q_knn(sf_dir: str, n_queries: int = 8, k: int = 5):
     )
     ds = read_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_bruteforce(ds, {"ids": q_ids, "matrix": q_mat}, k=k)
+
+
+def q_median_order_price(sf_dir: str):
+    """EXACT distributed grouped median (complement of the approximate
+    bottom-k sketch in ops/sketch.py): per-group integer-cents HISTOGRAM.
+
+    Scale shape: per-batch (priority, cents) counts collapse each block to
+    its distinct prices; the combine is keyed on (priority, cents) —
+    cardinality bounded by the PRICE DOMAIN (~10^7 cents values), not the
+    order count — and the final per-priority selection walks one sorted
+    histogram per group (`groupby(priority).map_groups`, 5 tiny groups).
+    Nothing anywhere holds rows proportional to the corpus.  Selection
+    rank is ceil(n/2) over the cumulative counts = SQL
+    ``percentile_disc(0.5)`` exactly; median = cents / 100.0 is one double
+    division with identical operands both sides."""
+    from .util import combine_partials, parquet_row_count
+
+    ds = read_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "cents": _cents(df["o_totalprice"]),
+            }
+        )
+        g = part.groupby(["o_orderpriority", "cents"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderpriority", "cents"], as_index=False).sum()
+
+    hist = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        red,
+        ["o_orderpriority", "cents"],
+        # distinct (priority, cents) pairs: bounded by the price domain —
+        # use the order count as a conservative proxy so large corpora
+        # route to the bucketed combine
+        est_keys=parquet_row_count(f"{sf_dir}/orders.parquet"),
+        merge_fn=red,
+    )
+
+    def select_median(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("cents")
+        n = int(df["n"].sum())
+        rank = (n + 1) // 2  # ceil(n/2), 1-based = percentile_disc(0.5)
+        cum = df["n"].cumsum()
+        med_cents = int(df.loc[cum >= rank, "cents"].iloc[0])
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [df["o_orderpriority"].iloc[0]],
+                "n_orders": np.array([n], dtype="int64"),
+                "median_price": np.array([med_cents], dtype="int64") / 100.0,
+            }
+        )
+
+    # explicit num_partitions: under the session's hash-shuffle strategy a
+    # default-partition groupby spawns aggregator actors far beyond the
+    # key count and can deadlock small-CPU sessions waiting for slots
+    return hist.groupby("o_orderpriority", num_partitions=2).map_groups(
+        select_median, batch_format="pandas"
+    )
+
+
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation) in one streaming pass: the detail
+    aggregate is the only corpus-sized reduction; the region subtotals and
+    the grand total are re-aggregations of the 25-row detail result (key
+    domain fixed by the dimension tables, independent of corpus size).
+    'ALL' literals mark the rolled-up levels (COALESCE'd identically in
+    the SQL oracle, avoiding NULL-ordering ambiguity)."""
+    cust_nation = _lookup(sf_dir, "customer", "c_custkey", "c_nationkey")
+    nation_name = _lookup(sf_dir, "nation", "n_nationkey", "n_name")
+    nation_region = _lookup(sf_dir, "nation", "n_nationkey", "n_regionkey")
+    region_name = _lookup(sf_dir, "region", "r_regionkey", "r_name")
+    ds = read_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df["o_custkey"].map(cust_nation)
+        part = pd.DataFrame(
+            {
+                "r_name": nk.map(nation_region).map(region_name),
+                "n_name": nk.map(nation_name),
+                "rev_i": _cents(df["o_totalprice"]),
+                "n": np.ones(len(df), dtype="int64"),
+            }
+        )
+        return part.groupby(["r_name", "n_name"], as_index=False).sum()
+
+    detail = _sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["r_name", "n_name"],
+        est_keys=32,
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        # df = the complete 25-row detail aggregate (single block: the
+        # key domain is the nation table, fixed at any corpus size)
+        region = df.groupby("r_name", as_index=False)[["rev_i", "n"]].sum()
+        region["n_name"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "r_name": ["ALL"],
+                "n_name": ["ALL"],
+                "rev_i": [df["rev_i"].sum()],
+                "n": [df["n"].sum()],
+            }
+        )
+        out = pd.concat([df, region, total], ignore_index=True)
+        return pd.DataFrame(
+            {
+                "r_name": out["r_name"],
+                "n_name": out["n_name"],
+                "n_orders": out["n"].astype("int64"),
+                "revenue": out["rev_i"].astype("int64") / 100.0,
+            }
+        )
+
+    return detail.repartition(1).map_batches(rollup, batch_format="pandas")

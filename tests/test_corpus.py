@@ -164,6 +164,30 @@ class TestDecontaminate:
             decontaminate(_ds(corpus), _ds(corpus), n=4)
 
 
+class TestMedianSelection:
+    def test_rank_semantics_match_percentile_disc(self, ray_session):
+        """ceil(n/2) selection over the histogram == percentile_disc(0.5)
+        for even and odd group sizes (DuckDB cross-checked in
+        test_oracle_parity; this pins the rank arithmetic directly)."""
+        import duckdb
+
+        from libpdf_ray.ops.relational import q_median_order_price
+
+        got = (
+            q_median_order_price("/root/testdata/sf0.001")
+            .to_pandas()
+            .set_index("o_orderpriority")
+            .sort_index()
+        )
+        exp = duckdb.sql(
+            "SELECT o_orderpriority, percentile_disc(0.5) WITHIN GROUP "
+            "(ORDER BY CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS m "
+            "FROM read_parquet('/root/testdata/sf0.001/orders.parquet') "
+            "GROUP BY 1"
+        ).df().set_index("o_orderpriority").sort_index()
+        assert (got["median_price"] == exp["m"]).all()
+
+
 class TestAntiJoin:
     def test_matches_pandas_reference(self, ray_session):
         rng = np.random.RandomState(7)

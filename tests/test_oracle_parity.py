@@ -50,6 +50,8 @@ CHECKED = [
     "hash_sample",
     "decontaminate",
     "customers_no_orders",
+    "median_order_price",
+    "revenue_rollup",
 ]
 
 
