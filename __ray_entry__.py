@@ -458,6 +458,45 @@ def _q_rect_styles(sf_dir: str):
     return rect_styles_table(read_corpus(_query_corpus()), SMART_CROP_CONFIG)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed full-pass Lloyd k-means (rows-only: float reductions
+    aren't hash-oracle material).  Returns the k cluster sizes + final
+    mean-cosine inertia — row count is the deterministic contract."""
+    import pandas as pd
+
+    from libpdf_ray.ops.similarity import kmeans_fit
+
+    ds = _read_sized(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    fit = kmeans_fit(ds, n_clusters=8, iters=3, seed=42)
+    # report sizes via one extra assignment pass of the final centroids
+    import numpy as np
+
+    c = fit["centroids"]
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        cells = np.argmax(emb @ c.T, axis=1)
+        out = pd.DataFrame({"cell": cells.astype("int64")})
+        return out.groupby("cell", as_index=False).size().rename(columns={"size": "n"})
+
+    from libpdf_ray.ops.util import tree_merge
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cell", as_index=False).sum()
+
+    inertia = round(fit["inertia"][-1], 6)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("cell", as_index=False).sum()
+        out["inertia"] = inertia
+        return out
+
+    return tree_merge(
+        ds.map_batches(assign, batch_format="pandas"), merge, final
+    )
+
+
 def _q_distinct_sketch(sf_dir: str):
     import ray.data as rd
 
@@ -546,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_exact": _q_knn_ivf_exact,
         "knn_ivf_partitioned": _q_knn_ivf_partitioned,
+        "kmeans_clusters": _q_kmeans_clusters,
         "text_spans": _q_text_spans,
         "elements": _q_elements,
         "file_meta": _q_file_meta,

@@ -245,3 +245,107 @@ def knn_ivf(ds, queries: dict, centroids: np.ndarray, k: int = 5,
     )
     return knn_bruteforce(subset, queries, k=k, id_col=id_col,
                           exclude_self=exclude_self)
+
+
+def kmeans_fit(ds, n_clusters: int, iters: int = 10, seed: int = 42,
+               init: np.ndarray | None = None) -> dict:
+    """Distributed Lloyd k-means over the FULL corpus (spherical: vectors
+    and centroids are L2-normalized, assignment by max cosine).
+
+    Each iteration is one streaming pass: centroids ride to every batch
+    via ``ray.put``, each batch emits per-cluster PARTIAL (sum-vector,
+    count) rows — k rows per block, independent of block size — and one
+    tree merge produces the k new centroids driver-side (k·dim floats,
+    kilobytes).  The corpus is never collected, sorted, or shuffled; at
+    10^12 rows the per-iteration exchange is still k rows per block.
+    Complements :func:`ivf_fit_centroids` (sample-based, zero-pass): use
+    this when the quantizer must see every vector.
+
+    Returns {"centroids": (k, dim) ndarray, "inertia": [per-iter mean
+    cosine to assigned centroid], "n": total rows}.  Seeding is
+    deterministic for a fixed ``seed``/``init``; the per-cluster double
+    sums associate in block order, so centroids can differ at float-noise
+    level (~1e-15) across block layouts — inherent to any distributed
+    float reduction, and why this op is tested against a single-process
+    reference rather than a SQL hash oracle."""
+    import ray
+
+    from .util import tree_merge
+
+    if init is not None:
+        centroids = np.asarray(init, dtype=np.float64)
+    else:
+        # deterministic seeding from a bounded sample (same discipline as
+        # ivf_fit_centroids: the sample is small; the fit below is
+        # full-pass).  Farthest-point (k-means++-style, greedy): random
+        # seeding regularly drops two centroids into one cluster, which
+        # Lloyd cannot escape
+        sample = ds.limit(max(n_clusters * 64, 256)).to_pandas()
+        x = _as_matrix(sample["embedding"])
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        rng = np.random.default_rng(seed)
+        chosen = [int(rng.integers(len(x)))]
+        while len(chosen) < min(n_clusters, len(x)):
+            best_sim = np.max(x @ x[chosen].T, axis=1)
+            best_sim[chosen] = np.inf  # never re-pick
+            chosen.append(int(np.argmin(best_sim)))
+        centroids = x[chosen].copy()
+    centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    k, dim = centroids.shape
+    inertia: list = []
+    n_total = 0
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = np.asarray(ray.get(cref))
+            emb = _as_matrix(df["embedding"])
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = emb @ c.T
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(emb)), assign]
+            rows = []
+            for cell in np.unique(assign):
+                m = assign == cell
+                rows.append(
+                    {
+                        "cell": int(cell),
+                        "vsum": emb[m].sum(axis=0).tolist(),
+                        "n": int(m.sum()),
+                        "sim_sum": float(best[m].sum()),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            out = []
+            for cell, g in df.groupby("cell"):
+                out.append(
+                    {
+                        "cell": int(cell),
+                        "vsum": np.sum(
+                            np.stack([np.asarray(v) for v in g["vsum"]]), axis=0
+                        ).tolist(),
+                        "n": int(g["n"].sum()),
+                        "sim_sum": float(g["sim_sum"].sum()),
+                    }
+                )
+            return pd.DataFrame(out)
+
+        stats = tree_merge(
+            ds.map_batches(partial, batch_format="pandas"), merge
+        ).to_pandas()
+        n_total = int(stats["n"].sum())
+        inertia.append(float(stats["sim_sum"].sum()) / max(n_total, 1))
+        new_c = centroids.copy()
+        for _, row in stats.iterrows():
+            v = np.asarray(row["vsum"], dtype=np.float64)
+            nrm = np.linalg.norm(v)
+            if nrm > 0:
+                new_c[int(row["cell"])] = v / nrm
+        centroids = new_c
+
+    return {"centroids": centroids, "inertia": inertia, "n": n_total}

@@ -224,3 +224,58 @@ class TestAntiJoin:
             got[["c_custkey", "c_name", "c_acctbal"]],
             exp[["c_custkey", "c_name", "c_acctbal"]],
         )
+
+
+class TestKMeans:
+    def test_matches_single_process_lloyd(self, ray_session):
+        """Distributed Lloyd with a fixed init == pure-numpy Lloyd up to
+        float-association noise."""
+        import ray.data as rd
+
+        from libpdf_ray.ops.similarity import kmeans_fit
+
+        rng = np.random.RandomState(3)
+        # three separated blobs on the sphere
+        base = rng.normal(size=(3, 16))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        x = np.repeat(base, 40, axis=0) + rng.normal(scale=0.05, size=(120, 16))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        init = x[[0, 40, 80]]
+        df = pd.DataFrame({"embedding": [row.tolist() for row in x]})
+        fit = kmeans_fit(
+            rd.from_pandas(df).repartition(6), n_clusters=3, iters=4, init=init
+        )
+
+        c = init / np.linalg.norm(init, axis=1, keepdims=True)
+        for _ in range(4):
+            assign = np.argmax(x @ c.T, axis=1)
+            nc = c.copy()
+            for j in range(3):
+                m = x[assign == j]
+                if len(m):
+                    v = m.sum(axis=0)
+                    nc[j] = v / np.linalg.norm(v)
+            c = nc
+        assert np.allclose(fit["centroids"], c, atol=1e-9)
+        assert fit["n"] == 120
+        # spherical Lloyd: mean cosine to assigned centroid must not decrease
+        assert all(
+            b >= a - 1e-12 for a, b in zip(fit["inertia"], fit["inertia"][1:])
+        )
+
+    def test_each_blob_gets_a_centroid(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.similarity import kmeans_fit
+
+        rng = np.random.RandomState(9)
+        base = rng.normal(size=(4, 8))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        x = np.repeat(base, 25, axis=0) + rng.normal(scale=0.02, size=(100, 8))
+        df = pd.DataFrame({"embedding": [row.tolist() for row in x]})
+        fit = kmeans_fit(rd.from_pandas(df), n_clusters=4, iters=6, seed=1)
+        # every blob center has a learned centroid at cosine > 0.95
+        sims = (base / np.linalg.norm(base, axis=1, keepdims=True)) @ fit[
+            "centroids"
+        ].T
+        assert (sims.max(axis=1) > 0.95).all()
