@@ -1184,6 +1184,43 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "knn_bruteforce": knn_sql,
+        "simhash": r"""
+            -- bit-exact 64-bit SimHash parity (ops/dedup.py:SimHasher):
+            -- per whitespace token, the first 8 md5 digest bytes read as a
+            -- LITTLE-endian uint64; output bit k set iff a strict majority
+            -- of tokens carry bit k (ties -> 0); rendered as %016x hex.
+            -- Duplicated tokens vote once per occurrence, same as the
+            -- engine's per-token fold.
+            WITH w AS (
+                SELECT doc_id, CASE WHEN trim(text) = ''
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+            bits AS (
+                SELECT doc_id, k,
+                       (('0x' || substr(md5(t), 2*(k//8)+1, 2))::INT
+                           >> (k % 8)) & 1 AS b
+                FROM tok, unnest(generate_series(0, 63)) AS r(k)
+            ),
+            acc AS (
+                SELECT doc_id, k, SUM(b) AS ones, COUNT(*) AS tcnt
+                FROM bits GROUP BY 1, 2
+            ),
+            vals AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN 2*ones > tcnt
+                           THEN (1::UBIGINT << CAST(k AS INT))
+                           ELSE 0::UBIGINT END) AS v
+                FROM acc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   lpad(lower(to_hex(COALESCE(v.v, 0::UBIGINT))), 16, '0')
+                       AS simhash
+            FROM documents d LEFT JOIN vals v USING (doc_id)
+        """,
         "median_order_price": """
             -- exact grouped median over integer cents (the engine builds a
             -- distributed histogram; percentile_disc(0.5) = first value at

@@ -1,6 +1,6 @@
 """Training-data curation cookbook: the ops chained end to end.
 
-Deduplicate → quality-filter → strip corpus boilerplate → token budget,
+Deduplicate → decontaminate → downsample → quality-filter → token budget,
 over the driver's documents table — the "LLM training-data pipeline" half
 of the engine (COVERAGE.md "Beyond the reference").
 
@@ -29,8 +29,10 @@ tune_data_context()
 SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
 docs_path = f"{SF}/documents.parquet"
 
-# 1. exact dedup (hash-partitioned keep-min-id)
-ds = rd.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
+# 1. exact dedup (hash-partitioned keep-min-id); `source` rides along so
+#    the later sampling stage can filter IN-STREAM (the hash is a pure
+#    per-row function — no id set ever visits the driver)
+ds = rd.read_parquet(docs_path, columns=["doc_id", "text", "lang", "source"])
 n_in = ds.count()
 deduped = exact_dedup(ds, est_keys=parquet_row_count(docs_path))
 n_dedup = deduped.count()
@@ -48,9 +50,50 @@ neardup_free = deduped.map_batches(
     lambda df: df[~df["doc_id"].isin(drop)], batch_format="pandas"
 )
 
-# 3. quality filter (actor-pool scorer) + token stats
-scored = neardup_free.map_batches(QualityScorer, batch_format="pandas",
-                                  concurrency=2)
+# 3. benchmark decontamination: drop training docs sharing any word
+#    4-gram with the held-out "benchmark" slice (doc_id % 97 == 0 stands
+#    in for a real eval set; the benchmark shingle set is broadcast once)
+from libpdf_ray.ops.corpus import decontaminate
+
+bench = rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+    lambda df: df[df["doc_id"] % 97 == 0], batch_format="pandas"
+)
+contaminated = set(
+    decontaminate(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"]), bench
+    ).to_pandas()["doc_id"]
+)
+clean = neardup_free.map_batches(
+    lambda df: df[~df["doc_id"].isin(contaminated)], batch_format="pandas"
+)
+
+# 4. deterministic stratified downsample, applied IN-STREAM (exact
+#    integer hash of doc_id — a resumed or re-run job keeps the identical
+#    sample; nothing is collected driver-side)
+import numpy as np
+
+from libpdf_ray.ops.corpus import (
+    SAMPLE_BASE_THRESHOLD,
+    SAMPLE_BOOST_SOURCES,
+    SAMPLE_BOOST_THRESHOLD,
+)
+
+
+def keep_sampled(df):
+    h = (df["doc_id"].to_numpy(dtype=np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    thr = np.where(
+        df["source"].isin(SAMPLE_BOOST_SOURCES),
+        SAMPLE_BOOST_THRESHOLD,
+        SAMPLE_BASE_THRESHOLD,
+    )
+    return df[h < thr]
+
+
+sampled = clean.map_batches(keep_sampled, batch_format="pandas")
+
+# 5. quality filter (actor-pool scorer) + token stats
+scored = sampled.map_batches(QualityScorer, batch_format="pandas",
+                             concurrency=2)
 kept = scored.map_batches(lambda df: df[df["q_keep"]], batch_format="pandas")
 stats = kept.map_batches(add_text_stats, batch_format="pandas")
 
@@ -65,7 +108,8 @@ total_tokens = sum(
 
 print(
     f"docs in: {n_in} | after exact dedup: {n_dedup} | "
-    f"near-dup pairs: {len(pairs)} | after quality filter: {n_kept} | "
+    f"near-dup pairs: {len(pairs)} | contaminated dropped: {len(contaminated)} | "
+    f"after sample+quality filter: {n_kept} | "
     f"token budget: {int(total_tokens)}"
 )
 

@@ -52,6 +52,7 @@ CHECKED = [
     "customers_no_orders",
     "median_order_price",
     "revenue_rollup",
+    "simhash",
 ]
 
 
