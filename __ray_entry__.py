@@ -1221,6 +1221,46 @@ def oracle_sql() -> dict[str, str]:
                        AS simhash
             FROM documents d LEFT JOIN vals v USING (doc_id)
         """,
+        "simhash_pairs": r"""
+            -- exact Hamming-ball parity: the engine's pigeonhole banding
+            -- (4 bands x 16 bits at max_hamming=3) has GUARANTEED recall —
+            -- any pair within the ball shares an untouched band — and the
+            -- popcount verify is exact, so the LSH output equals the full
+            -- all-pairs Hamming-distance computation below
+            WITH w AS (
+                SELECT doc_id, CASE WHEN trim(text) = ''
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS ws
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+            bits AS (
+                SELECT doc_id, k,
+                       (('0x' || substr(md5(t), 2*(k//8)+1, 2))::INT
+                           >> (k % 8)) & 1 AS b
+                FROM tok, unnest(generate_series(0, 63)) AS r(k)
+            ),
+            acc AS (
+                SELECT doc_id, k, SUM(b) AS ones, COUNT(*) AS tcnt
+                FROM bits GROUP BY 1, 2
+            ),
+            vals0 AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN 2*ones > tcnt
+                           THEN (1::UBIGINT << CAST(k AS INT))
+                           ELSE 0::UBIGINT END) AS v
+                FROM acc GROUP BY 1
+            ),
+            vals AS (
+                SELECT d.doc_id, COALESCE(v.v, 0::UBIGINT) AS v
+                FROM documents d LEFT JOIN vals0 v USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+            FROM vals a JOIN vals b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.v, b.v)) <= 3
+        """,
         "median_order_price": """
             -- exact grouped median over integer cents (the engine builds a
             -- distributed histogram; percentile_disc(0.5) = first value at

@@ -53,6 +53,7 @@ CHECKED = [
     "median_order_price",
     "revenue_rollup",
     "simhash",
+    "simhash_pairs",
 ]
 
 
