@@ -535,6 +535,7 @@ def _q_boilerplate(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from libpdf_ray.ops import corpus as Co
     from libpdf_ray.ops import relational as R
+    from libpdf_ray.ops import search as S
     from libpdf_ray.ops.util import tune_data_context
 
     tune_data_context()
@@ -559,7 +560,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": R.q_events_asof_join,
         "events_range_join": R.q_events_range_join,
         "median_order_price": R.q_median_order_price,
+        "order_price_p95": R.q_order_price_p95,
         "revenue_rollup": R.q_revenue_rollup,
+        "user_running_value": R.q_user_running_value,
+        "customer_order_counts": R.q_customer_order_counts,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -603,6 +607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": Co.q_hash_sample,
         "decontaminate": Co.q_decontaminate,
         "customers_no_orders": Co.q_customers_no_orders,
+        # full-text search suite (SQL-checked; ops/search.py)
+        "bm25_search": S.q_bm25_search,
+        "posting_lists": S.q_posting_lists,
     }
 
 
@@ -1364,5 +1371,94 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_orderdate >= DATE '2000-01-01'
             )
             ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+        """,
+        "order_price_p95": """
+            -- same exact-histogram machinery as median_order_price;
+            -- percentile_disc(0.95) = first value at 1-based rank
+            -- ceil(19n/20) in both engines
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   percentile_disc(0.95) WITHIN GROUP (
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                   ) / 100.0 AS p95_price
+            FROM orders GROUP BY 1
+        """,
+        "user_running_value": """
+            -- cumulative window frame, integer-exact: the running sum
+            -- accumulates cents and divides once per row in both engines
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) / 100.0 AS running_value
+            FROM events
+        """,
+        "customer_order_counts": """
+            -- LEFT OUTER join aggregate: zero-order customers kept with
+            -- n_orders = 0 / total_spent = 0.0
+            SELECT c.c_custkey, c.c_name,
+                   CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders,
+                   COALESCE(CAST(SUM(CAST(round(o.o_totalprice * 100)
+                       AS BIGINT)) AS BIGINT), 0) / 100.0 AS total_spent
+            FROM customer c
+            LEFT JOIN (
+                SELECT * FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+            ) o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name
+        """,
+        # ---- full-text search suite (ops/search.py) ------------------
+        "bm25_search": """
+            -- BM25 (k1 = 6/5, b = 3/4, raw-odds idf) reduced to exact
+            -- int64 ratios — one double division per (doc, term) with
+            -- operands identical to the engine's, summed in fixed term
+            -- order (see ops/search.py module docstring)
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+')) AS term
+                FROM documents
+            ), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+            tfs AS (
+                SELECT doc_id,
+                    SUM(CASE WHEN term='spark'  THEN 1 ELSE 0 END) AS tf_0,
+                    SUM(CASE WHEN term='hash'   THEN 1 ELSE 0 END) AS tf_1,
+                    SUM(CASE WHEN term='window' THEN 1 ELSE 0 END) AS tf_2,
+                    SUM(CASE WHEN term='vector' THEN 1 ELSE 0 END) AS tf_3,
+                    COUNT(*) AS dl
+                FROM tok2 GROUP BY doc_id
+            ),
+            stats AS (
+                SELECT (SELECT COUNT(*) FROM documents) AS n,
+                       (SELECT COUNT(*) FROM tok2) AS L,
+                       (SELECT COUNT(*) FROM tfs WHERE tf_0 > 0) AS df_0,
+                       (SELECT COUNT(*) FROM tfs WHERE tf_1 > 0) AS df_1,
+                       (SELECT COUNT(*) FROM tfs WHERE tf_2 > 0) AS df_2,
+                       (SELECT COUNT(*) FROM tfs WHERE tf_3 > 0) AS df_3
+            )
+            SELECT t.doc_id,
+              CAST(22*s.L*t.tf_0*(2*s.n-2*s.df_0+1) AS DOUBLE)
+                / CAST((10*s.L*t.tf_0+3*s.L+9*t.dl*s.n)*(2*s.df_0+1) AS DOUBLE)
+              + CAST(22*s.L*t.tf_1*(2*s.n-2*s.df_1+1) AS DOUBLE)
+                / CAST((10*s.L*t.tf_1+3*s.L+9*t.dl*s.n)*(2*s.df_1+1) AS DOUBLE)
+              + CAST(22*s.L*t.tf_2*(2*s.n-2*s.df_2+1) AS DOUBLE)
+                / CAST((10*s.L*t.tf_2+3*s.L+9*t.dl*s.n)*(2*s.df_2+1) AS DOUBLE)
+              + CAST(22*s.L*t.tf_3*(2*s.n-2*s.df_3+1) AS DOUBLE)
+                / CAST((10*s.L*t.tf_3+3*s.L+9*t.dl*s.n)*(2*s.df_3+1) AS DOUBLE)
+              AS score
+            FROM tfs t, stats s
+            WHERE t.tf_0 > 0 OR t.tf_1 > 0 OR t.tf_2 > 0 OR t.tf_3 > 0
+            ORDER BY score DESC, t.doc_id LIMIT 20
+        """,
+        "posting_lists": """
+            -- inverted index: sorted CSV postings == the engine's
+            -- per-term sorted doc-id join
+            WITH tok AS (
+                SELECT DISTINCT doc_id, unnest(regexp_split_to_array(
+                    lower(text), '[^a-z0-9]+')) AS term
+                FROM documents
+            )
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   STRING_AGG(CAST(doc_id AS VARCHAR), ','
+                       ORDER BY doc_id) AS postings
+            FROM tok WHERE term <> '' GROUP BY term
         """,
     }

@@ -1019,8 +1019,8 @@ def q_knn(sf_dir: str, n_queries: int = 8, k: int = 5):
     return knn_bruteforce(ds, {"ids": q_ids, "matrix": q_mat}, k=k)
 
 
-def q_median_order_price(sf_dir: str):
-    """EXACT distributed grouped median (complement of the approximate
+def _grouped_price_percentile(sf_dir: str, p_num: int, p_den: int, out_col: str):
+    """EXACT distributed grouped percentile (complement of the approximate
     bottom-k sketch in ops/sketch.py): per-group integer-cents HISTOGRAM.
 
     Scale shape: per-batch (priority, cents) counts collapse each block to
@@ -1029,9 +1029,10 @@ def q_median_order_price(sf_dir: str):
     order count — and the final per-priority selection walks one sorted
     histogram per group (`groupby(priority).map_groups`, 5 tiny groups).
     Nothing anywhere holds rows proportional to the corpus.  Selection
-    rank is ceil(n/2) over the cumulative counts = SQL
-    ``percentile_disc(0.5)`` exactly; median = cents / 100.0 is one double
-    division with identical operands both sides."""
+    rank is ceil(p·n) over the cumulative counts (integer arithmetic:
+    ``(p_num·n + p_den − 1) // p_den``) = SQL ``percentile_disc(p)``
+    exactly; the result = cents / 100.0 is one double division with
+    identical operands both sides."""
     from .util import combine_partials, parquet_row_count
 
     ds = read_sized(
@@ -1062,17 +1063,17 @@ def q_median_order_price(sf_dir: str):
         merge_fn=red,
     )
 
-    def select_median(df: pd.DataFrame) -> pd.DataFrame:
+    def select_rank(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("cents")
         n = int(df["n"].sum())
-        rank = (n + 1) // 2  # ceil(n/2), 1-based = percentile_disc(0.5)
+        rank = (p_num * n + p_den - 1) // p_den  # ceil(p·n), 1-based
         cum = df["n"].cumsum()
-        med_cents = int(df.loc[cum >= rank, "cents"].iloc[0])
+        sel_cents = int(df.loc[cum >= rank, "cents"].iloc[0])
         return pd.DataFrame(
             {
                 "o_orderpriority": [df["o_orderpriority"].iloc[0]],
                 "n_orders": np.array([n], dtype="int64"),
-                "median_price": np.array([med_cents], dtype="int64") / 100.0,
+                out_col: np.array([sel_cents], dtype="int64") / 100.0,
             }
         )
 
@@ -1080,8 +1081,20 @@ def q_median_order_price(sf_dir: str):
     # default-partition groupby spawns aggregator actors far beyond the
     # key count and can deadlock small-CPU sessions waiting for slots
     return hist.groupby("o_orderpriority", num_partitions=2).map_groups(
-        select_median, batch_format="pandas"
+        select_rank, batch_format="pandas"
     )
+
+
+def q_median_order_price(sf_dir: str):
+    """percentile_disc(0.5) per order priority — see
+    :func:`_grouped_price_percentile`."""
+    return _grouped_price_percentile(sf_dir, 1, 2, "median_price")
+
+
+def q_order_price_p95(sf_dir: str):
+    """percentile_disc(0.95) per order priority (tail-price SLO flavor) —
+    identical histogram machinery, rank ceil(19n/20)."""
+    return _grouped_price_percentile(sf_dir, 19, 20, "p95_price")
 
 
 def q_revenue_rollup(sf_dir: str):
@@ -1141,3 +1154,113 @@ def q_revenue_rollup(sf_dir: str):
         )
 
     return detail.repartition(1).map_batches(rollup, batch_format="pandas")
+
+
+def q_user_running_value(sf_dir: str):
+    """Cumulative window: SUM(value) OVER (PARTITION BY user ORDER BY ts,
+    event_id ROWS UNBOUNDED PRECEDING) — the running-balance shape.
+
+    Same machinery as sessionization: ONE hash shuffle lands every user's
+    events in the same bucket, a vectorized sort + per-user cumulative sum
+    inside each bucket does the window.  Integer-exact: the running sum
+    accumulates cents (int64) and divides once at emission, so every row
+    equals the SQL window frame bit-for-bit."""
+    ds = read_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = _cents(g["value"])
+        run = cents.groupby(g["user_id"].to_numpy()).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "running_value": run.to_numpy(dtype="int64") / 100.0,
+            }
+        )
+
+    return _bucketed_groups(ds, "user_id", n_parts, running)
+
+
+def q_customer_order_counts(sf_dir: str, since: str = "1998-01-01"):
+    """LEFT OUTER join aggregate: every customer with their recent
+    (``o_orderdate >= since``) order count and spend — zero rows preserved
+    (the outer-join complement of the anti-join in
+    ops/corpus.customers_no_orders; the date restriction makes the outer
+    path real — some customers have no qualifying order).
+
+    Shape: the fact side pre-aggregates per custkey inside ``map_batches``
+    (the shuffle carries one row per customer, not per order), both sides
+    are tagged and co-grouped by ``custkey % B`` in ONE hash shuffle, and
+    each bucket emits its customers' final rows directly — left rows
+    without a match get 0 via the outer merge, and no second shuffle or
+    broadcast exists at any size."""
+    num_buckets = shuffle_partitions(
+        est_bytes=file_bytes(f"{sf_dir}/customer.parquet")
+        + file_bytes(f"{sf_dir}/orders.parquet")
+    )
+    orders = read_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    cutoff = pd.Timestamp(since)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[pd.to_datetime(df["o_orderdate"]) >= cutoff]
+        part = pd.DataFrame(
+            {
+                "key": df["o_custkey"],
+                "spent_i": _cents(df["o_totalprice"]),
+                "n": np.ones(len(df), "int64"),
+            }
+        )
+        agg = part.groupby("key", as_index=False).sum()
+        agg["side"] = 0
+        agg["c_name"] = ""
+        return agg[["key", "spent_i", "n", "side", "c_name"]]
+
+    left = orders.map_batches(partial, batch_format="pandas")
+    customer = read_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["c_custkey"],
+                "spent_i": np.zeros(len(df), "int64"),
+                "n": np.zeros(len(df), "int64"),
+                "side": np.ones(len(df), "int64"),
+                "c_name": df["c_name"],
+            }
+        )
+
+    right = customer.map_batches(tag_right, batch_format="pandas")
+    tagged = left.union(right).map_batches(
+        lambda df: df.assign(bucket=(df["key"] % num_buckets).astype("int64")),
+        batch_format="pandas",
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        facts = (
+            g[g["side"] == 0]
+            .groupby("key", as_index=False)[["spent_i", "n"]]
+            .sum()
+        )
+        cust = g[g["side"] == 1][["key", "c_name"]]
+        m = cust.merge(facts, on="key", how="left")
+        return pd.DataFrame(
+            {
+                "c_custkey": m["key"],
+                "c_name": m["c_name"],
+                "n_orders": m["n"].fillna(0).astype("int64"),
+                "total_spent": m["spent_i"].fillna(0).astype("int64") / 100.0,
+            }
+        )
+
+    return tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
+        merge_bucket, batch_format="pandas"
+    )

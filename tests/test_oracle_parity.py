@@ -54,6 +54,12 @@ CHECKED = [
     "revenue_rollup",
     "simhash",
     "simhash_pairs",
+    # round-3 late additions: percentile / window / outer-join / search
+    "order_price_p95",
+    "user_running_value",
+    "customer_order_counts",
+    "bm25_search",
+    "posting_lists",
 ]
 
 
