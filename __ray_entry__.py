@@ -564,6 +564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": R.q_revenue_rollup,
         "user_running_value": R.q_user_running_value,
         "customer_order_counts": R.q_customer_order_counts,
+        "value_histogram": R.q_value_histogram,
+        "user_activity_outer": R.q_user_activity_outer,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -607,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": Co.q_hash_sample,
         "decontaminate": Co.q_decontaminate,
         "customers_no_orders": Co.q_customers_no_orders,
+        "source_sample": Co.q_source_sample,
         # full-text search suite (SQL-checked; ops/search.py)
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
@@ -1405,6 +1408,49 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM orders WHERE o_orderdate >= DATE '1998-01-01'
             ) o ON o.o_custkey = c.c_custkey
             GROUP BY c.c_custkey, c.c_name
+        """,
+        "value_histogram": """
+            -- distributed $5-bucket histogram; floor of one exact double
+            -- division per row, domain-keyed combine
+            SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 500.0)
+                       AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                       AS BIGINT) / 100.0 AS total_value
+            FROM events GROUP BY 1
+        """,
+        "user_activity_outer": """
+            -- FULL OUTER join: users with high-value purchases vs users
+            -- with high-value errors; zeros fill the missing side
+            WITH a AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) / 100.0 AS purchase_value
+                FROM events WHERE event_type = 'purchase' AND value > 100
+                GROUP BY 1
+            ), b AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_errors,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) / 100.0 AS error_value
+                FROM events WHERE event_type = 'error' AND value > 100
+                GROUP BY 1
+            )
+            SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+                   COALESCE(a.n_purchases, 0) AS n_purchases,
+                   COALESCE(a.purchase_value, 0) AS purchase_value,
+                   COALESCE(b.n_errors, 0) AS n_errors,
+                   COALESCE(b.error_value, 0) AS error_value
+            FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        """,
+        "source_sample": """
+            -- deterministic per-source reservoir: 3 smallest Knuth-hash
+            -- docs per source (exact integer hash, ties by doc_id)
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                    row_number() OVER (PARTITION BY source
+                        ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                                 % 4294967296, doc_id) AS rn
+                FROM documents) WHERE rn <= 3
         """,
         # ---- full-text search suite (ops/search.py) ------------------
         "bm25_search": """

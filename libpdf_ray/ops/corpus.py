@@ -353,3 +353,48 @@ def q_customers_no_orders(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     )
     return customers_no_orders(customer, orders, est_keys=parquet_row_count(cpath))
+
+
+def q_source_sample(sf_dir: str, per_source: int = 3):
+    """Deterministic per-stratum reservoir: the ``per_source`` documents
+    with the smallest Knuth-multiplicative hash in each source (ties by
+    doc_id).  The grouped complement of :func:`hash_sample`'s global
+    Bernoulli filter: an engine-independent "pick N per group"
+    (SQL: row_number() OVER (PARTITION BY source ORDER BY hash, doc_id)).
+
+    Scale shape: per-batch top-N per source is the combiner — every block
+    collapses to ≤ N rows per source it touches — and the combine merges
+    partials with the SAME reduce (min-N is associative), so the shuffle
+    carries N·n_sources rows regardless of corpus size."""
+    from .util import parquet_row_count
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_sized(path, columns=["doc_id", "source"])
+
+    def reduce_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        return df.groupby("source", as_index=False, sort=False).head(per_source)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.uint64)
+        h = (ids * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
+        return reduce_top(
+            pd.DataFrame(
+                {
+                    "source": df["source"],
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "h": h.astype("int64"),
+                }
+            )
+        )
+
+    picked = combine_partials(
+        docs.map_batches(partial, batch_format="pandas"),
+        reduce_top,
+        ["source"],
+        est_keys=max(16, parquet_row_count(path) // 64),
+        merge_fn=reduce_top,
+    )
+    return picked.map_batches(
+        lambda df: df[["source", "doc_id"]], batch_format="pandas"
+    )

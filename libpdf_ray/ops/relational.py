@@ -1264,3 +1264,109 @@ def q_customer_order_counts(sf_dir: str, since: str = "1998-01-01"):
     return tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
         merge_bucket, batch_format="pandas"
     )
+
+
+def q_value_histogram(sf_dir: str, bucket_cents: int = 500):
+    """Distributed histogram of the event value distribution ($5 buckets):
+    per-batch bucket counts collapse each block to its distinct buckets,
+    one cardinality-sized combine merges them — the key domain is the
+    VALUE RANGE / bucket width, independent of corpus size (the same
+    domain-keyed shape as the exact percentile histograms).  Bucket
+    assignment is floor(cents / width) via one correctly-rounded double
+    division — identical on both engines, exact at bucket boundaries
+    (multiples of the width divide exactly)."""
+    ds = read_sized(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["value"])
+        part = pd.DataFrame(
+            {
+                "bucket": np.floor(
+                    cents.to_numpy() / float(bucket_cents)
+                ).astype("int64"),
+                "n_events": np.ones(len(df), "int64"),
+                "value_i": cents,
+            }
+        )
+        return part.groupby("bucket", as_index=False).sum()
+
+    agg = _sum_combine(ds.map_batches(partial, batch_format="pandas"),
+                       ["bucket"], est_keys=4096)
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "bucket": df["bucket"].astype("int64"),
+                "n_events": df["n_events"].astype("int64"),
+                "total_value": df["value_i"].astype("int64") / 100.0,
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_user_activity_outer(sf_dir: str, threshold: float = 100.0):
+    """FULL OUTER join: per-user high-value purchase stats vs per-user
+    high-value error stats — users present on either side only are kept
+    with zeros on the missing side (completing the engine's join family:
+    inner / broadcast / left-outer / anti / semi / as-of / range).
+
+    Shape: both fact slices pre-aggregate per user inside ``map_batches``,
+    a tagged union lands each user's rows (from both sides) in one bucket
+    of a single hash shuffle, and each bucket emits final rows via an
+    outer pandas merge — no broadcast, no second shuffle, no driver
+    collect at any corpus size."""
+    num_buckets = shuffle_partitions(
+        est_bytes=file_bytes(f"{sf_dir}/events.parquet")
+    )
+    ds = read_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hi = df[df["value"] > threshold]
+        frames = []
+        for side, etype in ((0, "purchase"), (1, "error")):
+            part = hi[hi["event_type"] == etype]
+            g = pd.DataFrame(
+                {
+                    "user_id": part["user_id"],
+                    "n": np.ones(len(part), "int64"),
+                    "value_i": _cents(part["value"]),
+                }
+            ).groupby("user_id", as_index=False).sum()
+            g["side"] = side
+            frames.append(g)
+        return pd.concat(frames, ignore_index=True)
+
+    tagged = ds.map_batches(partial, batch_format="pandas").map_batches(
+        lambda df: df.assign(
+            bucket=(df["user_id"] % num_buckets).astype("int64")
+        ),
+        batch_format="pandas",
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            g[g["side"] == 0]
+            .groupby("user_id", as_index=False)[["n", "value_i"]]
+            .sum()
+        )
+        b = (
+            g[g["side"] == 1]
+            .groupby("user_id", as_index=False)[["n", "value_i"]]
+            .sum()
+        )
+        m = a.merge(b, on="user_id", how="outer", suffixes=("_p", "_e"))
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].astype("int64"),
+                "n_purchases": m["n_p"].fillna(0).astype("int64"),
+                "purchase_value": m["value_i_p"].fillna(0).astype("int64") / 100.0,
+                "n_errors": m["n_e"].fillna(0).astype("int64"),
+                "error_value": m["value_i_e"].fillna(0).astype("int64") / 100.0,
+            }
+        )
+
+    return tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
+        merge_bucket, batch_format="pandas"
+    )

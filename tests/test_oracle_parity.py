@@ -60,6 +60,9 @@ CHECKED = [
     "customer_order_counts",
     "bm25_search",
     "posting_lists",
+    "value_histogram",
+    "user_activity_outer",
+    "source_sample",
 ]
 
 
