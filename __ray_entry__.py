@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": R.q_customer_order_counts,
         "value_histogram": R.q_value_histogram,
         "user_activity_outer": R.q_user_activity_outer,
+        "discount_tax_stats": R.q_discount_tax_stats,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -1441,6 +1442,30 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(b.n_errors, 0) AS n_errors,
                    COALESCE(b.error_value, 0) AS error_value
             FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        """,
+        "discount_tax_stats": """
+            -- exact distributed second moments: HUGEINT partial sums,
+            -- one CAST to double per output (mirrors the engine's python
+            -- bigint finals — no float accumulation on either side)
+            WITH p AS (
+                SELECT CAST(round(l_discount * 100) AS HUGEINT) x,
+                       CAST(round(l_tax * 100) AS HUGEINT) y
+                FROM lineitem
+            ), s AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) n, SUM(x) sx, SUM(y) sy,
+                       SUM(x*x) sxx, SUM(y*y) syy, SUM(x*y) sxy
+                FROM p
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)/100.0 AS avg_disc,
+                   CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)/100.0 AS avg_tax,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*n*10000 AS DOUBLE) AS cov_pop,
+                   CAST(n*sxx - sx*sx AS DOUBLE)
+                       / CAST(n*n*10000 AS DOUBLE) AS var_disc,
+                   CAST(n*syy - sy*sy AS DOUBLE)
+                       / CAST(n*n*10000 AS DOUBLE) AS var_tax
+            FROM s
         """,
         "source_sample": """
             -- deterministic per-source reservoir: 3 smallest Knuth-hash

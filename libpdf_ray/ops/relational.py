@@ -1370,3 +1370,60 @@ def q_user_activity_outer(sf_dir: str, threshold: float = 100.0):
     return tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
         merge_bucket, batch_format="pandas"
     )
+
+
+def q_discount_tax_stats(sf_dir: str):
+    """Exact distributed second moments: covariance + variances of the
+    lineitem discount and tax rates (percent units) from ONE streaming
+    pass of integer partial sums (n, Σx, Σy, Σx², Σy², Σxy — six int64
+    scalars per block; the percent domain ≤ 100 keeps every per-block sum
+    far inside int64).
+
+    The finals n·Σxy − Σx·Σy etc. exceed int64 at warehouse scale, so the
+    single final task computes them in arbitrary-precision Python ints
+    (exact) and rounds ONCE to double for the division — the SQL oracle
+    mirrors this with HUGEINT arithmetic and one CAST, giving
+    bit-identical population covariance/variance without trusting either
+    engine's float accumulation order."""
+    ds = read_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_discount", "l_tax"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = _pct(df["l_discount"]).to_numpy()
+        y = _pct(df["l_tax"]).to_numpy()
+        return pd.DataFrame(
+            {
+                "g": np.zeros(1, "int64"),
+                "n": [np.int64(len(df))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    agg = _sum_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["g"], est_keys=1
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].iloc[0])
+        sx, sy = int(df["sx"].iloc[0]), int(df["sy"].iloc[0])
+        sxx, syy = int(df["sxx"].iloc[0]), int(df["syy"].iloc[0])
+        sxy = int(df["sxy"].iloc[0])
+        nn = n * n  # exact bigint
+        return pd.DataFrame(
+            {
+                "n": np.array([n], "int64"),
+                "avg_disc": float(sx) / float(n) / 100.0,
+                "avg_tax": float(sy) / float(n) / 100.0,
+                # percent² units → /10000 folded into the denominator
+                "cov_pop": float(n * sxy - sx * sy) / float(nn * 10000),
+                "var_disc": float(n * sxx - sx * sx) / float(nn * 10000),
+                "var_tax": float(n * syy - sy * sy) / float(nn * 10000),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finalize, batch_format="pandas")

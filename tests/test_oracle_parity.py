@@ -63,6 +63,7 @@ CHECKED = [
     "value_histogram",
     "user_activity_outer",
     "source_sample",
+    "discount_tax_stats",
 ]
 
 
