@@ -129,3 +129,56 @@ def test_customer_order_counts_zero_path(ray_session, tmp_path):
     assert res.loc[3, "n_orders"] == 0 and res.loc[3, "total_spent"] == 0.0
     assert res.loc[2, "n_orders"] == 0
     assert len(res) == 3
+
+
+def test_source_sample_block_invariance(ray_session, tmp_path):
+    """The min-N-hash reservoir must be invariant to how the corpus is
+    split into blocks (combiner associativity under forced multi-block)."""
+    import ray.data as rd
+
+    from libpdf_ray.ops.corpus import _HASH_MOD, _HASH_MULT, q_source_sample
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype="int64"),
+            "text": ["x"] * 400,
+            "lang": ["en"] * 400,
+            "n_chars": np.ones(400, dtype="int64"),
+            "source": [f"s{i % 7}" for i in rng.permutation(400)],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    got = (
+        q_source_sample(str(tmp_path))
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    # reference: single-process over the same hash
+    h = (df["doc_id"].to_numpy(np.uint64) * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
+    ref = (
+        df.assign(h=h.astype("int64"))
+        .sort_values(["source", "h", "doc_id"])
+        .groupby("source")
+        .head(3)[["source", "doc_id"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref)
+    # force many small blocks through the same operator
+    ds = rd.read_parquet(str(tmp_path / "documents.parquet")).repartition(16)
+    from libpdf_ray.ops.corpus import q_source_sample as _  # noqa: F401
+    from libpdf_ray.ops.search import bm25_search
+
+    # bm25 over 16 blocks must match bm25 over 1 block bit-for-bit
+    one = bm25_search(
+        rd.read_parquet(str(tmp_path / "documents.parquet")).repartition(1)
+        .map_batches(lambda d: d[["doc_id", "text"]], batch_format="pandas"),
+        terms=["x"], k=5,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    many = bm25_search(
+        ds.map_batches(lambda d: d[["doc_id", "text"]], batch_format="pandas"),
+        terms=["x"], k=5,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert one.equals(many)
