@@ -178,6 +178,7 @@ def chapter_examiner(
     page_height: float,
     min_similarity: float = 0.6,
     rectangle_extend: float = 20.0,
+    use_exact_shortcut: bool = True,
 ) -> list:
     """Find the textbox(es) on the page that render this outline chapter.
 
@@ -224,6 +225,53 @@ def chapter_examiner(
             tb["_exam_tc"] = cached
         texts.append(cached[0])
         counters.append(cached[1])
+
+    # EXACT-MATCH SHORT-CIRCUIT (bit-identical to the full referee, which
+    # dominates the extraction profile otherwise).  ratio() == 1.0 iff the
+    # strings are identical, so when candidate text equals the decisive
+    # target verbatim the winner group is decidable without any ratio:
+    # - non-virt: a content-exact candidate has sims.content == 1.0, which
+    #   no other candidate can reach (identical text is counted here), so
+    #   _argmax_group('content') returns exactly the exact matchers — whose
+    #   whole sim dicts are identical (same text ⇒ same ratios for every
+    #   key) — and referee branch 1 fires, appending that winner alone;
+    # - virt: a title-exact candidate wins _argmax_group('title') the same
+    #   way, passes the > min_similarity test (1.0), and only the cheap
+    #   standalone-number scan remains.
+    # Ties among several exact matchers reduce to the whole-dict-equality
+    # tie of _argmax_group ⇒ min vertical distance, replicated here.
+    boxes = [textboxes[i] for i in cand_idx]
+
+    def _nearest(idxs):
+        return min(
+            idxs, key=lambda j: abs(boxes[j]["y1"] - chapter["position"]["y1"])
+        )
+
+    if not use_exact_shortcut:
+        pass
+    elif not is_virt:
+        content_target = f"{chapter['number']} {chapter['title']}"
+        exact_idx = [j for j, t in enumerate(texts) if t == content_target]
+        if exact_idx:
+            j = exact_idx[0] if len(exact_idx) == 1 else _nearest(exact_idx)
+            return [cand_idx[j]]
+    elif 1.0 > min_similarity:
+        exact_idx = [j for j, t in enumerate(texts) if t == chapter["title"]]
+        if exact_idx:
+            j = exact_idx[0] if len(exact_idx) == 1 else _nearest(exact_idx)
+            winners = [j]
+            potential_number = [
+                i
+                for i, b in enumerate(boxes)
+                if b["x0"] < boxes[j]["x0"]
+                and abs(b["y0"] - boxes[j]["y0"]) < rectangle_extend
+                and abs(b["y1"] - boxes[j]["y1"]) < rectangle_extend
+            ]
+            if len(potential_number) == 1 and STANDALONE_NUMBER_PATTERN.match(
+                texts[potential_number[0]]
+            ):
+                winners.append(potential_number[0])
+            return [cand_idx[j2] for j2 in winners]
     keys = ("title",) if is_virt else ("title", "number", "content")
     targets = {"title": chapter["title"]}
     if not is_virt:

@@ -316,3 +316,63 @@ class TestBboxAndTables:
         texts = {(c["row"], c["col"]): c["text"] for c in table["cells"]}
         assert texts == {(1, 1): "a", (1, 2): "", (2, 1): "", (2, 2): "d"}
         assert table["bbox"] == (72.0, 540.0, 272.0, 600.0)
+
+
+class TestExamEqualShortcut:
+    """chapter_examiner's exact-match short-circuit must be winner-identical
+    to the full referee across randomized exact / fuzzy / tied scenarios."""
+
+    def test_randomized_equivalence(self):
+        import random
+
+        from libpdf_ray.kernels.chapters import chapter_examiner
+
+        rng = random.Random(1234)
+        titles = ["Setup Guide", "Install Steps", "Overview", "Appendix B"]
+        for trial in range(400):
+            number = rng.choice(["1.2", "3", "virt.2", "virt.1.3", "2.a"])
+            title = rng.choice(titles)
+            chapter = {
+                "number": number,
+                "title": title,
+                "content": [],
+                "position": {
+                    "page": 1,
+                    "x0": 72.0,
+                    "y1": rng.uniform(100, 700),
+                },
+            }
+            boxes = []
+            for _ in range(rng.randint(1, 7)):
+                kind = rng.random()
+                if kind < 0.35:
+                    text = f"{number} {title}"      # content-exact
+                elif kind < 0.55:
+                    text = title                     # title-exact
+                elif kind < 0.7:
+                    text = title[:-2] + "x"          # near-miss
+                elif kind < 0.8:
+                    text = number                    # standalone number
+                else:
+                    text = rng.choice(
+                        ["lorem ipsum dolor", "2.9", "other heading text"]
+                    )
+                y1 = rng.uniform(50, 750)
+                x0 = rng.uniform(40, 200)
+                boxes.append(
+                    {
+                        "x0": x0,
+                        "y0": y1 - 12,
+                        "x1": x0 + 150,
+                        "y1": y1,
+                        "text": text,
+                    }
+                )
+            args = (chapter, boxes, 612.0, 792.0)
+            fast = chapter_examiner(*args)
+            # fresh box dicts: the memo key must not leak between variants
+            boxes2 = [dict(b) for b in boxes]
+            slow = chapter_examiner(
+                chapter, boxes2, 612.0, 792.0, use_exact_shortcut=False
+            )
+            assert fast == slow, (trial, number, title, [b["text"] for b in boxes], fast, slow)
