@@ -24,10 +24,38 @@ from ..kernels.document import extract_document
 from ..schema import SPANS_TYPE
 
 
+def _decode_colors(nc_arr):
+    """list<double> color column → object ndarray of NORMALIZED values
+    (``None`` or a tuple of python floats — exactly ``_norm_color``'s
+    codomain, on which ``_norm_color`` is idempotent).  Normalizing once
+    at decode time replaces a per-word ``_norm_color`` call per line pass
+    downstream."""
+    import numpy as np
+
+    lens = (
+        pa.compute.list_value_length(nc_arr)
+        .fill_null(-1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    vals = nc_arr.flatten().to_numpy(zero_copy_only=False)
+    out = np.empty(len(lens), dtype=object)
+    off = 0
+    for i, ln in enumerate(lens.tolist()):
+        if ln <= 0:  # null (-1) and empty (0) both normalize to None
+            continue
+        out[i] = tuple(vals[off : off + ln].tolist())
+        off += ln
+    # advance offsets past empty-but-present lists (ln == 0 adds nothing)
+    return out
+
+
 def _decode_word_runs(list_arr):
     """list<WORD_STRUCT> column (flattened textboxes) → (cum_lengths,
     word-table dict of flat arrays).  Nulls count as length 0, matching
-    ``flatten()``'s null-skipping compaction."""
+    ``flatten()``'s null-skipping compaction.  Variable-width fields
+    (text / fontname / ncolor) decode into OBJECT ndarrays so the
+    per-textbox ``slice_tab`` cuts are zero-copy views, not list copies."""
     import numpy as np
 
     lengths = (
@@ -39,14 +67,19 @@ def _decode_word_runs(list_arr):
     cum = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=cum[1:])
     flat = list_arr.flatten()
+    n = len(flat)
+    text = np.empty(n, dtype=object)
+    text[:] = flat.field("text").to_pylist()
+    fonts = np.empty(n, dtype=object)
+    fonts[:] = flat.field("fontname").to_pylist()
     wt = {
-        "text": flat.field("text").to_pylist(),
+        "text": text,
         "x0": flat.field("x0").to_numpy(zero_copy_only=False),
         "y0": flat.field("y0").to_numpy(zero_copy_only=False),
         "x1": flat.field("x1").to_numpy(zero_copy_only=False),
         "y1": flat.field("y1").to_numpy(zero_copy_only=False),
-        "ncolor": flat.field("ncolor").to_pylist(),
-        "fontname": flat.field("fontname").to_pylist(),
+        "ncolor": _decode_colors(flat.field("ncolor")),
+        "fontname": fonts,
     }
     return cum, wt
 
