@@ -212,19 +212,19 @@ def chapter_examiner(
     # all-exact reference semantics (textbox.py:357-371): any dict that
     # could equal a group max gets all its keys computed exactly.
     is_virt = "virt." in chapter["number"]
-    # stripped text + char Counter memoized on the textbox dict: the same
-    # boxes are candidates for every chapter whose window overlaps them
-    # (~3× reuse on outlined manuals)
-    texts, counters = [], []
+    # stripped text memoized on the textbox dict: the same boxes are
+    # candidates for every chapter whose window overlaps them (~3× reuse
+    # on outlined manuals); char counters memoize separately and LAZILY —
+    # the exact-match short-circuit below usually returns before any
+    # multiset work
+    texts = []
     for i in cand_idx:
         tb = textboxes[i]
-        cached = tb.get("_exam_tc")
-        if cached is None:
+        t = tb.get("_exam_t")
+        if t is None:
             t = tb["text"].strip()
-            cached = (t, _char_counts(t))
-            tb["_exam_tc"] = cached
-        texts.append(cached[0])
-        counters.append(cached[1])
+            tb["_exam_t"] = t
+        texts.append(t)
 
     # EXACT-MATCH SHORT-CIRCUIT (bit-identical to the full referee, which
     # dominates the extraction profile otherwise).  ratio() == 1.0 iff the
@@ -272,6 +272,14 @@ def chapter_examiner(
             ):
                 winners.append(potential_number[0])
             return [cand_idx[j2] for j2 in winners]
+    counters = []
+    for i, t in zip(cand_idx, texts):
+        tb = textboxes[i]
+        c = tb.get("_exam_c")
+        if c is None:
+            c = _char_counts(t)
+            tb["_exam_c"] = c
+        counters.append(c)
     keys = ("title",) if is_virt else ("title", "number", "content")
     targets = {"title": chapter["title"]}
     if not is_virt:
