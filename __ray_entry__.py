@@ -567,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": R.q_value_histogram,
         "user_activity_outer": R.q_user_activity_outer,
         "discount_tax_stats": R.q_discount_tax_stats,
+        "events_weekday_pivot": R.q_events_weekday_pivot,
+        "median_cont_order_price": R.q_median_cont_order_price,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -1442,6 +1444,29 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(b.n_errors, 0) AS n_errors,
                    COALESCE(b.error_value, 0) AS error_value
             FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        """,
+        "events_weekday_pivot": """
+            -- PIVOT: long-form (type, isodow) aggregate reshaped wide;
+            -- pandas dayofweek+1 == isodow (verified)
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN isodow(ts)=1 THEN 1 ELSE 0 END) AS BIGINT) AS dow1,
+                   CAST(SUM(CASE WHEN isodow(ts)=2 THEN 1 ELSE 0 END) AS BIGINT) AS dow2,
+                   CAST(SUM(CASE WHEN isodow(ts)=3 THEN 1 ELSE 0 END) AS BIGINT) AS dow3,
+                   CAST(SUM(CASE WHEN isodow(ts)=4 THEN 1 ELSE 0 END) AS BIGINT) AS dow4,
+                   CAST(SUM(CASE WHEN isodow(ts)=5 THEN 1 ELSE 0 END) AS BIGINT) AS dow5,
+                   CAST(SUM(CASE WHEN isodow(ts)=6 THEN 1 ELSE 0 END) AS BIGINT) AS dow6,
+                   CAST(SUM(CASE WHEN isodow(ts)=7 THEN 1 ELSE 0 END) AS BIGINT) AS dow7
+            FROM events GROUP BY event_type
+        """,
+        "median_cont_order_price": """
+            -- interpolated median over integer cents: rank r = 0.5·(n−1),
+            -- frac ∈ {0, 0.5} ⇒ exact double interpolation both engines
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   percentile_cont(0.5) WITHIN GROUP (
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                   ) / 100.0 AS median_cont
+            FROM orders GROUP BY 1
         """,
         "discount_tax_stats": """
             -- exact distributed second moments: HUGEINT partial sums,

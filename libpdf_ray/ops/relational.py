@@ -1427,3 +1427,104 @@ def q_discount_tax_stats(sf_dir: str):
         )
 
     return agg.repartition(1).map_batches(finalize, batch_format="pandas")
+
+
+def q_events_weekday_pivot(sf_dir: str):
+    """PIVOT: event counts as one row per event_type × seven ISO-weekday
+    columns.  The long-form aggregate is the only corpus-sized reduction
+    (per-batch (type, dow) partials, domain-keyed combine ≤ |types|·7
+    rows); the wide reshape touches only that tiny result in one final
+    task — the scale-correct way to pivot (never pivot inside the
+    shuffle)."""
+    ds = read_sized(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                # pandas dayofweek is 0=Monday; ISO dow is 1=Monday
+                "dow": (df["ts"].dt.dayofweek + 1).astype("int64"),
+                "n": np.ones(len(df), "int64"),
+            }
+        )
+        return part.groupby(["event_type", "dow"], as_index=False).sum()
+
+    agg = _sum_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "dow"],
+        est_keys=64,
+    )
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        wide = (
+            df.pivot_table(
+                index="event_type", columns="dow", values="n",
+                aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=range(1, 8), fill_value=0)
+            .reset_index()
+        )
+        out = pd.DataFrame({"event_type": wide["event_type"]})
+        for d in range(1, 8):
+            out[f"dow{d}"] = wide[d].astype("int64")
+        return out
+
+    return agg.repartition(1).map_batches(pivot, batch_format="pandas")
+
+
+def q_median_cont_order_price(sf_dir: str):
+    """percentile_cont(0.5) per order priority — the INTERPOLATED twin of
+    the exact-histogram percentile_disc family.  Same domain-keyed
+    histogram; the final selection takes the two cents values at 0-based
+    ranks floor(r)/ceil(r) for r = 0.5·(n−1) and interpolates with
+    frac ∈ {0.0, 0.5} — every arithmetic step is an exact double op with
+    identical operands in both engines."""
+    from .util import combine_partials, parquet_row_count
+
+    ds = read_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "cents": _cents(df["o_totalprice"]),
+            }
+        )
+        g = part.groupby(["o_orderpriority", "cents"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderpriority", "cents"], as_index=False).sum()
+
+    hist = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        red,
+        ["o_orderpriority", "cents"],
+        est_keys=parquet_row_count(f"{sf_dir}/orders.parquet"),
+        merge_fn=red,
+    )
+
+    def select_cont(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("cents")
+        n = int(df["n"].sum())
+        r = 0.5 * (n - 1)
+        k1 = int(r)
+        frac = r - k1
+        cum = df["n"].cumsum().to_numpy()
+        cents = df["cents"].to_numpy()
+        a = float(cents[np.searchsorted(cum, k1 + 1)])
+        b = a if frac == 0.0 else float(cents[np.searchsorted(cum, k1 + 2)])
+        val = (a + (b - a) * frac) / 100.0
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [df["o_orderpriority"].iloc[0]],
+                "n_orders": np.array([n], dtype="int64"),
+                "median_cont": [val],
+            }
+        )
+
+    return hist.groupby("o_orderpriority", num_partitions=2).map_groups(
+        select_cont, batch_format="pandas"
+    )

@@ -64,6 +64,8 @@ CHECKED = [
     "user_activity_outer",
     "source_sample",
     "discount_tax_stats",
+    "events_weekday_pivot",
+    "median_cont_order_price",
 ]
 
 
