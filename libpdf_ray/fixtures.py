@@ -65,6 +65,7 @@ DEFAULT_FAMILIES = (
     "outlined",
     "chapternum",
     "splitchapter",
+    "fuzzychapter",
     "emptyoutline",
     "figures",
     "tables",
@@ -870,6 +871,48 @@ def _fam_splitchapter(b: FlowBuilder, rng):
     b.add_par()
 
 
+def _fam_fuzzychapter(b: FlowBuilder, rng):
+    """Headings rendered with in-word typos: the outline title and the box
+    text DIFFER, so the exact-match short-circuit can never fire and the
+    full difflib referee (quick-ratio pruning, argmax groups, tie-breaks,
+    ghost fallback — textbox.py:386-528) runs end-to-end."""
+    t1, t2, t3 = _titles(rng, 3)
+
+    def typo(t: str) -> str:
+        words = t.split(" ")
+        words[0] = words[0][:-1] if len(words[0]) > 3 else words[0] + "x"
+        return " ".join(words)
+
+    # one chapter per page: the examiner window is page-local, and the
+    # 2-word title vocabulary is small enough that two typo'd titles in one
+    # window can make the wrong box the title-argmax (a faithful reference
+    # outcome — but not the branch this family pins)
+    # numbered heading with typo'd box → referee branch 3 (content ≥ title
+    # > min_similarity, single winner on fuzzy similarity alone)
+    page_no, y1, _ = b.reserve(LINE_H)
+    b.raw_textbox(page_no, MARGIN_X, y1, [f"4.2 {typo(t1)}"],
+                  counts_as_paragraph=False)
+    b.add_outline_entry("1", f"4.2 {t1}", page_no, MARGIN_X, y1)
+    b.span("chapter", f"4.2 {t1}", page=page_no, path="1")
+    b.add_par()
+    b.new_page()
+    # virtual chapter whose title box carries the typo → virt branch via
+    # fuzzy title similarity (> 0.6, < 1.0)
+    page_no, y1, _ = b.reserve(LINE_H)
+    b.raw_textbox(page_no, MARGIN_X, y1, [typo(t2)],
+                  counts_as_paragraph=False)
+    b.add_outline_entry("2", t2, page_no, MARGIN_X, y1)
+    b.span("chapter", f"virt.2 {t2}", page=page_no, path="2")
+    b.add_par()
+    b.new_page()
+    # outline entry never rendered on the page → ghost chapter (examiner
+    # returns no winner; ghost bbox from the outline jump point)
+    page_no, y1, _ = b.reserve(LINE_H)
+    b.add_outline_entry("3", f"9 {t3}", page_no, MARGIN_X, y1)
+    b.span("chapter", f"9 {t3}", page=page_no, path="3")
+    b.add_par()
+
+
 def _fam_emptyoutline(b: FlowBuilder, rng):
     # issue-67-example.pdf analog: outline exists but is empty → no chapters
     for _ in range(3 + int(rng.integers(0, 3))):
@@ -1425,6 +1468,7 @@ FAMILY_BUILDERS = {
     "outlined": _fam_outlined,
     "chapternum": _fam_chapternum,
     "splitchapter": _fam_splitchapter,
+    "fuzzychapter": _fam_fuzzychapter,
     "emptyoutline": _fam_emptyoutline,
     "figures": _fam_figures,
     "tables": _fam_tables,
