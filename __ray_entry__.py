@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_tax_stats": R.q_discount_tax_stats,
         "events_weekday_pivot": R.q_events_weekday_pivot,
         "median_cont_order_price": R.q_median_cont_order_price,
+        "user_funnel": R.q_user_funnel,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -1444,6 +1445,33 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(b.n_errors, 0) AS n_errors,
                    COALESCE(b.error_value, 0) AS error_value
             FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        """,
+        "user_funnel": """
+            -- windowed funnel: earliest view, first click within 24 h
+            -- strictly after it, first purchase within 24 h after that
+            WITH v AS (
+                SELECT user_id, MIN(ts) t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+                SELECT e.user_id, MIN(e.ts) t2 FROM events e
+                JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+                 AND epoch_us(e.ts) - epoch_us(v.t1) <= 86400000000
+                WHERE e.event_type = 'click' GROUP BY 1
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) t3 FROM events e
+                JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+                 AND epoch_us(e.ts) - epoch_us(c.t2) <= 86400000000
+                WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT u.user_id,
+                   CAST((v.user_id IS NOT NULL)::INT
+                        + (c.user_id IS NOT NULL)::INT
+                        + (p.user_id IS NOT NULL)::INT AS BIGINT)
+                       AS funnel_stage
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v ON v.user_id = u.user_id
+            LEFT JOIN c ON c.user_id = u.user_id
+            LEFT JOIN p ON p.user_id = u.user_id
         """,
         "events_weekday_pivot": """
             -- PIVOT: long-form (type, isodow) aggregate reshaped wide;

@@ -1528,3 +1528,64 @@ def q_median_cont_order_price(sf_dir: str):
     return hist.groupby("o_orderpriority", num_partitions=2).map_groups(
         select_cont, batch_format="pandas"
     )
+
+
+def q_user_funnel(sf_dir: str, window_hours: int = 24):
+    """Funnel analysis: how far each user progresses through the ordered
+    view → click → purchase sequence within a conversion window
+    (earliest-first semantics: the first view, then the first click
+    strictly after it within ``window_hours``, then the first purchase
+    strictly after that within the same window — the standard windowed
+    funnel definition).
+
+    Same shuffle shape as sessionization: ONE hash shuffle lands each
+    user's events in a bucket; inside a bucket the three stages are
+    vectorized filtered groupby-mins + merges (no per-user Python), each
+    stage keyed on the previous stage's timestamp."""
+    ds = read_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
+    win_us = window_hours * 3600 * 1_000_000
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("int64")
+        base = pd.DataFrame({"user_id": g["user_id"], "t": us, "et": g["event_type"]})
+        users = base[["user_id"]].drop_duplicates()
+        t1 = (
+            base[base["et"] == "view"]
+            .groupby("user_id", as_index=False)["t"].min()
+            .rename(columns={"t": "t1"})
+        )
+        m = base.merge(t1, on="user_id", how="inner")
+        t2 = (
+            m[(m["et"] == "click") & (m["t"] > m["t1"])
+              & (m["t"] - m["t1"] <= win_us)]
+            .groupby("user_id", as_index=False)["t"].min()
+            .rename(columns={"t": "t2"})
+        )
+        m = base.merge(t2, on="user_id", how="inner")
+        t3 = (
+            m[(m["et"] == "purchase") & (m["t"] > m["t2"])
+              & (m["t"] - m["t2"] <= win_us)]
+            .groupby("user_id", as_index=False)["t"].min()
+            .rename(columns={"t": "t3"})
+        )
+        out = (
+            users.merge(t1, on="user_id", how="left")
+            .merge(t2, on="user_id", how="left")
+            .merge(t3, on="user_id", how="left")
+        )
+        stage = (
+            out["t1"].notna().astype("int64")
+            + out["t2"].notna().astype("int64")
+            + out["t3"].notna().astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "funnel_stage": stage,
+            }
+        )
+
+    return _bucketed_groups(ds, "user_id", n_parts, funnel)

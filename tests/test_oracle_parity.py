@@ -66,6 +66,7 @@ CHECKED = [
     "discount_tax_stats",
     "events_weekday_pivot",
     "median_cont_order_price",
+    "user_funnel",
 ]
 
 
