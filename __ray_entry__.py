@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekday_pivot": R.q_events_weekday_pivot,
         "median_cont_order_price": R.q_median_cont_order_price,
         "user_funnel": R.q_user_funnel,
+        "cohort_retention": R.q_cohort_retention,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -1445,6 +1446,19 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(b.n_errors, 0) AS n_errors,
                    COALESCE(b.error_value, 0) AS error_value
             FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        """,
+        "cohort_retention": """
+            -- retention triangle over integer epoch-us week buckets
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events
+            ), f AS (SELECT user_id, MIN(week) w0 FROM a GROUP BY 1)
+            SELECT CAST(f.w0 AS BIGINT) AS cohort_week,
+                   CAST(a.week - f.w0 AS BIGINT) AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a JOIN f ON f.user_id = a.user_id
+            GROUP BY 1, 2
         """,
         "user_funnel": """
             -- windowed funnel: earliest view, first click within 24 h

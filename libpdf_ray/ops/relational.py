@@ -1589,3 +1589,54 @@ def q_user_funnel(sf_dir: str, window_hours: int = 24):
         )
 
     return _bucketed_groups(ds, "user_id", n_parts, funnel)
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by the week of their first
+    event (cohort), counted by how many are active in each later week
+    (offset) — the classic retention triangle.
+
+    Scale shape: the corpus-sized pass collapses to DISTINCT (user, week)
+    pairs via per-batch combiners (the only big reduction — bounded by
+    |users| × |weeks|, not events); one hash shuffle groups a user's
+    weeks to compute the cohort + offsets vectorized per bucket; the
+    (cohort, offset) count aggregate is domain-keyed and tiny.  Week
+    buckets are integer floor divisions of epoch microseconds — exact and
+    engine-independent."""
+    from .util import combine_partials, parquet_row_count
+
+    week_us = 7 * 86400 * 1_000_000
+    ds = read_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "week": df["ts"].astype("int64") // week_us,
+            }
+        )
+        return part.drop_duplicates(["user_id", "week"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["user_id", "week"])
+
+    distinct = combine_partials(
+        ds.map_batches(pairs, batch_format="pandas"),
+        merge,
+        ["user_id", "week"],
+        est_keys=parquet_row_count(f"{sf_dir}/events.parquet") // 8,
+        merge_fn=merge,
+    )
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        w0 = g.groupby("user_id")["week"].transform("min")
+        return pd.DataFrame(
+            {
+                "cohort_week": w0.astype("int64"),
+                "week_offset": (g["week"] - w0).astype("int64"),
+                "n_users": np.ones(len(g), "int64"),
+            }
+        )
+
+    per_user = _bucketed_groups(distinct, "user_id", 4, offsets)
+    return _sum_combine(per_user, ["cohort_week", "week_offset"], est_keys=4096)

@@ -67,6 +67,7 @@ CHECKED = [
     "events_weekday_pivot",
     "median_cont_order_price",
     "user_funnel",
+    "cohort_retention",
 ]
 
 
