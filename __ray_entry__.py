@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_cont_order_price": R.q_median_cont_order_price,
         "user_funnel": R.q_user_funnel,
         "cohort_retention": R.q_cohort_retention,
+        "event_transitions": R.q_event_transitions,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -1446,6 +1447,18 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(b.n_errors, 0) AS n_errors,
                    COALESCE(b.error_value, 0) AS error_value
             FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        """,
+        "event_transitions": """
+            -- Markov bigrams via lag() per user stream
+            WITH s AS (
+                SELECT user_id, event_type AS next_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
         """,
         "cohort_retention": """
             -- retention triangle over integer epoch-us week buckets

@@ -1640,3 +1640,36 @@ def q_cohort_retention(sf_dir: str):
 
     per_user = _bucketed_groups(distinct, "user_id", 4, offsets)
     return _sum_combine(per_user, ["cohort_week", "week_offset"], est_keys=4096)
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts: (previous event_type → next event_type)
+    bigrams over each user's time-ordered stream — the sequence-mining
+    companion of the funnel operator (SQL: lag() OVER (PARTITION BY user
+    ORDER BY ts, event_id)).
+
+    One user-keyed hash shuffle; inside each bucket the lag is a
+    vectorized shift over the (user, ts, event_id)-sorted frame and the
+    bigram counts are a per-bucket groupby; the global combine is keyed
+    on the |event_types|² domain — independent of corpus size."""
+    ds = read_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
+
+    def bigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        part = pd.DataFrame(
+            {
+                "prev_type": np.r_[[""], et[:-1]][same],
+                "next_type": et[same],
+                "n": np.ones(int(same.sum()), "int64"),
+            }
+        )
+        return part.groupby(["prev_type", "next_type"], as_index=False).sum()
+
+    per_bucket = _bucketed_groups(ds, "user_id", n_parts, bigrams)
+    return _sum_combine(per_bucket, ["prev_type", "next_type"], est_keys=64)

@@ -68,6 +68,7 @@ CHECKED = [
     "median_cont_order_price",
     "user_funnel",
     "cohort_retention",
+    "event_transitions",
 ]
 
 
