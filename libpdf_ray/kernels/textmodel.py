@@ -330,13 +330,17 @@ def assemble_word_boxes_batched(tabs: list, y_tolerance: float = 0.5) -> list:
     y0 = np.concatenate([t["y0"] for t in live])
     x1 = np.concatenate([t["x1"] for t in live])
     y1 = np.concatenate([t["y1"] for t in live])
-    texts: list = []
-    ncolors: list = []
-    fonts: list = []
-    for t in live:
-        texts.extend(t["text"])
-        ncolors.extend(t["ncolor"])
-        fonts.extend(t["fontname"])
+    if all(isinstance(t["text"], np.ndarray) for t in live):
+        # parse-stage decode hands object ndarrays: C-speed concatenation
+        texts = np.concatenate([t["text"] for t in live])
+        ncolors = np.concatenate([t["ncolor"] for t in live])
+        fonts = np.concatenate([t["fontname"] for t in live])
+    else:
+        texts, ncolors, fonts = [], [], []
+        for t in live:
+            texts.extend(t["text"])
+            ncolors.extend(t["ncolor"])
+            fonts.extend(t["fontname"])
     box_id = np.repeat(np.arange(nb, dtype=np.int64), counts)
 
     yc = (y0 + y1) / 2.0
