@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": R.q_user_funnel,
         "cohort_retention": R.q_cohort_retention,
         "event_transitions": R.q_event_transitions,
+        "order_percentile_rank": R.q_order_percentile_rank,
         # documents / training-data ops (SQL-checked)
         "doc_stats": R.q_doc_stats,
         "token_counts": R.q_token_counts,
@@ -1447,6 +1448,15 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(b.n_errors, 0) AS n_errors,
                    COALESCE(b.error_value, 0) AS error_value
             FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        """,
+        "order_percentile_rank": """
+            -- cume_dist without a global sort: histogram → broadcast
+            -- cumulative map → exact integer division per row
+            SELECT o_orderkey,
+                   cume_dist() OVER (
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                   ) AS price_pct
+            FROM orders
         """,
         "event_transitions": """
             -- Markov bigrams via lag() per user stream

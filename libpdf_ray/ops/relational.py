@@ -1673,3 +1673,58 @@ def q_event_transitions(sf_dir: str):
 
     per_bucket = _bucketed_groups(ds, "user_id", n_parts, bigrams)
     return _sum_combine(per_bucket, ["prev_type", "next_type"], est_keys=64)
+
+
+def q_order_percentile_rank(sf_dir: str):
+    """Per-row cumulative distribution (SQL ``cume_dist() OVER (ORDER BY
+    price)``) WITHOUT a global sort: the price histogram (domain-keyed, the
+    same shape as the exact percentiles) collapses to a cents → cumulative
+    count map small enough to broadcast, and every row's percentile is one
+    dictionary lookup + one exact integer division inside ``map_batches``.
+    The corpus is never sorted or shuffled — the classic trick for global
+    rank statistics at scale."""
+    import ray
+
+    from .util import combine_partials, parquet_row_count
+
+    path = f"{sf_dir}/orders.parquet"
+    ds = read_sized(path, columns=["o_orderkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({"cents": _cents(df["o_totalprice"])})
+        g = part.groupby("cents", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cents", as_index=False).sum()
+
+    hist = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        red, ["cents"],
+        est_keys=parquet_row_count(path),
+        merge_fn=red,
+    ).to_pandas().sort_values("cents")
+    cum = hist["n"].cumsum().to_numpy(dtype="int64")
+    n = int(cum[-1]) if len(cum) else 0
+    from .util import BROADCAST_LOOKUP_ROW_LIMIT
+
+    if len(hist) > BROADCAST_LOOKUP_ROW_LIMIT:
+        raise ValueError(
+            "price domain too large for a broadcast rank map — bucket the "
+            "domain (coarser cents) or join ranks via the bucketed co-group"
+        )
+    lookup = dict(zip(hist["cents"].astype("int64"), cum))
+    ref = ray.put((lookup, n))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        lk, total = ray.get(ref)
+        cents = _cents(df["o_totalprice"])
+        le = cents.map(lk).to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "price_pct": le / float(total),
+            }
+        )
+
+    return ds.map_batches(rank, batch_format="pandas")

@@ -69,6 +69,7 @@ CHECKED = [
     "user_funnel",
     "cohort_retention",
     "event_transitions",
+    "order_percentile_rank",
 ]
 
 
