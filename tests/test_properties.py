@@ -218,3 +218,49 @@ def test_outline_walk_preorder_paths(data):
         return len(ns) + sum(count(n["content"]) for n in ns)
 
     assert count(tree) == len(nodes)
+
+
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                    max_size=200),
+    p=st.sampled_from([(1, 2), (19, 20), (1, 4), (9, 10), (1, 1)]),
+)
+@settings(max_examples=200, deadline=None)
+def test_percentile_rank_formula_matches_percentile_disc(values, p):
+    """The histogram rank selection ceil(p·n) used by the exact grouped
+    percentile family must equal percentile_disc semantics (smallest value
+    whose cumulative fraction ≥ p) on arbitrary multisets."""
+    import numpy as np
+    import pandas as pd
+
+    p_num, p_den = p
+    s = pd.Series(values)
+    hist = s.value_counts().sort_index()
+    n = len(values)
+    rank = (p_num * n + p_den - 1) // p_den
+    cum = hist.cumsum()
+    got = int(hist.index[np.searchsorted(cum.to_numpy(), rank)])
+    # reference: smallest v with |{x <= v}| / n >= p  (exact rationals)
+    srt = sorted(values)
+    ref = next(v for i, v in enumerate(srt) if (i + 1) * p_den >= p_num * n)
+    assert got == ref
+
+
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                    max_size=150),
+)
+@settings(max_examples=200, deadline=None)
+def test_cume_dist_histogram_lookup_matches_definition(values):
+    """The broadcast cumulative-count map of q_order_percentile_rank must
+    reproduce cume_dist: (# rows ≤ x) / n per row."""
+    import pandas as pd
+
+    s = pd.Series(values)
+    hist = s.value_counts().sort_index()
+    cum = hist.cumsum()
+    lk = dict(zip(hist.index, cum))
+    n = len(values)
+    for x in set(values):
+        assert lk[x] == sum(1 for v in values if v <= x)
+        assert lk[x] / float(n) == sum(1 for v in values if v <= x) / float(n)
