@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": Co.q_decontaminate,
         "customers_no_orders": Co.q_customers_no_orders,
         "source_sample": Co.q_source_sample,
+        "weighted_sample": Co.q_weighted_sample,
         # full-text search suite (SQL-checked; ops/search.py)
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
@@ -1556,6 +1557,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n*syy - sy*sy AS DOUBLE)
                        / CAST(n*n*10000 AS DOUBLE) AS var_tax
             FROM s
+        """,
+        "weighted_sample": """
+            -- length-weighted deterministic sample: keep prob ≈
+            -- n_chars/1000 via the exact integer threshold
+            -- knuth_hash(doc_id) < n_chars · (2^32 // 1000)
+            SELECT doc_id, n_chars, lang FROM documents
+            WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                  < CAST(n_chars AS HUGEINT) * 4294967
         """,
         "source_sample": """
             -- deterministic per-source reservoir: 3 smallest Knuth-hash

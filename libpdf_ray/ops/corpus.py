@@ -398,3 +398,29 @@ def q_source_sample(sf_dir: str, per_source: int = 3):
     return picked.map_batches(
         lambda df: df[["source", "doc_id"]], batch_format="pandas"
     )
+
+
+#: weighted-sampling scale: keep probability ≈ n_chars / 1000, expressed
+#: as the exact integer threshold  h < n_chars · (2^32 // 1000)
+WEIGHTED_SAMPLE_SCALE = (1 << 32) // 1000
+
+
+def q_weighted_sample(sf_dir: str):
+    """Length-weighted deterministic sampling: keep a document with
+    probability ∝ its length (importance sampling for token-budget
+    curation), decided by the exact integer comparison
+    ``knuth_hash(doc_id) < n_chars · WEIGHTED_SAMPLE_SCALE`` — so the
+    engine, any SQL engine, and any re-run agree bit-for-bit on the kept
+    set.  Pure per-row filter: no shuffle, no state, no driver collect."""
+    docs = read_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "lang"]
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df["doc_id"].to_numpy(dtype=np.uint64) * np.uint64(_HASH_MULT)
+        ) % np.uint64(_HASH_MOD)
+        thr = df["n_chars"].to_numpy(dtype=np.int64) * WEIGHTED_SAMPLE_SCALE
+        return df.loc[h.astype(np.int64) < thr, ["doc_id", "n_chars", "lang"]]
+
+    return docs.map_batches(keep, batch_format="pandas")

@@ -70,6 +70,7 @@ CHECKED = [
     "cohort_retention",
     "event_transitions",
     "order_percentile_rank",
+    "weighted_sample",
 ]
 
 
