@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": Co.q_customers_no_orders,
         "source_sample": Co.q_source_sample,
         "weighted_sample": Co.q_weighted_sample,
+        "sample_overlap": Co.q_sample_overlap,
         # full-text search suite (SQL-checked; ops/search.py)
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
@@ -1557,6 +1558,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n*syy - sy*sy AS DOUBLE)
                        / CAST(n*n*10000 AS DOUBLE) AS var_tax
             FROM s
+        """,
+        "sample_overlap": """
+            -- set algebra (INTERSECT/EXCEPT) over predicate-defined doc
+            -- sets; the engine fuses all three into one streaming mask
+            SELECT doc_id, source FROM documents
+            WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 <
+                  CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                       THEN 3221225472 ELSE 1073741824 END
+            INTERSECT
+            SELECT doc_id, source FROM documents
+            WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                  < CAST(n_chars AS HUGEINT) * 4294967
+            EXCEPT
+            SELECT d.doc_id, d.source FROM documents d WHERE d.doc_id IN (
+                WITH toks AS (
+                    SELECT doc_id, list_filter(regexp_split_to_array(
+                        lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
+                    FROM documents
+                ), sh AS (
+                    SELECT doc_id, unnest(list_distinct(
+                        CASE WHEN len(a) >= 4 THEN
+                            list_transform(range(1, len(a) - 2),
+                                i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                                     || ' ' || a[i+3])
+                        ELSE CAST([] AS VARCHAR[]) END)) AS g
+                    FROM toks
+                ), bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+                SELECT DISTINCT s.doc_id FROM sh s
+                JOIN bench b ON s.g = b.g WHERE s.doc_id % 97 <> 0
+            )
         """,
         "weighted_sample": """
             -- length-weighted deterministic sample: keep prob ≈

@@ -424,3 +424,51 @@ def q_weighted_sample(sf_dir: str):
         return df.loc[h.astype(np.int64) < thr, ["doc_id", "n_chars", "lang"]]
 
     return docs.map_batches(keep, batch_format="pandas")
+
+
+def q_sample_overlap(sf_dir: str):
+    """Set algebra over predicate-defined document sets in ONE streaming
+    pass: (hash_sample ∩ weighted_sample) ∖ contaminated.
+
+    Because the first two sets are pure per-row predicates and the third
+    is a broadcast membership set, INTERSECT/EXCEPT collapse to one fused
+    boolean mask inside ``map_batches`` — zero shuffles, versus the three
+    scans + two set operators a naive engine would run.  The SQL oracle
+    states the same query with literal INTERSECT/EXCEPT."""
+    import ray
+
+    from .util import parquet_row_count
+
+    docs = read_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "n_chars", "source"],
+    )
+    bench = read_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda df: df[df["doc_id"] % 97 == 0], batch_format="pandas"
+    )
+    contaminated = frozenset(
+        decontaminate(
+            read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+            bench,
+        )
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    ref = ray.put(contaminated)
+
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        bad = ray.get(ref)
+        ids = df["doc_id"].to_numpy(dtype=np.uint64)
+        h = (ids * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
+        hs = df["source"].isin(SAMPLE_BOOST_SOURCES).to_numpy()
+        thr = np.where(hs, SAMPLE_BOOST_THRESHOLD, SAMPLE_BASE_THRESHOLD)
+        in_hash = h < thr.astype(np.uint64)
+        in_weighted = h.astype(np.int64) < (
+            df["n_chars"].to_numpy(dtype=np.int64) * WEIGHTED_SAMPLE_SCALE
+        )
+        keep = in_hash & in_weighted & ~df["doc_id"].isin(bad).to_numpy()
+        return df.loc[keep, ["doc_id", "source"]]
+
+    return docs.map_batches(mask, batch_format="pandas")

@@ -71,6 +71,7 @@ CHECKED = [
     "event_transitions",
     "order_percentile_rank",
     "weighted_sample",
+    "sample_overlap",
 ]
 
 
