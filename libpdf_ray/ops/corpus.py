@@ -321,18 +321,21 @@ def customers_no_orders(customer, orders, est_keys: int, k: int = 20):
         recent = df.loc[pd.to_datetime(df["o_orderdate"]) >= cutoff, "o_custkey"]
         return pd.DataFrame({"o_custkey": recent.unique()})
 
-    keys = combine_partials(
+    keys_ds = combine_partials(
         orders.map_batches(key_partial, batch_format="pandas"),
         lambda df: df.drop_duplicates("o_custkey"),
         ["o_custkey"],
         est_keys=est_keys,  # distinct custkeys are bounded by |customer|
         merge_fn=lambda df: df.drop_duplicates("o_custkey"),
-    ).to_pandas()
-    if len(keys) > BROADCAST_LOOKUP_ROW_LIMIT:
+    ).materialize()
+    # guard BEFORE the driver collect (metadata-only count on the reduced
+    # key set), so an oversized key set raises instead of OOMing the driver
+    if keys_ds.count() > BROADCAST_LOOKUP_ROW_LIMIT:
         raise ValueError(
             "order key set too large to broadcast — route through the "
-            "bucketed hash join (relational.bucketed_join) instead"
+            "bucketed anti-join (see corpus._sample_overlap_anti_join)"
         )
+    keys = keys_ds.to_pandas()
     ref = ray.put(frozenset(keys["o_custkey"].tolist()))
 
     def anti(df: pd.DataFrame) -> pd.DataFrame:
@@ -426,18 +429,36 @@ def q_weighted_sample(sf_dir: str):
     return docs.map_batches(keep, batch_format="pandas")
 
 
+def _sample_candidates(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-row fused mask for hash_sample ∩ weighted_sample — the two pure
+    predicates of :func:`q_sample_overlap` (no membership test here)."""
+    ids = df["doc_id"].to_numpy(dtype=np.uint64)
+    h = (ids * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
+    hs = df["source"].isin(SAMPLE_BOOST_SOURCES).to_numpy()
+    thr = np.where(hs, SAMPLE_BOOST_THRESHOLD, SAMPLE_BASE_THRESHOLD)
+    in_hash = h < thr.astype(np.uint64)
+    in_weighted = h.astype(np.int64) < (
+        df["n_chars"].to_numpy(dtype=np.int64) * WEIGHTED_SAMPLE_SCALE
+    )
+    return df.loc[in_hash & in_weighted, ["doc_id", "source"]]
+
+
 def q_sample_overlap(sf_dir: str):
     """Set algebra over predicate-defined document sets in ONE streaming
     pass: (hash_sample ∩ weighted_sample) ∖ contaminated.
 
-    Because the first two sets are pure per-row predicates and the third
-    is a broadcast membership set, INTERSECT/EXCEPT collapse to one fused
-    boolean mask inside ``map_batches`` — zero shuffles, versus the three
-    scans + two set operators a naive engine would run.  The SQL oracle
-    states the same query with literal INTERSECT/EXCEPT."""
+    Because the first two sets are pure per-row predicates,
+    INTERSECT collapses to one fused boolean mask inside ``map_batches``.
+    The EXCEPT side depends on the contaminated-id cardinality — unlike a
+    benchmark suite, it is proportional to corpus size, so it is
+    size-guarded like every broadcast in this engine: below
+    :data:`~.util.BROADCAST_LOOKUP_ROW_LIMIT` the ids are broadcast once
+    (``ray.put``) and the subtraction stays in the same fused mask (zero
+    shuffles); above it the candidates anti-join the contaminated ids via
+    ONE doc_id-keyed bucketed co-group (both sides are id-only rows —
+    document bodies never enter the exchange).  The SQL oracle states the
+    same query with literal INTERSECT/EXCEPT."""
     import ray
-
-    from .util import parquet_row_count
 
     docs = read_sized(
         f"{sf_dir}/documents.parquet",
@@ -448,27 +469,57 @@ def q_sample_overlap(sf_dir: str):
     ).map_batches(
         lambda df: df[df["doc_id"] % 97 == 0], batch_format="pandas"
     )
-    contaminated = frozenset(
+    cont_ds = (
         decontaminate(
             read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
             bench,
         )
-        .to_pandas()["doc_id"]
-        .tolist()
+        .map_batches(lambda df: df[["doc_id"]], batch_format="pandas")
+        .materialize()
     )
+    # guard BEFORE collecting: count() on the materialized id-only dataset
+    # is metadata-only, so the oversized case never touches the driver heap
+    if cont_ds.count() > BROADCAST_LOOKUP_ROW_LIMIT:
+        return _sample_overlap_anti_join(docs, cont_ds)
+    contaminated = frozenset(cont_ds.to_pandas()["doc_id"].tolist())
     ref = ray.put(contaminated)
 
     def mask(df: pd.DataFrame) -> pd.DataFrame:
         bad = ray.get(ref)
-        ids = df["doc_id"].to_numpy(dtype=np.uint64)
-        h = (ids * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
-        hs = df["source"].isin(SAMPLE_BOOST_SOURCES).to_numpy()
-        thr = np.where(hs, SAMPLE_BOOST_THRESHOLD, SAMPLE_BASE_THRESHOLD)
-        in_hash = h < thr.astype(np.uint64)
-        in_weighted = h.astype(np.int64) < (
-            df["n_chars"].to_numpy(dtype=np.int64) * WEIGHTED_SAMPLE_SCALE
-        )
-        keep = in_hash & in_weighted & ~df["doc_id"].isin(bad).to_numpy()
-        return df.loc[keep, ["doc_id", "source"]]
+        out = _sample_candidates(df)
+        return out.loc[~out["doc_id"].isin(bad)]
 
     return docs.map_batches(mask, batch_format="pandas")
+
+
+def _sample_overlap_anti_join(docs, cont_ds):
+    """Scale path for :func:`q_sample_overlap`: bucketed anti-join of the
+    candidate rows against the contaminated-id set.  Tag candidates side=0
+    and contaminated ids side=1, union, hash-group by doc_id bucket, and
+    keep the side-0 rows whose doc_id has no side-1 row in the bucket.
+    Both sides are (doc_id, source, side) scalars — one key-only shuffle."""
+    from .relational import _bucketed_groups
+    from .util import shuffle_partitions
+
+    cand = docs.map_batches(
+        lambda df: _sample_candidates(df).assign(_side=np.int64(0)),
+        batch_format="pandas",
+    )
+    cont = cont_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": "",
+                "_side": np.ones(len(df), dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    n_parts = shuffle_partitions(est_keys=max(16, cont_ds.count()))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        bad = set(g.loc[g["_side"] == 1, "doc_id"])
+        keep = g[(g["_side"] == 0) & ~g["doc_id"].isin(bad)]
+        return keep[["doc_id", "source"]]
+
+    return _bucketed_groups(cand.union(cont), "doc_id", n_parts, anti)

@@ -1638,7 +1638,13 @@ def q_cohort_retention(sf_dir: str):
             }
         )
 
-    per_user = _bucketed_groups(distinct, "user_id", 4, offsets)
+    # size the user-keyed shuffle by the distinct-pair cardinality estimate
+    # (same est as the combine above) — not a literal constant, so a
+    # web-scale user base fans out instead of serializing onto 4 buckets
+    n_parts = shuffle_partitions(
+        est_keys=parquet_row_count(f"{sf_dir}/events.parquet") // 8
+    )
+    per_user = _bucketed_groups(distinct, "user_id", n_parts, offsets)
     return _sum_combine(per_user, ["cohort_week", "week_offset"], est_keys=4096)
 
 
@@ -1698,21 +1704,25 @@ def q_order_percentile_rank(sf_dir: str):
     def red(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("cents", as_index=False).sum()
 
-    hist = combine_partials(
+    from .util import BROADCAST_LOOKUP_ROW_LIMIT
+
+    hist_ds = combine_partials(
         ds.map_batches(partial, batch_format="pandas"),
         red, ["cents"],
         est_keys=parquet_row_count(path),
         merge_fn=red,
-    ).to_pandas().sort_values("cents")
-    cum = hist["n"].cumsum().to_numpy(dtype="int64")
-    n = int(cum[-1]) if len(cum) else 0
-    from .util import BROADCAST_LOOKUP_ROW_LIMIT
-
-    if len(hist) > BROADCAST_LOOKUP_ROW_LIMIT:
+    ).materialize()
+    # guard BEFORE the driver collect: count() on the materialized reduced
+    # histogram is metadata-only (object-store blocks, no driver heap), so
+    # an oversized price domain raises here instead of OOMing the driver
+    if hist_ds.count() > BROADCAST_LOOKUP_ROW_LIMIT:
         raise ValueError(
             "price domain too large for a broadcast rank map — bucket the "
             "domain (coarser cents) or join ranks via the bucketed co-group"
         )
+    hist = hist_ds.to_pandas().sort_values("cents")
+    cum = hist["n"].cumsum().to_numpy(dtype="int64")
+    n = int(cum[-1]) if len(cum) else 0
     lookup = dict(zip(hist["cents"].astype("int64"), cum))
     ref = ray.put((lookup, n))
 

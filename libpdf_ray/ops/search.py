@@ -124,13 +124,22 @@ def bm25_search(docs, terms: list, k: int = 20):
         batch = batch[batch["kind"] == 1]
         n, L, dfv = ray.get(ref)
         # operand magnitude check: the int64 products below are exact (and
-        # bit-identical to the SQL oracle's) while they stay < 2^62; a
-        # corpus large enough to breach that bound (L·n ≳ 10^17) loses
+        # bit-identical to the SQL oracle's) while BOTH the numerator
+        # 22·L·tf·(2n−2df+1) AND the denominator (10·L·tf+3·L+9·dl·n)·(2df+1)
+        # stay < 2^62 — the denominator matters independently because a
+        # document ~5× average length can overflow it while the numerator
+        # bound still holds (numpy would wrap silently).  Computed in python
+        # bigints against the batch maxima, so the check itself cannot wrap.
+        # A corpus large enough to breach the bound (L·n ≳ 10^17) loses
         # hash-exactness but not correctness — scores degrade to ordinary
-        # float evaluation of the same ratio
-        exact = 22 * L * (2 * n + 1) < (1 << 62) // max(
-            1, int(batch[[f"tf_{i}" for i in range(len(dfv))]].to_numpy().max(initial=1))
+        # float evaluation of the same ratio.
+        max_tf = int(
+            batch[[f"tf_{i}" for i in range(len(dfv))]].to_numpy().max(initial=1)
         )
+        max_dl = int(batch["dl"].max()) if len(batch) else 1
+        num_bound = 22 * L * max_tf * (2 * n + 1)
+        den_bound = (10 * L * max_tf + 3 * L + 9 * max_dl * n) * (2 * n + 1)
+        exact = max(num_bound, den_bound) < (1 << 62)
         cast = np.int64 if exact else np.float64
         dl = batch["dl"].to_numpy(dtype=np.int64)
         total = np.zeros(len(batch), dtype=np.float64)
@@ -205,9 +214,11 @@ def posting_lists(docs, est_terms: int):
             }
         )
 
-    return pair_ds.groupby("term", num_partitions=4).map_groups(
-        fold, batch_format="pandas"
-    )
+    from .util import shuffle_partitions
+
+    return pair_ds.groupby(
+        "term", num_partitions=shuffle_partitions(est_keys=est_terms)
+    ).map_groups(fold, batch_format="pandas")
 
 
 def q_posting_lists(sf_dir: str):

@@ -279,3 +279,30 @@ class TestKMeans:
             "centroids"
         ].T
         assert (sims.max(axis=1) > 0.95).all()
+
+
+class TestSampleOverlapAntiJoin:
+    def test_fallback_matches_broadcast_path(self, ray_session, monkeypatch):
+        """Forcing the contaminated-set size guard to trip must route
+        q_sample_overlap through the bucketed anti-join and produce the
+        exact same kept set as the broadcast fast path."""
+        import libpdf_ray.ops.corpus as C
+
+        sf = "/root/testdata/sf0.001"
+        fast = (
+            C.q_sample_overlap(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # limit 6: decontaminate's 6-doc benchmark broadcast still fits,
+        # but the 8-doc contaminated set trips the guard → anti-join path
+        monkeypatch.setattr(C, "BROADCAST_LOOKUP_ROW_LIMIT", 6)
+        slow = (
+            C.q_sample_overlap(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(fast) > 0  # fixture keeps the query non-degenerate
+        pd.testing.assert_frame_equal(fast, slow)
