@@ -579,26 +579,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alpha_quality": R.q_alpha_quality,
         "exact_dedup": R.q_exact_dedup,
         "knn_bruteforce": R.q_knn,
-        # extraction pipeline + non-SQL ops (rows-only)
+        # extraction pipeline views (generator-as-oracle, SQL-checked)
         "extract_spans": _q_extract_spans,
         "span_kinds": _q_span_kinds,
-        "media_features": _q_media_features,
         "media_meta": _q_media_meta,
         "langid_confusion": _q_langid,
         "quality_filter": _q_quality_filter,
         "fingerprints": _q_fingerprints,
         "simhash": _q_simhash,
-        "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_verified_pairs": _q_minhash_verified_pairs,
         "neardup_clusters": _q_neardup_clusters,
         "dedup_docs": _q_dedup_docs,
-        "embedding_neardup": _q_embedding_neardup,
-        "knn_ivf": _q_knn_ivf,
         "knn_ivf_exact": _q_knn_ivf_exact,
-        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
-        "kmeans_clusters": _q_kmeans_clusters,
         "text_spans": _q_text_spans,
         "elements": _q_elements,
         "file_meta": _q_file_meta,
@@ -607,8 +601,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "links": _q_links,
         "text_styles": _q_text_styles,
         "rect_styles": _q_rect_styles,
-        "distinct_sketch": _q_distinct_sketch,
-        "price_quantiles": _q_price_quantiles,
         "boilerplate": _q_boilerplate,
         # corpus-curation suite (SQL-checked; ops/corpus.py)
         "vocab_stats": Co.q_vocab_stats,
@@ -622,6 +614,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-text search suite (SQL-checked; ops/search.py)
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
+        # ---- rows-only queries (no SQL oracle by nature) LAST, so a
+        # driver snapshot cap lands on the oracle-bearing entries first ----
+        "media_features": _q_media_features,
+        "minhash_pairs": _q_minhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "knn_ivf": _q_knn_ivf,
+        "knn_ivf_partitioned": _q_knn_ivf_partitioned,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "distinct_sketch": _q_distinct_sketch,
+        "price_quantiles": _q_price_quantiles,
     }
 
 
