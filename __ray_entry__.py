@@ -235,18 +235,24 @@ def _q_minhash_verified_pairs(sf_dir: str):
 
 def _q_jaccard_pairs(sf_dir: str):
     from libpdf_ray.ops.dedup import jaccard_pairs_exact
+    from libpdf_ray.ops.util import parquet_row_count
 
-    ds = _read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return jaccard_pairs_exact(ds, threshold=0.5, est_docs=1000)
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_sized(path, columns=["doc_id", "text"])
+    return jaccard_pairs_exact(ds, threshold=0.5,
+                               est_docs=parquet_row_count(path))
 
 
 def _q_neardup_clusters(sf_dir: str):
     from libpdf_ray.ops.dedup import jaccard_pairs_exact
     from libpdf_ray.ops.graph import connected_components
+    from libpdf_ray.ops.util import parquet_row_count
 
-    ds = _read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = jaccard_pairs_exact(ds, threshold=0.5, est_docs=1000)
-    return connected_components(pairs, est_nodes=1000)
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = parquet_row_count(path)
+    ds = _read_sized(path, columns=["doc_id", "text"])
+    pairs = jaccard_pairs_exact(ds, threshold=0.5, est_docs=n_docs)
+    return connected_components(pairs, est_nodes=n_docs)
 
 
 def _q_dedup_docs(sf_dir: str):
@@ -255,14 +261,16 @@ def _q_dedup_docs(sf_dir: str):
     from libpdf_ray.ops.dedup import jaccard_pairs_exact
     from libpdf_ray.ops.graph import (connected_components,
                                       dedup_keep_representatives)
+    from libpdf_ray.ops.util import parquet_row_count
 
-    ds = _read_sized(f"{sf_dir}/documents.parquet",
-                     columns=["doc_id", "text", "lang", "source"])
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = parquet_row_count(path)
+    ds = _read_sized(path, columns=["doc_id", "text", "lang", "source"])
     pairs = jaccard_pairs_exact(
-        ds.select_columns(["doc_id", "text"]), threshold=0.5, est_docs=1000
+        ds.select_columns(["doc_id", "text"]), threshold=0.5, est_docs=n_docs
     )
-    clusters = connected_components(pairs, est_nodes=1000)
-    kept = dedup_keep_representatives(ds, clusters)
+    clusters = connected_components(pairs, est_nodes=n_docs)
+    kept = dedup_keep_representatives(ds, clusters, est_keys=n_docs)
     return kept.select_columns(["doc_id", "lang", "source"])
 
 

@@ -765,9 +765,32 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+#: Default stop-gram cutoff for :func:`jaccard_pairs_exact`.  A gram shared
+#: by b documents emits b²/2 pair rows, so an unbounded hot shingle is a
+#: quadratic blow-up; 10k is far above any legitimate natural-language
+#: shingle document-frequency at the tested scales (measured max 25 at
+#: sf0.1) while bounding a pathological gram to ~5·10⁷ rows.
+DEFAULT_JACCARD_MAX_DF = 10_000
+
+
+def _log_dropped_grams(sizes: np.ndarray, max_df: int | None) -> int:
+    """No silent caps: log what the stop-gram cutoff drops in this bucket.
+    Returns the dropped-gram count (0 when nothing is cut)."""
+    if max_df is None or len(sizes) == 0 or sizes.max() <= max_df:
+        return 0
+    n_drop = int((sizes > max_df).sum())
+    logging.getLogger(__name__).warning(
+        "jaccard_pairs_exact: dropping %d gram(s) with document frequency "
+        "> max_df=%d (max observed df=%d); pass max_df=None for the fully "
+        "exact mode",
+        n_drop, max_df, int(sizes.max()),
+    )
+    return n_drop
+
+
 def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
                         k: int = 3, threshold: float = 0.5,
-                        max_df: int | None = None,
+                        max_df: int | None = DEFAULT_JACCARD_MAX_DF,
                         est_docs: int | None = None):
     """EXACT word-k-gram Jaccard for every document pair sharing ≥1 shingle.
 
@@ -789,9 +812,12 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
        via ``np.triu_indices``.  Natural-language gram frequencies are
        heavy-tailed — ``max_df`` drops grams present in more than that
        many docs (a stop-gram cutoff; standard in exact similarity joins
-       because a gram shared by b docs emits b²/2 rows).  ``None`` = fully
-       exact; at 100 TB set it (a gram in >10⁴ docs contributes ~0 bits of
-       pair evidence but 10⁸ rows).
+       because a gram shared by b docs emits b²/2 rows).  The default is
+       finite (:data:`DEFAULT_JACCARD_MAX_DF`) so a pathological hot
+       shingle cannot trigger a quadratic blow-up; pass ``max_df=None``
+       to opt into the fully exact mode.  Dropped grams are never silent:
+       every bucket that drops one logs a warning with the count and the
+       worst offender's document frequency.
     3. ``groupby(id_a, id_b)`` → ``inter`` = row count,
        ``uni = n_a + n_b − inter``, integer threshold filter.
 
@@ -850,6 +876,7 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
         ns = bucket["n"].to_numpy()[order]
         starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
         sizes = np.diff(np.r_[starts, len(grams)])
+        _log_dropped_grams(sizes, max_df)
         ia_parts, ib_parts = [], []
         # one numpy shot per DISTINCT gram-frequency (heavy-tailed → a
         # handful of sizes), not per gram

@@ -155,7 +155,8 @@ def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
     )
 
 
-def dedup_keep_representatives(corpus_ds, clusters_ds, id_col: str = "doc_id"):
+def dedup_keep_representatives(corpus_ds, clusters_ds, id_col: str = "doc_id",
+                               est_keys: int | None = None):
     """Drop every clustered document except its cluster representative.
 
     ``clusters_ds``: output of :func:`connected_components` (doc_id,
@@ -163,6 +164,10 @@ def dedup_keep_representatives(corpus_ds, clusters_ds, id_col: str = "doc_id"):
     always kept.  One hash join on the id column; corpus payloads stream
     through untouched.  The drops side is post-shuffle, so it is
     block-normalized first (see :func:`libpdf_ray.ops.util.normalize_blocks`).
+
+    ``est_keys``: estimated corpus cardinality for sizing the join shuffle
+    (pass :func:`libpdf_ray.ops.util.parquet_row_count` of the corpus);
+    defaults to 100k partitioning when unknown.
     """
     from .util import normalize_blocks, shuffle_partitions
 
@@ -174,7 +179,7 @@ def dedup_keep_representatives(corpus_ds, clusters_ds, id_col: str = "doc_id"):
             batch_format="pandas",
         )
     )
-    n_parts = shuffle_partitions(est_keys=100_000)
+    n_parts = shuffle_partitions(est_keys=est_keys if est_keys else 100_000)
     joined = corpus_ds.join(
         drops, "left_outer", num_partitions=n_parts, on=(id_col,)
     )

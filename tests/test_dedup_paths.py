@@ -132,6 +132,74 @@ class TestVerifyPaths:
                 assert (le[col].to_numpy() == ee[col].to_numpy()).all(), col
 
 
+class TestJaccardMaxDf:
+    """The finite default stop-gram cutoff (round-4 verdict item 4): a hot
+    shingle shared by half the corpus must not emit b²/2 pair rows under
+    the DEFAULT settings, and max_df=None must stay fully exact."""
+
+    def _skewed_corpus(self, n_docs=80, seed=7):
+        """Every even doc carries one identical hot 3-gram ('the same boiler')
+        prepended to otherwise-unique text: 40 docs share the gram → the
+        unbounded join would emit 40·39/2 = 780 rows for it alone."""
+        rng = np.random.default_rng(seed)
+        words = [f"uniq{i}" for i in range(4000)]
+        rows = []
+        for d in range(n_docs):
+            body = " ".join(rng.choice(words, size=20, replace=False))
+            text = ("the same boiler " + body) if d % 2 == 0 else body
+            rows.append({"doc_id": d, "text": text})
+        return rows
+
+    def test_hot_gram_is_cut_and_bounded(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import jaccard_pairs_exact
+
+        rows = self._skewed_corpus()
+        # max_df=10 < 40 (the hot gram's df) but above every legitimate
+        # gram's df (unique bodies → df 1-2)
+        cut = jaccard_pairs_exact(
+            rd.from_items(rows), threshold=0.01, max_df=10, est_docs=80
+        ).to_pandas()
+        exact = jaccard_pairs_exact(
+            rd.from_items(rows), threshold=0.01, max_df=None, est_docs=80
+        ).to_pandas()
+        # exact mode sees the 780 hot-gram pairs; the cutoff removes them
+        assert len(exact) >= 780
+        assert len(cut) < 100
+        # pairs that survive the cut carry identical inter/uni in both modes
+        # only when none of their shared grams was cut; here the hot gram is
+        # the ONLY shared gram of its pairs, so cut ⊂ exact with equal stats
+        ce = cut.set_index(["id_a", "id_b"])
+        ee = exact.set_index(["id_a", "id_b"])
+        assert set(ce.index) <= set(ee.index)
+
+    def test_default_max_df_is_finite(self):
+        import inspect
+
+        from libpdf_ray.ops.dedup import (DEFAULT_JACCARD_MAX_DF,
+                                          jaccard_pairs_exact)
+
+        default = inspect.signature(jaccard_pairs_exact).parameters["max_df"].default
+        assert default == DEFAULT_JACCARD_MAX_DF and default is not None
+
+    def test_drop_is_logged_not_silent(self, caplog):
+        import logging
+
+        from libpdf_ray.ops.dedup import _log_dropped_grams
+
+        with caplog.at_level(logging.WARNING, logger="libpdf_ray.ops.dedup"):
+            n = _log_dropped_grams(np.array([2, 3, 40, 41]), max_df=10)
+        assert n == 2
+        assert any("max_df" in r.message for r in caplog.records)
+        # and the quiet cases stay quiet
+        caplog.clear()
+        assert _log_dropped_grams(np.array([2, 3]), max_df=10) == 0
+        assert _log_dropped_grams(np.array([999]), max_df=None) == 0
+        assert _log_dropped_grams(np.array([], dtype=int), max_df=1) == 0
+        assert not caplog.records
+
+
 class TestSaturatedBucketDegrade:
     def test_star_pairs_instead_of_raise(self):
         from libpdf_ray.ops.dedup import _bucket_pair_frame
