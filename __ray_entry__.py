@@ -286,76 +286,62 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
+    """The unified ANN path: knn_ivf on a parquet source builds (or
+    reuses) the cell-partitioned index and reads ONLY the probed cells."""
     import numpy as np
     import pyarrow.parquet as pq
-    import ray.data as rd
 
     from libpdf_ray.ops.similarity import ivf_fit_centroids, knn_ivf
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    src = f"{sf_dir}/embeddings.parquet"
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()[:8]
     mat = np.stack(
         [np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()[:8]]
     )
-    ds = _read_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_sized(src, columns=["vec_id", "embedding"])
     centroids = ivf_fit_centroids(ds, n_cells=16)
-    return knn_ivf(ds, {"ids": ids, "matrix": mat}, centroids, k=5, n_probe=4)
+    return knn_ivf(src, {"ids": ids, "matrix": mat}, centroids, k=5, n_probe=4)
 
 
 def _q_knn_ivf_exact(sf_dir: str):
     """IVF with n_probe = n_cells probes every cell — the result is exactly
-    brute force, so the whole IVF machinery (assignment, probe filter,
-    partial top-k, tree merge) gets the brute-force SQL oracle."""
+    brute force, so the whole IVF machinery (index build, probe-pruned
+    read, partial top-k, tree merge) gets the brute-force SQL oracle."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from libpdf_ray.ops.similarity import ivf_fit_centroids, knn_ivf
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    src = f"{sf_dir}/embeddings.parquet"
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
     mask = [i for i, v in enumerate(t.column("vec_id").to_pylist()) if v < 8]
     ids = [t.column("vec_id")[i].as_py() for i in mask]
     mat = np.stack(
         [np.asarray(t.column("embedding")[i].as_py(), dtype=np.float64) for i in mask]
     )
-    ds = _read_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_sized(src, columns=["vec_id", "embedding"])
     centroids = ivf_fit_centroids(ds, n_cells=16)
-    return knn_ivf(ds, {"ids": ids, "matrix": mat}, centroids, k=5,
+    return knn_ivf(src, {"ids": ids, "matrix": mat}, centroids, k=5,
                    n_probe=len(centroids))
 
 
 def _q_knn_ivf_partitioned(sf_dir: str):
-    """Cell-partitioned ANN: probing prunes the read (hive partition dirs),
-    not just compute — the 10^12-row shape of IVF."""
-    import hashlib
-    import os
-
+    """Explicit-index ANN: same probe-pruned route as knn_ivf, with the
+    index handle managed by the caller (the repeated-query-set shape)."""
     import numpy as np
     import pyarrow.parquet as pq
-    import ray.data as rd
 
     from libpdf_ray.ops.similarity import (
-        ivf_build_index,
         ivf_fit_centroids,
+        ivf_index_for,
         knn_ivf_partitioned,
     )
 
     src = f"{sf_dir}/embeddings.parquet"
     ds = _read_sized(src, columns=["vec_id", "embedding"])
     centroids = ivf_fit_centroids(ds, n_cells=16)
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:10]
-    index_dir = f"/tmp/libpdf_ray_ivf_{tag}"
-    marker = os.path.join(index_dir, "_built")
-    if not os.path.exists(marker):
-        ivf_build_index(
-            _read_sized(src, columns=["vec_id", "embedding"]),
-            centroids,
-            index_dir,
-        )
-        with open(marker, "w") as fh:
-            fh.write("ok")
+    index_dir = ivf_index_for(src, centroids)
     t = pq.read_table(src, columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()[:8]
     mat = np.stack(

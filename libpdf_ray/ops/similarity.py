@@ -7,8 +7,11 @@
   never the corpus.
 - :func:`knn_ivf` — the scale path: k-means-style coarse quantizer (fit on a
   sample, centroids broadcast) assigns each vector to a cell; queries probe
-  only the nearest cells.  On 10^12 rows this turns a full scan into a
-  ~(n_probe/n_cells) partial scan at the cost of approximate recall.
+  only the nearest cells.  For parquet sources the probe prunes the READ
+  (cell-partitioned ``ivf_cell=N/`` index, built once per corpus via a
+  content-addressed cache): on 10^12 rows a query set touches
+  ~(n_probe/n_cells) of the stored bytes.  In-memory datasets fall back to
+  an in-stream assign-and-filter (nothing to prune), with a warning.
 """
 
 from __future__ import annotations
@@ -155,11 +158,10 @@ def ivf_build_index(ds, centroids: np.ndarray, out_dir: str,
     """Write the corpus as CELL-PARTITIONED parquet (hive layout
     ``ivf_cell=<n>/``) so that probing prunes **I/O**, not just compute.
 
-    At 10^12 rows the in-stream filter of :func:`knn_ivf` still scans and
-    assigns every vector per query set; with this index a query set reads
-    only ``n_probe / n_cells`` of the bytes from storage
-    (:func:`knn_ivf_partitioned`).  Build cost is one full pass + one
-    partitioned write — amortized over every subsequent query set."""
+    With this index a query set reads only ``n_probe / n_cells`` of the
+    bytes from storage (:func:`knn_ivf_partitioned` — the default route of
+    :func:`knn_ivf` for parquet sources).  Build cost is one full pass +
+    one partitioned write — amortized over every subsequent query set."""
     import ray
 
     centroids_ref = ray.put(centroids)
@@ -184,30 +186,82 @@ def ivf_build_index(ds, centroids: np.ndarray, out_dir: str,
     return out_dir
 
 
-def knn_ivf_partitioned(index_dir: str, queries: dict, centroids: np.ndarray,
-                        k: int = 5, n_probe: int = 4, id_col: str = "vec_id",
-                        exclude_self: bool = True):
-    """Approximate top-k over a cell-partitioned index: reads ONLY the
-    probed cells' files (partition pruning at the read — the scale path the
-    in-stream :func:`knn_ivf` cannot offer)."""
-    import os
-
-    import ray.data as rd
-
+def _probe_cells(queries: dict, centroids: np.ndarray, n_probe: int) -> list:
+    """The union of every query's ``n_probe`` nearest cells (sorted)."""
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     qm = np.asarray(queries["matrix"], dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     probe = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]
-    probed_cells = sorted({int(c) for row in probe for c in row})
-    import glob
+    return sorted({int(c) for row in probe for c in row})
 
-    paths = [
+
+def _probed_cell_paths(index_dir: str, probed_cells) -> list:
+    """Parquet files of the probed cells ONLY — dir-level partition
+    pruning: unprobed cells' bytes never leave storage."""
+    import glob
+    import os
+
+    return [
         f
         for c in probed_cells
         for f in sorted(
             glob.glob(os.path.join(index_dir, f"ivf_cell={c}", "*.parquet"))
         )
     ]
+
+
+def _is_ivf_index_dir(path: str) -> bool:
+    import glob
+    import os
+
+    return os.path.isdir(path) and bool(
+        glob.glob(os.path.join(path, "ivf_cell=*"))
+    )
+
+
+def ivf_index_for(src_path: str, centroids: np.ndarray,
+                  id_col: str = "vec_id", columns: list | None = None,
+                  cache_root: str = "/tmp") -> str:
+    """Build (or reuse) the cell-partitioned index for a parquet source.
+
+    Content-addressed cache: the index dir is keyed by (abspath, mtime,
+    size, centroid bytes), so a changed source or quantizer rebuilds while
+    repeated query sets over the same corpus reuse one build — the
+    amortization that makes the partitioned path the default."""
+    import hashlib
+    import os
+
+    from .util import read_sized
+
+    st = os.stat(src_path)
+    key = hashlib.md5(
+        f"{os.path.abspath(src_path)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        + np.ascontiguousarray(centroids, dtype=np.float64).tobytes()
+    ).hexdigest()[:12]
+    index_dir = os.path.join(cache_root, f"libpdf_ray_ivf_{key}")
+    marker = os.path.join(index_dir, "_built")
+    if not os.path.exists(marker):
+        ivf_build_index(
+            read_sized(src_path, columns=columns or [id_col, "embedding"]),
+            centroids,
+            index_dir,
+            id_col=id_col,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return index_dir
+
+
+def knn_ivf_partitioned(index_dir: str, queries: dict, centroids: np.ndarray,
+                        k: int = 5, n_probe: int = 4, id_col: str = "vec_id",
+                        exclude_self: bool = True):
+    """Approximate top-k over a cell-partitioned index: reads ONLY the
+    probed cells' files (dir-level partition pruning at the read — the
+    10^12-row shape: a query set touches ``n_probe / n_cells`` of the
+    stored bytes)."""
+    import ray.data as rd
+
+    paths = _probed_cell_paths(index_dir, _probe_cells(queries, centroids, n_probe))
     if not paths:
         # every probed cell is unpopulated (k-means keeps empty centroids on
         # small/skewed corpora) — the result is legitimately empty
@@ -217,25 +271,57 @@ def knn_ivf_partitioned(index_dir: str, queries: dict, centroids: np.ndarray,
                           exclude_self=exclude_self)
 
 
-def knn_ivf(ds, queries: dict, centroids: np.ndarray, k: int = 5,
+def knn_ivf(source, queries: dict, centroids: np.ndarray, k: int = 5,
             n_probe: int = 4, id_col: str = "vec_id", exclude_self: bool = True):
-    """Approximate top-k: assign cells, then brute-force only the probed
-    cells.  Returns the same shape as :func:`knn_bruteforce`."""
+    """THE ANN entry point — one path, probe-pruned at the read.
+
+    ``source`` routing:
+
+    - an ``ivf_cell=N/`` index dir (str) → probe the partitioned index
+      directly (:func:`knn_ivf_partitioned`);
+    - a parquet file/dir (str) → build the index ONCE into a
+      content-addressed cache (:func:`ivf_index_for`), then probe it —
+      repeated query sets over the same corpus pay the build once and
+      read only probed cells afterwards;
+    - an in-memory ``Dataset`` → in-stream fallback: assign every vector
+      and filter to the probed cells.  There is no storage to prune for a
+      from-memory dataset, so this full-corpus assignment is the only
+      option — it is the SMALL-data convenience form, never the scale
+      path, and it logs a warning saying so.
+
+    All three forms produce identical output for the same
+    (corpus, centroids, queries, n_probe) — pinned by
+    ``tests/test_ops.py::TestIVFPartitioned``."""
+    if isinstance(source, str):
+        index_dir = (
+            source
+            if _is_ivf_index_dir(source)
+            else ivf_index_for(source, centroids, id_col=id_col)
+        )
+        return knn_ivf_partitioned(
+            index_dir, queries, centroids, k=k, n_probe=n_probe,
+            id_col=id_col, exclude_self=exclude_self,
+        )
+
+    import logging
+
     import ray
 
+    logging.getLogger(__name__).warning(
+        "knn_ivf: in-memory Dataset source — falling back to the in-stream "
+        "assign-and-filter path (scans the full corpus per query set). "
+        "Pass a parquet path or an ivf_cell=N/ index dir to get "
+        "probe-pruned reads."
+    )
     centroids_ref = ray.put(centroids)
-    assigned = ds.map_batches(
+    assigned = source.map_batches(
         _IVFAssign,
         fn_constructor_kwargs={"centroids_ref": centroids_ref},
         batch_format="pandas",
         concurrency=(1, 4),  # autoscaling: shrink on small sessions so chained pools never starve the read
         num_cpus=0.5,
     )
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    qm = np.asarray(queries["matrix"], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]
-    probed_cells = frozenset(int(c) for row in probe for c in row)
+    probed_cells = frozenset(_probe_cells(queries, centroids, n_probe))
     # pandas-side filter: an expression filter would round-trip the
     # embedding column through Arrow, and pandas batches store it as a
     # tensor-ish object dtype that Arrow cannot re-infer

@@ -340,10 +340,15 @@ class TestNearDupRecall:
 
 
 class TestIVFPartitioned:
-    def test_partitioned_index_matches_instream_ivf(self, ray_session, tmp_path):
-        """Cell-partitioned index: probing prunes the READ (hive partition
-        dirs), and results equal the in-stream IVF filter with the same
-        centroids/probe."""
+    def _corpus(self, n=200, dim=32, seed=5):
+        rng = np.random.default_rng(seed)
+        mat = rng.standard_normal((n, dim))
+        rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(n)]
+        return mat, rows
+
+    def test_all_three_source_forms_are_identical(self, ray_session, tmp_path):
+        """knn_ivf(index_dir) == knn_ivf(parquet_path) == knn_ivf(Dataset)
+        == knn_ivf_partitioned — one ANN semantics, three source handles."""
         import os
 
         import ray.data as rd
@@ -355,12 +360,18 @@ class TestIVFPartitioned:
             knn_ivf_partitioned,
         )
 
-        rng = np.random.default_rng(5)
-        mat = rng.standard_normal((200, 32))
-        rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(200)]
+        mat, rows = self._corpus()
         ds = rd.from_items(rows)
         centroids = ivf_fit_centroids(ds, n_cells=8, sample_rows=200)
         queries = {"ids": [0, 1, 2], "matrix": mat[:3]}
+
+        src = str(tmp_path / "emb.parquet")
+        rd.from_items(rows).map_batches(
+            lambda df: df.assign(
+                embedding=[list(map(float, e)) for e in df["embedding"]]
+            ),
+            batch_format="pandas",
+        ).repartition(1).write_parquet(src)
 
         index_dir = str(tmp_path / "ivf_index")
         ivf_build_index(rd.from_items(rows), centroids, index_dir)
@@ -368,19 +379,82 @@ class TestIVFPartitioned:
         cells = [d for d in os.listdir(index_dir) if d.startswith("ivf_cell=")]
         assert 1 < len(cells) <= 8
 
+        def run(source):
+            return (
+                knn_ivf(source, queries, centroids, k=5, n_probe=3)
+                .to_pandas()
+                .reset_index(drop=True)
+            )
+
         a = (
             knn_ivf_partitioned(index_dir, queries, centroids, k=5, n_probe=3)
             .to_pandas()
             .reset_index(drop=True)
         )
-        b = (
-            knn_ivf(rd.from_items(rows), queries, centroids, k=5, n_probe=3)
-            .to_pandas()
-            .reset_index(drop=True)
-        )
-        pd.testing.assert_frame_equal(a, b)
+        pd.testing.assert_frame_equal(a, run(index_dir))
+        pd.testing.assert_frame_equal(a, run(src))
+        pd.testing.assert_frame_equal(a, run(rd.from_items(rows)))
         # recall sanity: with 3/8 cells probed the true top-1 is usually kept
         assert len(a) == 15
+
+    def test_probe_prunes_the_read(self, ray_session, tmp_path):
+        """The probed-path selection must list ONLY probed cells' files, and
+        the dataset read for the probe must ingest exactly those files."""
+        import ray.data as rd
+
+        from libpdf_ray.ops.similarity import (
+            _probe_cells,
+            _probed_cell_paths,
+            ivf_build_index,
+            ivf_fit_centroids,
+        )
+
+        mat, rows = self._corpus()
+        ds = rd.from_items(rows)
+        centroids = ivf_fit_centroids(ds, n_cells=8, sample_rows=200)
+        queries = {"ids": [0], "matrix": mat[:1]}
+        index_dir = str(tmp_path / "ivf_index")
+        ivf_build_index(rd.from_items(rows), centroids, index_dir)
+
+        probed = _probe_cells(queries, centroids, n_probe=2)
+        assert len(probed) == 2
+        paths = _probed_cell_paths(index_dir, probed)
+        assert paths, "probed cells must be populated on this corpus"
+        for p in paths:
+            assert any(f"ivf_cell={c}/" in p or f"ivf_cell={c}\\" in p
+                       for c in probed), p
+        # the read ingests exactly the probed files — unprobed cells' bytes
+        # never leave storage
+        got = sorted(rd.read_parquet(paths).input_files())
+        assert got == sorted(paths)
+
+    def test_index_cache_reuses_build(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from libpdf_ray.ops.similarity import ivf_fit_centroids, ivf_index_for
+
+        mat, rows = self._corpus(n=60)
+        src = str(tmp_path / "emb.parquet")
+        rd.from_items(rows).map_batches(
+            lambda df: df.assign(
+                embedding=[list(map(float, e)) for e in df["embedding"]]
+            ),
+            batch_format="pandas",
+        ).repartition(1).write_parquet(src)
+        centroids = ivf_fit_centroids(
+            rd.read_parquet(src), n_cells=4, sample_rows=60
+        )
+
+        d1 = ivf_index_for(src, centroids, cache_root=str(tmp_path))
+        marker = os.path.join(d1, "_built")
+        t1 = os.stat(marker).st_mtime_ns
+        d2 = ivf_index_for(src, centroids, cache_root=str(tmp_path))
+        assert d1 == d2 and os.stat(marker).st_mtime_ns == t1  # no rebuild
+        # different quantizer → different index (content-addressed)
+        d3 = ivf_index_for(src, centroids + 0.5, cache_root=str(tmp_path))
+        assert d3 != d1
 
 
 class TestSimhashPairs:
