@@ -133,40 +133,86 @@ def strip_boilerplate(
 
     Operating on the nested shape keeps the edit intra-row — a document can
     never straddle a batch boundary, so offset re-densification needs no
-    shuffle.  The hash set is broadcast once per worker."""
+    shuffle.  The hash set is broadcast once per worker.
+
+    The kernel is Arrow-vectorized (round-3 verdict item 6): the batch's
+    span lists are flattened ONCE to their struct children, the keep mask /
+    per-doc kept counts / re-densified offsets are numpy array ops over the
+    flat rows, and the output ListArray is rebuilt from filtered child
+    arrays — no per-document ``to_pylist`` round-trip, no per-span dict
+    rebuild.  md5 is inherently per-string, so hashing runs only over the
+    DISTINCT candidate texts of the batch (boilerplate repeats by
+    definition, so distinct ≪ total)."""
+    import numpy as np
     import pyarrow as pa
     import ray
 
-    from ..schema import SPANS_TYPE
+    from ..schema import SPAN_STRUCT
 
     ref = ray.put(frozenset(boilerplate_hashes))
 
     class Strip:
         def __init__(self):
+            import pyarrow.compute as pc
+
+            self.pc = pc
             self.hot = ray.get(ref)
+            self.kind_set = pa.array(sorted(set(kinds)), pa.string())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            doc_ids = batch.column("doc_id").to_pylist()
-            spans_col = batch.column("spans").to_pylist()
-            new_spans = []
-            for spans in spans_col:
-                kept = [
-                    s
-                    for s in spans
-                    if not (
-                        s["kind"] in kinds and _span_hash(s["text"]) in self.hot
+            pc = self.pc
+            spans = batch.column("spans")
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            sizes = (
+                pc.list_value_length(spans)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            values = spans.flatten()
+
+            drop = np.zeros(len(values), dtype=bool)
+            if len(values) and self.hot:
+                kind_in = pc.is_in(
+                    values.field("kind"), value_set=self.kind_set
+                ).to_numpy(zero_copy_only=False)
+                cand_idx = np.flatnonzero(kind_in)
+                if len(cand_idx):
+                    texts = values.field("text").to_numpy(zero_copy_only=False)
+                    uniq, inv = np.unique(texts[cand_idx], return_inverse=True)
+                    uniq_hot = np.fromiter(
+                        (_span_hash(t) in self.hot for t in uniq),
+                        dtype=bool,
+                        count=len(uniq),
                     )
-                ]
-                new_spans.append(
-                    [{**s, "offset": i} for i, s in enumerate(kept)]
-                )
+                    drop[cand_idx] = uniq_hot[inv]
+
+            keep = ~drop
+            doc_idx = np.repeat(np.arange(len(sizes)), sizes)
+            kept_counts = np.bincount(doc_idx[keep], minlength=len(sizes))
+            starts = np.concatenate(([0], np.cumsum(kept_counts)[:-1]))
+            new_off = np.arange(int(keep.sum()), dtype=np.int32) - np.repeat(
+                starts, kept_counts
+            ).astype(np.int32)
+
+            keep_arr = pa.array(keep)
+            new_values = pa.StructArray.from_arrays(
+                [
+                    values.field("kind").filter(keep_arr),
+                    values.field("text").filter(keep_arr),
+                    values.field("media_ref").filter(keep_arr),
+                    pa.array(new_off, pa.int32()),
+                ],
+                fields=list(SPAN_STRUCT),
+            )
+            offsets = pa.array(
+                np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+            )
             return pa.table(
                 {
-                    "doc_id": pa.array(doc_ids, pa.string()),
-                    "spans": pa.array(new_spans, SPANS_TYPE),
-                    "n_spans": pa.array(
-                        [len(s) for s in new_spans], pa.int32()
-                    ),
+                    "doc_id": batch.column("doc_id"),
+                    "spans": pa.ListArray.from_arrays(offsets, new_values),
+                    "n_spans": pa.array(kept_counts.astype(np.int32), pa.int32()),
                 }
             )
 

@@ -586,6 +586,18 @@ def minhash_exact_pairs(
     )
 
     def batch_verify(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-pair ``np.intersect1d`` — MEASURED as the fastest shape.
+
+        The obvious "vectorization" (concatenate every pair's gram arrays,
+        one global lexsort by (pair, value), adjacent-duplicate bincount)
+        was implemented and benchmarked in round 4: the loop wins at every
+        realistic shape — 2.6× at 20k pairs × 20 grams, 1.1× at 50k × 8,
+        18× at 2k × 2000 (see BASELINE.md round-4 kernel notes).  The
+        per-pair work is already a vectorized C sort over ≤ a few hundred
+        int64s; a global sort only adds O(total · log) over data that is
+        already piecewise-sorted, and numpy has no segmented merge.  A
+        searchsorted variant ties the loop (55 vs 54 ms) — not worth the
+        extra branch."""
         ia, ib, inters, unis, jacs = [], [], [], [], []
         for id_a, id_b, pa, pb in zip(
             df["id_a"], df["id_b"], df["__pl_a"], df["__pl_b"]
