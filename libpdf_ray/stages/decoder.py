@@ -1,0 +1,216 @@
+"""The parse-boundary seam: raw document rows → internal document dicts.
+
+The engine's extraction kernels (``kernels/document.py:extract_document``)
+consume a plain-dict *internal document* shape; everything upstream of that
+dict is a **decoder**.  This module names that boundary as the
+:class:`DocumentDecoder` protocol so a real PDF-byte decoder can drop in
+where the synthetic-sidecar decoder sits today:
+
+- the reference binds this exact seam to ``pdfplumber.open`` + pdfminer
+  layout analysis (``/root/reference/libpdf/extract.py:96`` feeding
+  ``libpdf/textbox.py:934-977``);
+- in this environment the patched pdfminer wheel is an LFS-missing blob
+  (``/root/reference/.MISSING_LARGE_BLOBS:1``, no network), so the one
+  shipping implementation is :class:`SidecarDecoder` over the synthetic
+  raw-layout sidecar (shuffled char/word boxes, raw segments, raw annot
+  objects — the decoder's OUTPUT is raw enough that the engine still does
+  all layout analysis itself);
+- a future ``PdfMinerDecoder`` would take a ``pdf_bytes`` binary column
+  and emit the same contract below; nothing downstream changes.
+
+Internal document-dict contract (what :func:`DocumentDecoder.decode` rows
+must carry; optional keys may be absent or None):
+
+==================  ========================================================
+key                 meaning
+==================  ========================================================
+``doc_id``          str — unique document id (required)
+``pages``           list of {number, obj_id, width, height} (required)
+``textboxes``       list of {page, x0, y0, x1, y1, ungrouped,
+                    wordtab, chartab} — word/char payloads as FLAT ARRAY
+                    TABLES (dict of equal-length ndarrays: text, x0, y0,
+                    x1, y1, ncolor, fontname), not per-word dicts
+``segments``        raw line/curve segments for rect & table detection
+``rects``           raw rectangle objects
+``figures``         figure regions
+``raw_annots``      raw annotation objects (subtype, action/dest carriers)
+``outline_root``    catalog outline root ref; ``outline_nodes`` the
+                    First/Next node table; ``names_nodes`` the names tree
+``meta``            file metadata dict (Info entries, D: dates)
+``est_pages``       int — page-count estimate for skew repartitioning
+==================  ========================================================
+
+The decoder is a BATCH operation (Arrow in, row dicts out) so an
+implementation can vectorize its column decode — :class:`SidecarDecoder`
+decodes the word-level payload (the bulk of the bytes) as flat numpy
+slices instead of ``to_pylist`` (measured 9×, see
+:func:`_decode_textboxes`).
+"""
+
+from __future__ import annotations
+
+from typing import Protocol, runtime_checkable
+
+import pyarrow as pa
+
+
+@runtime_checkable
+class DocumentDecoder(Protocol):
+    """Anything that turns a raw-source Arrow batch into internal
+    document dicts (one per input row, order-preserving)."""
+
+    def decode(self, batch: pa.Table) -> list:  # list[dict]
+        ...
+
+
+def _decode_colors(nc_arr):
+    """list<double> color column → object ndarray of NORMALIZED values
+    (``None`` or a tuple of python floats — exactly ``_norm_color``'s
+    codomain, on which ``_norm_color`` is idempotent).  Normalizing once
+    at decode time replaces a per-word ``_norm_color`` call per line pass
+    downstream."""
+    import numpy as np
+
+    lens = (
+        pa.compute.list_value_length(nc_arr)
+        .fill_null(-1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    vals = nc_arr.flatten().to_numpy(zero_copy_only=False)
+    out = np.empty(len(lens), dtype=object)
+    off = 0
+    for i, ln in enumerate(lens.tolist()):
+        if ln <= 0:  # null (-1) and empty (0) both normalize to None
+            continue
+        out[i] = tuple(vals[off : off + ln].tolist())
+        off += ln
+    # advance offsets past empty-but-present lists (ln == 0 adds nothing)
+    return out
+
+
+def _decode_word_runs(list_arr):
+    """list<WORD_STRUCT> column (flattened textboxes) → (cum_lengths,
+    word-table dict of flat arrays).  Nulls count as length 0, matching
+    ``flatten()``'s null-skipping compaction.  Variable-width fields
+    (text / fontname / ncolor) decode into OBJECT ndarrays so the
+    per-textbox ``slice_tab`` cuts are zero-copy views, not list copies."""
+    import numpy as np
+
+    lengths = (
+        pa.compute.list_value_length(list_arr)
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    cum = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=cum[1:])
+    flat = list_arr.flatten()
+    n = len(flat)
+    text = np.empty(n, dtype=object)
+    text[:] = flat.field("text").to_pylist()
+    fonts = np.empty(n, dtype=object)
+    fonts[:] = flat.field("fontname").to_pylist()
+    wt = {
+        "text": text,
+        "x0": flat.field("x0").to_numpy(zero_copy_only=False),
+        "y0": flat.field("y0").to_numpy(zero_copy_only=False),
+        "x1": flat.field("x1").to_numpy(zero_copy_only=False),
+        "y1": flat.field("y1").to_numpy(zero_copy_only=False),
+        "ncolor": _decode_colors(flat.field("ncolor")),
+        "fontname": fonts,
+    }
+    return cum, wt
+
+
+def _decode_textboxes(col) -> list:
+    """Textboxes column → per-doc lists of textbox dicts whose word/char
+    payloads stay as FLAT ARRAY SLICES (``wordtab``/``chartab``), not
+    per-word Python dicts.
+
+    ``Table.to_pylist`` spends ~40% of parse-task time building one dict
+    per word (measured: 1.48 s vs 0.16 s for this flat decode on a 64-doc
+    mixed batch); the assembly kernel consumes the arrays directly and
+    word dicts materialize lazily only where needed (table-cell crops)."""
+    import numpy as np
+
+    ca = col.combine_chunks()
+    tb_lengths = (
+        pa.compute.list_value_length(ca)
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    tb_cum = np.zeros(len(tb_lengths) + 1, dtype=np.int64)
+    np.cumsum(tb_lengths, out=tb_cum[1:])
+    flat = ca.flatten()
+    page = flat.field("page").to_numpy(zero_copy_only=False)
+    bx0 = flat.field("x0").to_numpy(zero_copy_only=False)
+    by0 = flat.field("y0").to_numpy(zero_copy_only=False)
+    bx1 = flat.field("x1").to_numpy(zero_copy_only=False)
+    by1 = flat.field("y1").to_numpy(zero_copy_only=False)
+    try:
+        ungrouped = flat.field("ungrouped").to_pylist()
+    except KeyError:
+        ungrouped = [None] * len(page)
+    w_cum, w_tab = _decode_word_runs(flat.field("words"))
+    c_cum, c_tab = _decode_word_runs(flat.field("chars"))
+
+    def slice_tab(tab, a, b):
+        if b == a:
+            return None
+        return {k: v[a:b] for k, v in tab.items()}
+
+    docs = []
+    for d in range(len(tb_lengths)):
+        tbs = []
+        for j in range(tb_cum[d], tb_cum[d + 1]):
+            tbs.append(
+                {
+                    "page": int(page[j]),
+                    "x0": float(bx0[j]),
+                    "y0": float(by0[j]),
+                    "x1": float(bx1[j]),
+                    "y1": float(by1[j]),
+                    "ungrouped": bool(ungrouped[j]) if ungrouped[j] else False,
+                    "wordtab": slice_tab(w_tab, w_cum[j], w_cum[j + 1]),
+                    "chartab": slice_tab(c_tab, c_cum[j], c_cum[j + 1]),
+                }
+            )
+        docs.append(tbs)
+    return docs
+
+
+def decode_sidecar_rows(batch: pa.Table) -> list:
+    """Batch → per-doc dicts, with the textboxes column fast-decoded.
+
+    Corpora whose textboxes column deviates from the canonical schema
+    (e.g. schema-inferred ingests where an all-null ``chars`` field lost
+    its struct type) fall back to plain ``to_pylist`` — slower, never
+    wrong."""
+    if "textboxes" in batch.column_names:
+        try:
+            tb_docs = _decode_textboxes(batch.column("textboxes"))
+        except (KeyError, pa.lib.ArrowException, AttributeError):
+            return batch.to_pylist()
+    cols = {
+        c: batch.column(c).to_pylist()
+        for c in batch.column_names
+        if c != "textboxes"
+    }
+    rows = [
+        {c: cols[c][i] for c in cols} for i in range(batch.num_rows)
+    ]
+    if "textboxes" in batch.column_names:
+        for row, tbs in zip(rows, tb_docs):
+            row["textboxes"] = tbs
+    return rows
+
+
+class SidecarDecoder:
+    """The synthetic raw-layout sidecar decoder — the one shipping
+    :class:`DocumentDecoder` implementation (see module docstring for why
+    pdfminer is env-blocked and where a ``PdfMinerDecoder`` would bind)."""
+
+    def decode(self, batch: pa.Table) -> list:
+        return decode_sidecar_rows(batch)
