@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also export relational views (any of: elements, "
                         "cells, links, file_meta, pages, text_styles, "
                         "rect_styles) as parquet under <output>/views/")
+    p.add_argument("-f", "--format", default="parquet",
+                   choices=("parquet", "yaml"),
+                   help="parquet (default): partitioned span parquet with "
+                        "resume manifests; yaml: one nested object tree per "
+                        "document (reference parity with "
+                        "'python -m libpdf -f yaml')")
     return p
 
 
@@ -86,10 +92,28 @@ def main(argv=None) -> int:
         print(f"unknown view(s): {', '.join(unknown)}", file=sys.stderr)
         return 2
 
-    summary = run_resumable(
-        args.input_dir, args.output, cfg,
-        files_per_partition=args.files_per_partition,
-    )
+    if args.format == "yaml":
+        # reference parity mode: one nested YAML tree per document
+        # (libpdf/process.py:131-186); the manifest is the run summary
+        from libpdf_ray.pipelines.extract import read_corpus
+        from libpdf_ray.pipelines.yamldump import dump_yaml
+
+        manifest = dump_yaml(
+            read_corpus(args.input_dir), cfg, args.output,
+            batch_size=args.batch_size,
+        ).to_pandas()
+        summary = {
+            "format": "yaml",
+            "documents": int(len(manifest)),
+            "errors": int((manifest["error"] != "").sum()),
+            "spans": int(manifest["n_spans"].sum()),
+            "output": args.output,
+        }
+    else:
+        summary = run_resumable(
+            args.input_dir, args.output, cfg,
+            files_per_partition=args.files_per_partition,
+        )
     if view_names:
         # the reference's YAML/JSON element dump, relationally: one parquet
         # table per requested view (the full Root→elements model is
