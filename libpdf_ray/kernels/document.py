@@ -74,6 +74,8 @@ from .textmodel import (
     assemble_lines_from_arrays,
     assemble_textbox_lines,
     assemble_word_boxes_batched,
+    assemble_word_boxes_shared,
+    tab_slice,
     group_lines_into_boxes,
     is_whitespace_only,
     textbox_text,
@@ -173,7 +175,8 @@ def prepare_pages(
         # pass over the whole document below.
         if t.get("chartab") is not None:
             t["lines"] = assemble_lines_from_arrays(
-                t["chartab"], True, cfg.line_y_tolerance, cfg.word_margin
+                tab_slice(t["chartab"]), True,
+                cfg.line_y_tolerance, cfg.word_margin,
             )
         elif t.get("wordtab") is None:
             t["lines"] = assemble_textbox_lines(
@@ -183,12 +186,22 @@ def prepare_pages(
 
     word_boxes = [t for t in kept_boxes if "lines" not in t]
     if word_boxes:
-        for t, lines in zip(
-            word_boxes,
-            assemble_word_boxes_batched(
-                [t["wordtab"] for t in word_boxes], cfg.line_y_tolerance
-            ),
-        ):
+        tabs = [t["wordtab"] for t in word_boxes]
+        # parse-stage decode hands (shared_table, lo, hi) views over ONE
+        # flat table per batch → the shared-gather kernel (no per-box
+        # slicing/concat); mixed or dict-form tabs take the batched twin
+        if all(isinstance(tb, tuple) for tb in tabs) and len(
+            {id(tb[0]) for tb in tabs}
+        ) == 1:
+            assembled = assemble_word_boxes_shared(
+                tabs[0][0], [(tb[1], tb[2]) for tb in tabs],
+                cfg.line_y_tolerance,
+            )
+        else:
+            assembled = assemble_word_boxes_batched(
+                [tab_slice(tb) for tb in tabs], cfg.line_y_tolerance
+            )
+        for t, lines in zip(word_boxes, assembled):
             t["lines"] = lines
 
     for t in kept_boxes:

@@ -203,6 +203,78 @@ def _legacy_line(line: dict) -> dict:
     }
 
 
+def _words_from_char_arrays(
+    wt: dict, idx, word_margin: float, ws_all, hc_all, hf_all
+) -> list:
+    """Vectorized chars→words for ONE x-sorted line: ``idx`` indexes the
+    char table ``wt``.  Output-identical to ``_chars_to_words`` +
+    ``_make_word`` over per-char dicts (pinned by the chars-mode fixture
+    families), but word boundaries and bboxes come from numpy array ops —
+    the per-char dict listcomp and per-word genexpr folds were ~80% of the
+    chars assembly time (round-4 profile).
+
+    ``ws_all``/``hc_all``/``hf_all`` are BOX-level per-row masks
+    (whitespace / has-color / has-font), computed once per textbox by the
+    caller so per-line work is pure indexing; style folds run only for
+    words that actually carry a styled char.
+
+    Break semantics preserved exactly: a word break occurs at a whitespace
+    char (which joins no word), or when the gap to the PREVIOUS char (even
+    a whitespace one) exceeds ``word_margin ×`` the next char's width."""
+    import numpy as np
+
+    n = len(idx)
+    if n == 0:
+        return []
+    ws = ws_all[idx]
+    x0l = wt["x0"][idx]
+    x1l = wt["x1"][idx]
+    brk = np.zeros(n, dtype=bool)
+    if n > 1:
+        brk[1:] = (x0l[1:] - x1l[:-1]) > word_margin * (x1l[1:] - x0l[1:])
+    prev_ws = np.empty(n, dtype=bool)
+    prev_ws[0] = True
+    prev_ws[1:] = ws[:-1]
+    kept = np.flatnonzero(~ws)
+    if len(kept) == 0:
+        return []
+    new_word = (prev_ws | brk)[kept]
+    new_word[0] = True
+    starts = np.flatnonzero(new_word)
+    ends = np.empty(len(starts), dtype=np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = len(kept)
+    gi = idx[kept]  # char-table indices, per kept char
+    wx0 = np.minimum.reduceat(x0l[kept], starts)
+    wy0 = np.minimum.reduceat(wt["y0"][idx][kept], starts)
+    wx1 = np.maximum.reduceat(x1l[kept], starts)
+    wy1 = np.maximum.reduceat(wt["y1"][idx][kept], starts)
+    word_hc = np.bitwise_or.reduceat(hc_all[gi], starts)
+    word_hf = np.bitwise_or.reduceat(hf_all[gi], starts)
+    texts = wt["text"]
+    ncolors = wt["ncolor"]
+    fonts = wt["fontname"]
+    words = []
+    for k in range(len(starts)):
+        gsl = gi[starts[k]:ends[k]]
+        words.append(
+            {
+                "text": "".join(texts[i] for i in gsl),
+                "x0": float(wx0[k]),
+                "y0": float(wy0[k]),
+                "x1": float(wx1[k]),
+                "y1": float(wy1[k]),
+                "ncolor": _uniform(_norm_color(ncolors[i]) for i in gsl)
+                if word_hc[k]
+                else None,
+                "fontname": _uniform(fonts[i] or None for i in gsl)
+                if word_hf[k]
+                else None,
+            }
+        )
+    return words
+
+
 def assemble_lines_from_arrays(
     wt: dict,
     is_chars: bool,
@@ -237,18 +309,37 @@ def assemble_lines_from_arrays(
                     keep[i] = False
             if not keep.all():
                 ki = np.nonzero(keep)[0]
-                wt = {
-                    "text": [wt["text"][i] for i in ki],
-                    "ncolor": [wt["ncolor"][i] for i in ki],
-                    "fontname": [wt["fontname"][i] for i in ki],
-                    "x0": wt["x0"][ki],
-                    "y0": wt["y0"][ki],
-                    "x1": wt["x1"][ki],
-                    "y1": wt["y1"][ki],
-                }
+
+                def _take(col):
+                    if isinstance(col, np.ndarray):
+                        return col[ki]
+                    return [col[i] for i in ki]
+
+                wt = {k: _take(v) for k, v in wt.items()}
                 n = len(wt["text"])
                 if n == 0:
                     return []
+    if is_chars:
+        # box-level masks, computed once (per-line fromiter was a measured
+        # regression on short lines): whitespace rows + style presence.
+        # The decoder pre-slices "_has_color"/"_has_font"; dict-form tabs
+        # (unit tests, legacy corpora) compute them here.
+        texts0 = wt["text"]
+        ws_all = np.fromiter(
+            ((s or "").strip() == "" for s in texts0),
+            dtype=bool,
+            count=n,
+        )
+        hc_all = wt.get("_has_color")
+        if hc_all is None:
+            hc_all = np.fromiter(
+                (c is not None for c in wt["ncolor"]), dtype=bool, count=n
+            )
+        hf_all = wt.get("_has_font")
+        if hf_all is None:
+            hf_all = np.fromiter(
+                (bool(f) for f in wt["fontname"]), dtype=bool, count=n
+            )
     yc = (wt["y0"] + wt["y1"]) / 2.0
     order = np.lexsort((wt["x0"], -yc))
     yc_o = yc[order]
@@ -264,19 +355,13 @@ def assemble_lines_from_arrays(
         # have admitted slightly different y-centers)
         idx = idx[np.argsort(wt["x0"][idx], kind="stable")]
         if is_chars:
-            chars = [
-                {
-                    "text": texts[i],
-                    "x0": float(wt["x0"][i]),
-                    "y0": float(wt["y0"][i]),
-                    "x1": float(wt["x1"][i]),
-                    "y1": float(wt["y1"][i]),
-                    "ncolor": ncolors[i],
-                    "fontname": fonts[i],
-                }
-                for i in idx
-            ]
-            lines.append(_line_from_words(_chars_to_words(chars, word_margin)))
+            lines.append(
+                _line_from_words(
+                    _words_from_char_arrays(
+                        wt, idx, word_margin, ws_all, hc_all, hf_all
+                    )
+                )
+            )
             continue
         line_texts = [texts[i] for i in idx]
         ncolor = _uniform(_norm_color(ncolors[i]) for i in idx)
@@ -389,6 +474,114 @@ def assemble_word_boxes_batched(tabs: list, y_tolerance: float = 0.5) -> list:
                 "x1": float(lx1[li]),
                 "y1": float(ly1[li]),
                 "_wt": wt_all,
+                "_idx": idx,
+            }
+        )
+    return out
+
+
+def tab_slice(tab):
+    """Materialize a word-table view.
+
+    The decoder hands textboxes LIGHT views ``(shared_table, lo, hi)`` into
+    the batch-level flat word table (building one slice dict per textbox
+    was 15% of parse-task time — measured round 4); this materializes the
+    dict-of-slices form for the code paths that want per-box arrays
+    (chars assembly, styles view, legacy dict tabs pass through)."""
+    if tab is None or isinstance(tab, dict):
+        return tab
+    shared, lo, hi = tab
+    # the decoder's per-row "_has_color"/"_has_font" masks slice like any
+    # other aligned column and keep the style-skip fast path alive
+    return {k: v[lo:hi] for k, v in shared.items()}
+
+
+def assemble_word_boxes_shared(
+    shared: dict, bounds: list, y_tolerance: float = 0.5
+) -> list:
+    """Shared-table twin of :func:`assemble_word_boxes_batched`: the boxes
+    are (lo, hi) ranges into ONE flat word table, so there is no per-box
+    slicing and no re-concatenation — the gather indices are built with one
+    segmented arange, and the variable-width columns (text/ncolor/fontname)
+    are never copied at all (lines index the shared arrays directly).
+
+    Output-identical to slicing each box and running the batched twin
+    (pinned by ``tests/test_kernels.py``); measured round 4: the
+    slice→concat round-trip was ~25% of single-core parse time."""
+    import numpy as np
+
+    nb = len(bounds)
+    counts = np.fromiter((hi - lo for lo, hi in bounds), dtype=np.int64, count=nb)
+    out: list = [[] for _ in range(nb)]
+    total = int(counts.sum())
+    if total == 0:
+        return out
+
+    starts = np.fromiter((lo for lo, _ in bounds), dtype=np.int64, count=nb)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    # segmented arange: global row index of every (box, k) pair
+    idxg = np.arange(total, dtype=np.int64) - np.repeat(offs, counts) + np.repeat(
+        starts, counts
+    )
+    box_id = np.repeat(np.arange(nb, dtype=np.int64), counts)
+
+    x0 = shared["x0"][idxg]
+    y0 = shared["y0"][idxg]
+    x1 = shared["x1"][idxg]
+    y1 = shared["y1"][idxg]
+    texts = shared["text"]
+    ncolors = shared["ncolor"]
+    fonts = shared["fontname"]
+
+    yc = (y0 + y1) / 2.0
+    ord1 = np.lexsort((x0, -yc, box_id))
+    b1 = box_id[ord1]
+    yc1 = yc[ord1]
+    newline = np.empty(total, dtype=bool)
+    newline[0] = True
+    newline[1:] = (b1[1:] != b1[:-1]) | (np.abs(np.diff(yc1)) >= y_tolerance)
+    line_id = np.cumsum(newline) - 1
+    ord2 = np.lexsort((x0[ord1], line_id))
+    fin = ord1[ord2]  # final LOCAL row order: by line, then x0, stable
+
+    line_starts = np.nonzero(newline)[0]  # line_id[ord2] stays sorted
+    lx0 = np.minimum.reduceat(x0[fin], line_starts)
+    ly0 = np.minimum.reduceat(y0[fin], line_starts)
+    lx1 = np.maximum.reduceat(x1[fin], line_starts)
+    ly1 = np.maximum.reduceat(y1[fin], line_starts)
+    lbox = box_id[fin[line_starts]]
+    line_ends = np.r_[line_starts[1:], total]
+    fin_g = idxg[fin]  # GLOBAL indices — lines address the shared table
+
+    # per-LINE style presence via one reduceat over the decoder's per-row
+    # flags: only lines that actually carry a styled row pay the
+    # uniform-or-None fold (a no-style line lifts to None by construction)
+    if "_has_color" in shared:
+        line_has_color = np.bitwise_or.reduceat(
+            shared["_has_color"][fin_g], line_starts
+        )
+        line_has_font = np.bitwise_or.reduceat(
+            shared["_has_font"][fin_g], line_starts
+        )
+    else:
+        ones = np.ones(len(line_starts), dtype=bool)
+        line_has_color = line_has_font = ones
+    for li in range(len(line_starts)):
+        idx = fin_g[line_starts[li]:line_ends[li]]
+        out[int(lbox[li])].append(
+            {
+                "text": " ".join(texts[idx].tolist()),
+                "ncolor": _uniform(_norm_color(ncolors[i]) for i in idx)
+                if line_has_color[li]
+                else None,
+                "fontname": _uniform(fonts[i] or None for i in idx)
+                if line_has_font[li]
+                else None,
+                "x0": float(lx0[li]),
+                "y0": float(ly0[li]),
+                "x1": float(lx1[li]),
+                "y1": float(ly1[li]),
+                "_wt": shared,
                 "_idx": idx,
             }
         )

@@ -79,13 +79,12 @@ def _decode_colors(nc_arr):
     )
     vals = nc_arr.flatten().to_numpy(zero_copy_only=False)
     out = np.empty(len(lens), dtype=object)
-    off = 0
-    for i, ln in enumerate(lens.tolist()):
-        if ln <= 0:  # null (-1) and empty (0) both normalize to None
-            continue
-        out[i] = tuple(vals[off : off + ln].tolist())
-        off += ln
-    # advance offsets past empty-but-present lists (ln == 0 adds nothing)
+    # iterate COLORED rows only (null (-1) and empty (0) normalize to None,
+    # and unstyled rows are the overwhelming majority)
+    pos = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(np.maximum(lens, 0), out=pos[1:])
+    for i in np.flatnonzero(lens > 0).tolist():
+        out[i] = tuple(vals[pos[i]:pos[i + 1]].tolist())
     return out
 
 
@@ -106,11 +105,10 @@ def _decode_word_runs(list_arr):
     cum = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=cum[1:])
     flat = list_arr.flatten()
-    n = len(flat)
-    text = np.empty(n, dtype=object)
-    text[:] = flat.field("text").to_pylist()
-    fonts = np.empty(n, dtype=object)
-    fonts[:] = flat.field("fontname").to_pylist()
+    # string→object-ndarray via to_numpy: 13× over to_pylist-then-assign
+    # (measured round 4; nulls become None either way)
+    text = flat.field("text").to_numpy(zero_copy_only=False)
+    fonts = flat.field("fontname").to_numpy(zero_copy_only=False)
     wt = {
         "text": text,
         "x0": flat.field("x0").to_numpy(zero_copy_only=False),
@@ -155,11 +153,28 @@ def _decode_textboxes(col) -> list:
         ungrouped = [None] * len(page)
     w_cum, w_tab = _decode_word_runs(flat.field("words"))
     c_cum, c_tab = _decode_word_runs(flat.field("chars"))
+    # per-row style presence (vectorized once per batch): the assembly
+    # kernel lifts color/font per LINE only where a styled row exists —
+    # unstyled lines skip the uniform-or-None fold entirely
+    for tab in (w_tab, c_tab):
+        tab["_has_color"] = np.fromiter(
+            (c is not None for c in tab["ncolor"]),
+            dtype=bool,
+            count=len(tab["ncolor"]),
+        )
+        tab["_has_font"] = np.fromiter(
+            (bool(f) for f in tab["fontname"]),
+            dtype=bool,
+            count=len(tab["fontname"]),
+        )
 
-    def slice_tab(tab, a, b):
+    def tab_view(tab, a, b):
+        # LIGHT view (shared_table, lo, hi) — building a dict of slices per
+        # textbox here was 15% of parse-task time (round-4 profile); the
+        # kernels materialize via textmodel.tab_slice only where needed
         if b == a:
             return None
-        return {k: v[a:b] for k, v in tab.items()}
+        return (tab, int(a), int(b))
 
     docs = []
     for d in range(len(tb_lengths)):
@@ -173,8 +188,8 @@ def _decode_textboxes(col) -> list:
                     "x1": float(bx1[j]),
                     "y1": float(by1[j]),
                     "ungrouped": bool(ungrouped[j]) if ungrouped[j] else False,
-                    "wordtab": slice_tab(w_tab, w_cum[j], w_cum[j + 1]),
-                    "chartab": slice_tab(c_tab, c_cum[j], c_cum[j + 1]),
+                    "wordtab": tab_view(w_tab, w_cum[j], w_cum[j + 1]),
+                    "chartab": tab_view(c_tab, c_cum[j], c_cum[j + 1]),
                 }
             )
         docs.append(tbs)

@@ -37,6 +37,7 @@ def styles_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     from ..kernels.textmodel import (
         assemble_lines_from_arrays,
         assemble_textbox_lines,
+        tab_slice,
     )
 
     rows = decode_sidecar_rows(batch)
@@ -61,7 +62,7 @@ def styles_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
             if tb.get("wordtab") is not None or tb.get("chartab") is not None:
                 is_chars = tb.get("chartab") is not None
                 lines = assemble_lines_from_arrays(
-                    tb["chartab"] if is_chars else tb["wordtab"],
+                    tab_slice(tb["chartab"] if is_chars else tb["wordtab"]),
                     is_chars,
                     cfg.line_y_tolerance,
                     cfg.word_margin,
