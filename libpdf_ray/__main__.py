@@ -39,6 +39,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also export relational views (any of: elements, "
                         "cells, links, file_meta, pages, text_styles, "
                         "rect_styles) as parquet under <output>/views/")
+    p.add_argument("--visual-debug", default="", metavar="DIR",
+                   help="render one SVG per (doc, page) with element bboxes "
+                        "in the reference debug colors under DIR "
+                        "(visual_debug_libpdf analog)")
+    p.add_argument("--visual-split-elements", action="store_true",
+                   help="one subdirectory per element type (reference "
+                        "visual_split_elements)")
+    p.add_argument("--visual-debug-include-elements", default="",
+                   metavar="T1,T2", help="render only these element types")
+    p.add_argument("--visual-debug-exclude-elements", default="",
+                   metavar="T1,T2", help="render all but these element types")
     p.add_argument("-f", "--format", default="parquet",
                    choices=("parquet", "yaml"),
                    help="parquet (default): partitioned span parquet with "
@@ -142,6 +153,26 @@ def main(argv=None) -> int:
             view_fns[name](read_corpus(args.input_dir)).write_parquet(out)
             exported.append(name)
         summary["views"] = exported
+    if args.visual_debug:
+        from libpdf_ray.pipelines.extract import read_corpus
+        from libpdf_ray.stages.elements import render_debug_svg
+
+        inc = tuple(
+            v.strip() for v in args.visual_debug_include_elements.split(",")
+            if v.strip()
+        )
+        exc = tuple(
+            v.strip() for v in args.visual_debug_exclude_elements.split(",")
+            if v.strip()
+        )
+        manifest = render_debug_svg(
+            read_corpus(args.input_dir), cfg, args.visual_debug,
+            include_elements=inc, exclude_elements=exc,
+            split_elements=args.visual_split_elements,
+        ).to_pandas()
+        summary["visual_debug_pages"] = int(
+            (manifest["error"] == "").sum()
+        )
     if args.media_dir:
         from libpdf_ray.pipelines.extract import extract_spans, read_corpus, spans_table
         from libpdf_ray.state.media_store import export_media
