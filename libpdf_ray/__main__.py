@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     for flag in ("annotations", "chapters", "paragraphs", "tables", "figures", "rects"):
         p.add_argument(f"--no-{flag}", action="store_true")
     p.add_argument("--media-dir", default="", help="also export figure media objects")
+    p.add_argument("--media-format", default="png-stub",
+                   choices=("png-stub", "svg", "both"),
+                   help="png-stub: deterministic placeholder payloads (no "
+                        "raster codec in this container); svg: REAL vector "
+                        "crops of each figure region; both: the two side "
+                        "by side")
     p.add_argument("--num-cpus", type=int, default=0, help="0 = let Ray decide")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--concurrency", type=int, default=0,
@@ -175,13 +181,21 @@ def main(argv=None) -> int:
         )
     if args.media_dir:
         from libpdf_ray.pipelines.extract import extract_spans, read_corpus, spans_table
-        from libpdf_ray.state.media_store import export_media
+        from libpdf_ray.state.media_store import export_media, export_media_svg
 
-        manifest = export_media(
-            spans_table(extract_spans(read_corpus(args.input_dir), cfg)),
-            args.media_dir,
-        )
-        summary["media_objects"] = manifest.count()
+        if args.media_format in ("png-stub", "both"):
+            manifest = export_media(
+                spans_table(extract_spans(read_corpus(args.input_dir), cfg)),
+                args.media_dir,
+            )
+            summary["media_objects"] = manifest.count()
+        if args.media_format in ("svg", "both"):
+            svg_manifest = export_media_svg(
+                read_corpus(args.input_dir), cfg, args.media_dir
+            ).to_pandas()
+            summary["media_svg_crops"] = int(
+                (svg_manifest["error"] == "").sum()
+            )
     print(json.dumps(summary))
     ray.shutdown()
     return 0

@@ -60,3 +60,155 @@ def export_media(spans_ds, media_root: str, batch_size: int = 256):
         batch_size=batch_size,
         concurrency=2,
     )
+
+
+def _figure_crop_svg(bbox: tuple, words: list, segments: list,
+                     rects: list) -> str:
+    """Vector crop of one figure region → SVG text.
+
+    ``bbox`` = (x0, y0, x1, y1) in PDF page coordinates (origin
+    bottom-left); content coordinates translate to the crop's origin and
+    flip to SVG's top-left.  ``words`` = (text, x0, y0, x1, y1);
+    ``segments``/``rects`` = (x0, y0, x1, y1)."""
+    from xml.sax.saxutils import escape
+
+    fx0, fy0, fx1, fy1 = bbox
+    w, h = fx1 - fx0, fy1 - fy0
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w:g}" '
+        f'height="{h:g}" viewBox="0 0 {w:g} {h:g}">',
+        f'<rect x="0" y="0" width="{w:g}" height="{h:g}" fill="white"/>',
+    ]
+    for x0, y0, x1, y1 in rects:
+        parts.append(
+            f'<rect x="{x0 - fx0:g}" y="{fy1 - y1:g}" width="{x1 - x0:g}" '
+            f'height="{y1 - y0:g}" fill="none" stroke="black" '
+            f'stroke-width="0.75"/>'
+        )
+    for x0, y0, x1, y1 in segments:
+        parts.append(
+            f'<line x1="{x0 - fx0:g}" y1="{fy1 - y0:g}" x2="{x1 - fx0:g}" '
+            f'y2="{fy1 - y1:g}" stroke="black" stroke-width="0.75"/>'
+        )
+    for text, x0, y0, x1, y1 in words:
+        size = max(y1 - y0, 1.0)
+        parts.append(
+            f'<text x="{x0 - fx0:g}" y="{fy1 - y0:g}" '
+            f'font-size="{size:g}" font-family="monospace">'
+            f"{escape(str(text))}</text>"
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
+class VectorCropWriter:
+    """Actor-pool sink: raw corpus rows → one REAL vector crop per figure.
+
+    The reference crops the page to the figure bbox and rasterizes at
+    300 dpi (``images_to_save``, libpdf/extract.py:734-754).  No raster
+    codec exists in this container, but the figure's VECTOR content —
+    words, line segments, rect outlines inside the bbox — is all in the
+    corpus, so the crop renders losslessly to SVG: same region, same
+    geometry, browser-viewable.  Files land at
+    ``<media_root>/<media_ref with .svg>``; the placeholder-PNG sink
+    (:class:`MediaWriter`) keeps serving the binary-payload contract."""
+
+    def __init__(self, cfg, media_root: str):
+        self.cfg = cfg
+        self.media_root = media_root
+
+    def __call__(self, batch) -> pd.DataFrame:
+        import pandas as pd  # noqa: F811 - worker-side import
+
+        from ..kernels.document import extract_document_full
+        from ..kernels.textmodel import tab_slice
+        from ..stages.decoder import SidecarDecoder
+
+        rows = SidecarDecoder().decode(batch)
+        out = {"doc_id": [], "media_ref": [], "path": [], "n_words": [],
+               "n_shapes": [], "error": []}
+        for row in rows:
+            try:
+                _, elements = extract_document_full(row, self.cfg)
+            except Exception as exc:  # noqa: BLE001 - poison-doc discipline
+                out["doc_id"].append(row["doc_id"])
+                out["media_ref"].append("")
+                out["path"].append("")
+                out["n_words"].append(0)
+                out["n_shapes"].append(0)
+                out["error"].append(f"{type(exc).__name__}: {exc}")
+                continue
+            figs = [e for e in elements
+                    if e["etype"] == "figure" and e.get("media_ref")]
+            if not figs:
+                continue
+            # raw vector content, bucketed per page once per document
+            words_by_page: dict = {}
+            for tb in row.get("textboxes") or []:
+                wt = tab_slice(tb.get("wordtab") or tb.get("chartab"))
+                if wt is None:
+                    continue
+                page_words = words_by_page.setdefault(int(tb["page"]), [])
+                for i in range(len(wt["text"])):
+                    page_words.append(
+                        (wt["text"][i], float(wt["x0"][i]), float(wt["y0"][i]),
+                         float(wt["x1"][i]), float(wt["y1"][i]))
+                    )
+            segs_by_page: dict = {}
+            for s in row.get("segments") or []:
+                segs_by_page.setdefault(int(s["page"]), []).append(
+                    (float(s["x0"]), float(s["y0"]),
+                     float(s["x1"]), float(s["y1"]))
+                )
+            rects_by_page: dict = {}
+            for r in row.get("rects") or []:
+                rects_by_page.setdefault(int(r["page"]), []).append(
+                    (float(r["x0"]), float(r["y0"]),
+                     float(r["x1"]), float(r["y1"]))
+                )
+
+            def inside(bb, x0, y0, x1, y1):
+                return (x0 >= bb[0] and y0 >= bb[1]
+                        and x1 <= bb[2] and y1 <= bb[3])
+
+            for fig in figs:
+                bb = (float(fig["x0"]), float(fig["y0"]),
+                      float(fig["x1"]), float(fig["y1"]))
+                page = int(fig["page"])
+                words = [wd for wd in words_by_page.get(page, [])
+                         if inside(bb, *wd[1:])]
+                segs = [sg for sg in segs_by_page.get(page, [])
+                        if inside(bb, min(sg[0], sg[2]), min(sg[1], sg[3]),
+                                  max(sg[0], sg[2]), max(sg[1], sg[3]))]
+                rcts = [rc for rc in rects_by_page.get(page, [])
+                        if inside(bb, *rc)]
+                ref = fig["media_ref"]
+                rel = ref[:-4] + ".svg" if ref.endswith(".png") else ref + ".svg"
+                path = os.path.join(self.media_root, rel)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                svg = _figure_crop_svg(bb, words, segs, rcts)
+                tmp = path + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    fh.write(svg)
+                os.replace(tmp, path)  # atomic, idempotent on retry
+                out["doc_id"].append(row["doc_id"])
+                out["media_ref"].append(ref)
+                out["path"].append(path)
+                out["n_words"].append(len(words))
+                out["n_shapes"].append(len(segs) + len(rcts))
+                out["error"].append("")
+        return pd.DataFrame(out)
+
+
+def export_media_svg(corpus_ds, cfg, media_root: str,
+                     batch_size: int = 16, concurrency: int = 2):
+    """REAL figure export: one SVG vector crop per figure media_ref.
+    Returns the manifest Dataset (doc_id, media_ref, path, n_words,
+    n_shapes, error); consume it to drive execution."""
+    return corpus_ds.map_batches(
+        VectorCropWriter,
+        fn_constructor_kwargs={"cfg": cfg, "media_root": media_root},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
