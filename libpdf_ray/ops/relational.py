@@ -375,14 +375,36 @@ def q_events_hourly(sf_dir: str):
     )
 
 
-def _bucketed_groups(ds, key: str, n_parts: int, kernel):
+#: below this input size the hash shuffle is skipped entirely: Ray's
+#: shuffle operator carries ~1.5 s of aggregator-actor spin-up per plan
+#: (measured: 1.7 s wall to exchange a 2.4 MB / 100k-row table at sf0.1),
+#: while a single coalesced task runs the same vectorized kernel in
+#: milliseconds.  128 MiB of pruned key+value columns ≈ several million
+#: rows — still a trivial single-task pandas pass.
+SINGLE_TASK_GROUP_BYTES = 128 * 1024 * 1024
+
+
+def _bucketed_groups(ds, key: str, n_parts: int, kernel,
+                     est_bytes: int | None = None):
     """Per-key grouped computation WITHOUT a per-group Python call:
     hash-partition rows by ``key`` into disjoint buckets (every row of a
     key lands in the same bucket) and run ``kernel`` ONCE per bucket as a
     vectorized pandas pass over all of its keys.  Replaces
     ``groupby(key).map_groups(per_key_fn)``, whose per-group interpreter
     dispatch dominates wall time when keys are numerous and groups small
-    (~10k single-row pandas frames per partition at sf0.1)."""
+    (~10k single-row pandas frames per partition at sf0.1).
+
+    ``est_bytes`` (pass the pruned input's file size when known) routes
+    SMALL inputs around the shuffle: one coalesced task runs the same
+    kernel over all keys at once — key-disjointness holds trivially, and
+    the shuffle operator's fixed actor spin-up (which dwarfs the data
+    cost at megabyte scale) is never paid.  Above the threshold the
+    plan is the distributed bucket shuffle, unchanged."""
+    if est_bytes is not None and est_bytes <= SINGLE_TASK_GROUP_BYTES:
+        return ds.repartition(1).map_batches(
+            kernel, batch_format="pandas", batch_size=None
+        )
+
     nb = max(n_parts * 4, 16)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -404,7 +426,8 @@ def q_events_sessions(sf_dir: str, gap_seconds: int = 1800):
     hash-disjoint user buckets (events sorted by (user, ts) inside each
     bucket; a session break is a user change or a gap > threshold)."""
     ds = read_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
+    fb = file_bytes(f"{sf_dir}/events.parquet")
+    n_parts = shuffle_partitions(est_bytes=fb)
     gap_us = gap_seconds * 1_000_000
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -419,7 +442,7 @@ def q_events_sessions(sf_dir: str, gap_seconds: int = 1800):
             n_events=("s", "size"), n_sessions=("s", "sum")
         )
 
-    return _bucketed_groups(ds, "user_id", n_parts, sessions)
+    return _bucketed_groups(ds, "user_id", n_parts, sessions, est_bytes=fb)
 
 
 def q_events_sliding(sf_dir: str, window_hours: int = 2):
@@ -466,7 +489,8 @@ def q_user_gaps(sf_dir: str):
     event-time ordering + lag() OVER (PARTITION BY user ORDER BY ts)
     pattern), as a per-key sorted diff inside ``map_groups``."""
     ds = read_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
+    fb = file_bytes(f"{sf_dir}/events.parquet")
+    n_parts = shuffle_partitions(est_bytes=fb)
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
         # integer-exact in MICROSECONDS (the storage precision) — flooring
@@ -484,7 +508,7 @@ def q_user_gaps(sf_dir: str):
             max_gap_us=("gap", "max"),
         )
 
-    return _bucketed_groups(ds, "user_id", n_parts, gaps)
+    return _bucketed_groups(ds, "user_id", n_parts, gaps, est_bytes=fb)
 
 
 def q_distinct_parts(sf_dir: str):
@@ -497,7 +521,8 @@ def q_distinct_parts(sf_dir: str):
     deduped = ds.map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas"
     )
-    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/lineitem.parquet"))
+    fb = file_bytes(f"{sf_dir}/lineitem.parquet")
+    n_parts = shuffle_partitions(est_bytes=fb)
 
     # partition by PARTKEY, not flag: 3 flag values would put the whole
     # table through 3 groups (skew); partkey-disjoint buckets each count
@@ -509,7 +534,8 @@ def q_distinct_parts(sf_dir: str):
         )
         return per.groupby("l_returnflag", as_index=False, sort=False).sum()
 
-    partials = _bucketed_groups(deduped, "l_partkey", n_parts, count_bucket)
+    partials = _bucketed_groups(deduped, "l_partkey", n_parts, count_bucket,
+                                est_bytes=fb)
     return _sum_combine(partials, "l_returnflag", est_keys=8)
 
 
@@ -736,7 +762,8 @@ def q_top_event_per_user(sf_dir: str):
     ds = read_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
     )
-    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
+    fb = file_bytes(f"{sf_dir}/events.parquet")
+    n_parts = shuffle_partitions(est_bytes=fb)
 
     def top1(g: pd.DataFrame) -> pd.DataFrame:
         # global sort by (value desc, event_id asc) + first-per-user ==
@@ -746,7 +773,7 @@ def q_top_event_per_user(sf_dir: str):
             ["user_id", "event_id", "value"]
         ]
 
-    return _bucketed_groups(ds, "user_id", n_parts, top1)
+    return _bucketed_groups(ds, "user_id", n_parts, top1, est_bytes=fb)
 
 
 def q_events_asof_join(sf_dir: str):
@@ -1168,7 +1195,8 @@ def q_user_running_value(sf_dir: str):
     ds = read_sized(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
-    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
+    fb = file_bytes(f"{sf_dir}/events.parquet")
+    n_parts = shuffle_partitions(est_bytes=fb)
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -1182,7 +1210,7 @@ def q_user_running_value(sf_dir: str):
             }
         )
 
-    return _bucketed_groups(ds, "user_id", n_parts, running)
+    return _bucketed_groups(ds, "user_id", n_parts, running, est_bytes=fb)
 
 
 def q_customer_order_counts(sf_dir: str, since: str = "1998-01-01"):
@@ -1545,7 +1573,8 @@ def q_user_funnel(sf_dir: str, window_hours: int = 24):
     ds = read_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
     )
-    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
+    fb = file_bytes(f"{sf_dir}/events.parquet")
+    n_parts = shuffle_partitions(est_bytes=fb)
     win_us = window_hours * 3600 * 1_000_000
 
     def funnel(g: pd.DataFrame) -> pd.DataFrame:
@@ -1588,7 +1617,7 @@ def q_user_funnel(sf_dir: str, window_hours: int = 24):
             }
         )
 
-    return _bucketed_groups(ds, "user_id", n_parts, funnel)
+    return _bucketed_groups(ds, "user_id", n_parts, funnel, est_bytes=fb)
 
 
 def q_cohort_retention(sf_dir: str):
@@ -1644,7 +1673,12 @@ def q_cohort_retention(sf_dir: str):
     n_parts = shuffle_partitions(
         est_keys=parquet_row_count(f"{sf_dir}/events.parquet") // 8
     )
-    per_user = _bucketed_groups(distinct, "user_id", n_parts, offsets)
+    # distinct (user, week) pairs are a subset of the events table, so its
+    # file size bounds the derived input for the small-route decision
+    per_user = _bucketed_groups(
+        distinct, "user_id", n_parts, offsets,
+        est_bytes=file_bytes(f"{sf_dir}/events.parquet"),
+    )
     return _sum_combine(per_user, ["cohort_week", "week_offset"], est_keys=4096)
 
 
@@ -1661,7 +1695,8 @@ def q_event_transitions(sf_dir: str):
     ds = read_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
     )
-    n_parts = shuffle_partitions(est_bytes=file_bytes(f"{sf_dir}/events.parquet"))
+    fb = file_bytes(f"{sf_dir}/events.parquet")
+    n_parts = shuffle_partitions(est_bytes=fb)
 
     def bigrams(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -1677,7 +1712,7 @@ def q_event_transitions(sf_dir: str):
         )
         return part.groupby(["prev_type", "next_type"], as_index=False).sum()
 
-    per_bucket = _bucketed_groups(ds, "user_id", n_parts, bigrams)
+    per_bucket = _bucketed_groups(ds, "user_id", n_parts, bigrams, est_bytes=fb)
     return _sum_combine(per_bucket, ["prev_type", "next_type"], est_keys=64)
 
 
