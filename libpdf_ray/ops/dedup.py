@@ -51,16 +51,39 @@ def add_content_hash(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFram
     return batch
 
 
+#: below this input size the dedup shuffle is skipped — the same
+#: fixed-cost reasoning as relational.SINGLE_TASK_GROUP_BYTES (Ray's
+#: shuffle pays ~1.5 s of aggregator spin-up per plan regardless of data)
+SINGLE_TASK_DEDUP_BYTES = 128 * 1024 * 1024
+
+
 def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text",
-                      est_keys: int | None = None):
+                      est_keys: int | None = None,
+                      est_bytes: int | None = None):
     """(content_hash, keep_id, n_copies) — keep_id is the min id per group.
 
     Shape: per-batch combiner (min-id + count per hash within the batch) →
     ONE hash shuffle → pandas combine per partition.  ``Dataset.aggregate``
     is avoided on purpose: measured 14-55 s on 15k-50k-key groupbys where
-    this shape costs a few seconds (BASELINE.md bench notes)."""
+    this shape costs a few seconds (BASELINE.md bench notes).
+
+    ``est_bytes`` (pruned input file size, when known) routes small inputs
+    through ONE coalesced task — no shuffle, same kernel, same output."""
 
     from .util import shuffle_partitions
+
+    if est_bytes is not None and est_bytes <= SINGLE_TASK_DEDUP_BYTES:
+        def single(df: pd.DataFrame) -> pd.DataFrame:
+            df = add_content_hash(df, text_col)
+            g = df.groupby("content_hash", as_index=False).agg(
+                keep_id=(id_col, "min"), n_copies=(id_col, "size")
+            )
+            g["n_copies"] = g["n_copies"].astype("int64")
+            return g
+
+        return ds.repartition(1).map_batches(
+            single, batch_format="pandas", batch_size=None
+        )
 
     # est_keys (≈ distinct texts ≤ input rows) sizes the shuffle; callers
     # with a parquet source pass metadata row counts (hash-aggregator
@@ -94,13 +117,24 @@ def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
-                est_keys: int | None = None):
+                est_keys: int | None = None,
+                est_bytes: int | None = None):
     """Return the dataset with exact duplicates removed (keep min id).
 
     Bucketed co-group (see exact_dedup_stats): one vectorized
-    drop_duplicates per bucket partition."""
+    drop_duplicates per bucket partition.  ``est_bytes`` small-routes
+    around the shuffle, as in :func:`exact_dedup_stats`."""
 
     from .util import shuffle_partitions
+
+    if est_bytes is not None and est_bytes <= SINGLE_TASK_DEDUP_BYTES:
+        def single(df: pd.DataFrame) -> pd.DataFrame:
+            df = add_content_hash(df, text_col)
+            return df.sort_values(id_col).drop_duplicates("content_hash")
+
+        return ds.repartition(1).map_batches(
+            single, batch_format="pandas", batch_size=None
+        )
 
     n_parts = shuffle_partitions(est_keys=est_keys) if est_keys else shuffle_partitions()
 

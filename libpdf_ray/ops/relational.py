@@ -1029,7 +1029,9 @@ def q_exact_dedup(sf_dir: str):
 
     ds = read_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup_stats(
-        ds, est_keys=parquet_row_count(f"{sf_dir}/documents.parquet")
+        ds,
+        est_keys=parquet_row_count(f"{sf_dir}/documents.parquet"),
+        est_bytes=file_bytes(f"{sf_dir}/documents.parquet"),
     )
 
 

@@ -107,6 +107,33 @@ class TestDedupDatasets:
         deduped = exact_dedup(ds).to_pandas()
         assert sorted(deduped["doc_id"]) == [1, 3]
 
+    def test_small_route_equals_shuffle_route(self, ray_session):
+        """est_bytes under the threshold takes the single-task route; its
+        output must equal the distributed bucket-shuffle plan exactly."""
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import exact_dedup, exact_dedup_stats
+
+        rows = [
+            {"doc_id": i, "text": f"body {i % 17}"} for i in range(200)
+        ]
+
+        def canon(df):
+            return (
+                df[sorted(df.columns)]
+                .sort_values(by=sorted(df.columns))
+                .reset_index(drop=True)
+            )
+
+        a = canon(exact_dedup_stats(rd.from_items(rows)).to_pandas())
+        b = canon(
+            exact_dedup_stats(rd.from_items(rows), est_bytes=1).to_pandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+        da = canon(exact_dedup(rd.from_items(rows)).to_pandas())
+        db = canon(exact_dedup(rd.from_items(rows), est_bytes=1).to_pandas())
+        pd.testing.assert_frame_equal(da, db)
+
     def test_minhash_lsh_finds_near_dups(self, ray_session):
         import ray.data as rd
 
