@@ -1045,7 +1045,8 @@ def q_knn(sf_dir: str, n_queries: int = 8, k: int = 5):
         [np.asarray(queries_t.column("embedding")[i].as_py(), dtype=np.float64) for i in mask]
     )
     ds = read_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return knn_bruteforce(ds, {"ids": q_ids, "matrix": q_mat}, k=k)
+    return knn_bruteforce(ds, {"ids": q_ids, "matrix": q_mat}, k=k,
+                          est_bytes=file_bytes(f"{sf_dir}/embeddings.parquet"))
 
 
 def _grouped_price_percentile(sf_dir: str, p_num: int, p_den: int, out_col: str):

@@ -73,15 +73,47 @@ class _PartialTopK:
         )
 
 
+#: below this input size the partial-top-k actor pool + tree merge is
+#: skipped: pool spin-up costs ~1-2 s regardless of data, while a single
+#: task brute-forces megabyte-scale embedding tables in milliseconds
+SINGLE_TASK_KNN_BYTES = 128 * 1024 * 1024
+
+
 def knn_bruteforce(ds, queries: dict, k: int = 5, id_col: str = "vec_id",
-                   exclude_self: bool = True):
+                   exclude_self: bool = True, est_bytes: int | None = None):
     """Exact cosine top-k.  ``queries`` = {"ids": [...], "matrix": ndarray}.
 
     Returns (query_id, neighbor_id, sim) with sim rounded to 4 decimals and
-    deterministic tie-break (sim desc, neighbor_id asc)."""
+    deterministic tie-break (sim desc, neighbor_id asc).
+
+    ``est_bytes`` (input file size, when known) small-routes through ONE
+    coalesced task — the same partial kernel + merge, no actor pool, no
+    tree merge; identical output (pinned by the route-equality test)."""
     import ray
 
     queries_ref = ray.put(queries)
+
+    if est_bytes is not None and est_bytes <= SINGLE_TASK_KNN_BYTES:
+        empty_small = _empty_knn_frame(queries)
+
+        def single(df: pd.DataFrame) -> pd.DataFrame:
+            part = _PartialTopK(queries_ref, k, id_col, exclude_self)(df)
+            if not len(part):
+                return empty_small
+            top = (
+                part.sort_values(["sim", "neighbor_id"],
+                                 ascending=[False, True])
+                .groupby("query_id", as_index=False)
+                .head(k)
+                .copy()
+            )
+            top["sim"] = top["sim"].round(4)
+            return top.sort_values(["query_id", "sim", "neighbor_id"],
+                                   ascending=[True, False, True])
+
+        return ds.repartition(1).map_batches(
+            single, batch_format="pandas", batch_size=None
+        )
     partials = ds.map_batches(
         _PartialTopK,
         fn_constructor_kwargs={

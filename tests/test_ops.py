@@ -509,3 +509,24 @@ class TestSimhashPairs:
         assert all(3 not in p for p in found)
         ident = pairs[(pairs["id_a"] == 1) & (pairs["id_b"] == 4)]
         assert int(ident["hamming"].iloc[0]) == 0
+
+
+class TestKnnSmallRoute:
+    def test_small_route_equals_pool_route(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.similarity import knn_bruteforce
+
+        rng = np.random.default_rng(9)
+        mat = rng.standard_normal((150, 32))
+        rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(150)]
+        queries = {"ids": [0, 1, 2], "matrix": mat[:3]}
+        a = (
+            knn_bruteforce(rd.from_items(rows), queries, k=5)
+            .to_pandas().reset_index(drop=True)
+        )
+        b = (
+            knn_bruteforce(rd.from_items(rows), queries, k=5, est_bytes=1)
+            .to_pandas().reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
