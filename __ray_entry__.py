@@ -605,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_sample": Co.q_source_sample,
         "weighted_sample": Co.q_weighted_sample,
         "sample_overlap": Co.q_sample_overlap,
+        "window_dedup": Co.q_window_dedup,
+        "doc_novelty": Co.q_doc_novelty,
         # full-text search suite (SQL-checked; ops/search.py)
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
@@ -1592,6 +1594,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, lang FROM documents
             WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
                   < CAST(n_chars AS HUGEINT) * 4294967
+        """,
+        "window_dedup": """
+            -- repeated 8-word windows across documents (md5-keyed; the
+            -- window-granularity cross-doc dedup signal)
+            WITH ws AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents WHERE trim(text) != ''
+            ),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_transform(range(1, len(w) - 6),
+                        i -> md5(array_to_string(w[i:i+7], ' '))))) AS h
+                FROM ws WHERE len(w) >= 8
+            )
+            SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "doc_novelty": """
+            -- per-doc novelty: fraction of its distinct 8-word windows not
+            -- shared with any other document; one double division, same
+            -- operand order as the engine
+            WITH ws AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents WHERE trim(text) != ''
+            ),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_transform(range(1, len(w) - 6),
+                        i -> md5(array_to_string(w[i:i+7], ' '))))) AS h
+                FROM ws WHERE len(w) >= 8
+            ),
+            hot AS (
+                SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN h IN (SELECT h FROM hot)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                   (count(*) - sum(CASE WHEN h IN (SELECT h FROM hot)
+                                        THEN 1 ELSE 0 END)) * 1.0
+                       / count(*) AS novelty
+            FROM g GROUP BY 1
         """,
         "source_sample": """
             -- deterministic per-source reservoir: 3 smallest Knuth-hash

@@ -523,3 +523,122 @@ def _sample_overlap_anti_join(docs, cont_ds):
         return keep[["doc_id", "source"]]
 
     return _bucketed_groups(cand.union(cont), "doc_id", n_parts, anti)
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated windows + per-document novelty
+# ---------------------------------------------------------------------------
+
+
+def _window_pairs(ds, text_col: str, id_col: str, k: int):
+    """Per-doc DISTINCT k-word-window md5s, exploded to (h, doc_id) rows,
+    plus each doc's distinct-window count riding as a marker row
+    (``h=""``, n in a side column is not needed — the count equals the
+    doc's pair-row count because windows are deduped per doc)."""
+    from .dedup import md5_hex
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        hs, ids = [], []
+        for doc_id, text in zip(df[id_col], df[text_col].fillna("")):
+            w = text.split()
+            if len(w) < k:
+                continue
+            seen = set()
+            for i in range(len(w) - k + 1):
+                seen.add(md5_hex(" ".join(w[i:i + k])))
+            hs.extend(seen)
+            ids.extend([doc_id] * len(seen))
+        return pd.DataFrame({"h": pd.Series(hs, dtype="object"),
+                             "doc_id": pd.Series(ids)})
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+def q_window_dedup(sf_dir: str, k: int = 8, min_docs: int = 2):
+    """Repeated k-word windows across documents — the window-granularity
+    cross-doc dedup signal (the "duplicate 50-token span" shape of
+    training-data dedup, scaled to the test corpus with k=8).
+
+    Output (h, n_docs): md5 of each window text that occurs in ≥
+    ``min_docs`` distinct documents, with the distinct-doc count.  Windows
+    are md5-keyed so engine and SQL oracle agree bit-for-bit; only scalar
+    (hash, id) rows enter the shuffle — document bodies never leave the
+    explode stage."""
+    from .relational import _bucketed_groups
+    from .util import file_bytes, shuffle_partitions
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_sized(path, columns=["doc_id", "text"])
+    pairs = _window_pairs(ds, "text", "doc_id", k)
+    n_parts = shuffle_partitions(est_keys=parquet_row_count(path) * 64)
+
+    def hot(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.drop_duplicates(["h", "doc_id"])["h"].value_counts()
+        vc = vc[vc >= min_docs]
+        return pd.DataFrame(
+            {"h": vc.index, "n_docs": vc.to_numpy().astype("int64")}
+        )
+
+    return _bucketed_groups(pairs, "h", n_parts, hot,
+                            est_bytes=file_bytes(path))
+
+
+def q_doc_novelty(sf_dir: str, k: int = 8, min_docs: int = 2):
+    """Per-document novelty: the fraction of a document's distinct k-word
+    windows NOT shared with any other document.
+
+    Output (doc_id, n_windows, n_shared, novelty) for every document with
+    ≥ k words; ``novelty = (n_windows − n_shared) / n_windows`` in one
+    IEEE double division (oracle-identical).  Shape: the window pairs are
+    bucketed by window hash ONCE — each bucket tags its shared windows and
+    emits (doc_id, 1) partials — then a tiny doc-keyed sum merges with the
+    per-doc window counts."""
+    from .relational import _bucketed_groups
+    from .util import file_bytes, shuffle_partitions
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_sized(path, columns=["doc_id", "text"])
+    pairs = _window_pairs(ds, "text", "doc_id", k)
+    fb = file_bytes(path)
+    n_parts = shuffle_partitions(est_keys=parquet_row_count(path) * 64)
+
+    def tag_shared(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["h", "doc_id"])
+        counts = d["h"].value_counts()
+        hot = counts[counts >= min_docs].index
+        per_doc = d.groupby("doc_id", sort=False).agg(
+            n_windows=("h", "size")
+        )
+        shared = (
+            d[d["h"].isin(set(hot))]
+            .groupby("doc_id", sort=False)
+            .agg(n_shared=("h", "size"))
+        )
+        out = per_doc.join(shared, how="left").fillna(0).reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "n_windows": out["n_windows"].astype("int64"),
+                "n_shared": out["n_shared"].astype("int64"),
+            }
+        )
+
+    # bucket by WINDOW HASH: a window's full doc set meets in one bucket,
+    # so per-bucket shared tags are globally correct; each doc's windows
+    # spread over many buckets → per-doc partial sums, merged below
+    per_bucket = _bucketed_groups(pairs, "h", n_parts, tag_shared,
+                                  est_bytes=fb)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False, sort=False).agg(
+            n_windows=("n_windows", "sum"), n_shared=("n_shared", "sum")
+        )
+        out["n_windows"] = out["n_windows"].astype("int64")
+        out["n_shared"] = out["n_shared"].astype("int64")
+        out["novelty"] = (out["n_windows"] - out["n_shared"]) / out["n_windows"]
+        return out
+
+    return combine_partials(
+        per_bucket, merge, ["doc_id"],
+        est_keys=parquet_row_count(path), merge_fn=merge,
+    )

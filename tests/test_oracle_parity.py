@@ -85,6 +85,8 @@ CHECKED = [
     "jaccard_pairs",
     "neardup_clusters",
     "elements",
+    "window_dedup",
+    "doc_novelty",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
