@@ -526,6 +526,19 @@ def _q_boilerplate(sf_dir: str):
     )
 
 
+def _q_main_content(sf_dir: str):
+    """Readability-style span classification (heading/anchor/content/nav/
+    main) over the extracted corpus — link-density DOM heuristics on the
+    span model; hash-checked vs a DuckDB LEAD-window oracle."""
+    from libpdf_ray.config import SMART_CROP_CONFIG
+    from libpdf_ray.ops.boilerplate import main_content_labels
+    from libpdf_ray.pipelines.extract import extract_spans, read_corpus
+
+    return main_content_labels(
+        extract_spans(read_corpus(_query_corpus()), SMART_CROP_CONFIG)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from libpdf_ray.ops import corpus as Co
     from libpdf_ray.ops import relational as R
@@ -596,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_styles": _q_text_styles,
         "rect_styles": _q_rect_styles,
         "boilerplate": _q_boilerplate,
+        "main_content": _q_main_content,
         # corpus-curation suite (SQL-checked; ops/corpus.py)
         "vocab_stats": Co.q_vocab_stats,
         "repetition_stats": Co.q_repetition_stats,
@@ -731,6 +745,32 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans": f"""
             SELECT doc_id, unnest(expected_spans, recursive := true)
             FROM read_parquet('{corpus}')
+        """,
+        "main_content": f"""
+            -- readability-style span labels: LEAD window for the
+            -- next-span link-density rule, same token split as the engine
+            WITH sp AS (
+                SELECT doc_id, unnest(expected_spans, recursive := true)
+                FROM read_parquet('{corpus}')
+            ),
+            nx AS (
+                SELECT doc_id, "offset", kind, text,
+                       LEAD(kind) OVER (
+                           PARTITION BY doc_id ORDER BY "offset"
+                       ) AS next_kind
+                FROM sp
+            )
+            SELECT doc_id, "offset", kind,
+                   CASE WHEN kind = 'chapter' THEN 'heading'
+                        WHEN kind = 'link' THEN 'anchor'
+                        WHEN kind IN ('table', 'figure', 'rect')
+                             THEN 'content'
+                        WHEN len(list_filter(
+                                 regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '')) < 5
+                             AND next_kind = 'link' THEN 'nav'
+                        ELSE 'main' END AS label
+            FROM nx
         """,
         "minhash_verified_pairs": jaccard_sql,
         "knn_ivf_exact": knn_sql,

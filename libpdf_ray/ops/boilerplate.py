@@ -227,3 +227,84 @@ def boilerplate_report(spans_ds, min_doc_fraction: float = 0.05, min_docs: int =
     return rd.from_items(
         [{"h": h, "corpus_docs": total} for h in sorted(hot)]
     )
+
+
+def main_content_labels(corpus_ds, short_tokens: int = 5):
+    """Readability-style main-content classification over span sequences —
+    the "DOM heuristics" leg of main-content extraction, re-expressed on
+    the engine's span model (no DOM exists post-extraction; the span
+    sequence IS the document tree, flattened).
+
+    Deterministic per-span rules (SQL-expressible, so the whole operator
+    is hash-checked against a DuckDB window-function oracle):
+
+    - ``chapter`` → ``heading`` (structural, always kept)
+    - ``link`` → ``anchor``
+    - ``table`` / ``figure`` / ``rect`` → ``content``
+    - ``paragraph`` → ``nav`` when it is SHORT (< ``short_tokens`` words)
+      and immediately followed by a link span — the link-density signature
+      of navigation/chrome (readability's link-density heuristic at span
+      granularity); else ``main``.
+
+    Input: the NESTED corpus (doc_id, spans) so the next-span lookup stays
+    intra-row — a document never straddles a batch.  Output: exploded
+    (doc_id, offset, kind, label) rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    def label(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        import pyarrow.compute as pc
+
+        sizes = (
+            pc.list_value_length(spans)
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        values = spans.flatten()
+        n = len(values)
+        kinds = values.field("kind").to_numpy(zero_copy_only=False)
+        texts = values.field("text").to_numpy(zero_copy_only=False)
+        offsets = values.field("offset").to_numpy(zero_copy_only=False)
+
+        # next span's kind within the same document: shift by -1, then
+        # blank out each document's LAST span (doc boundary)
+        next_kind = np.empty(n, dtype=object)
+        if n:
+            next_kind[:-1] = kinds[1:]
+            next_kind[-1] = None
+            last_rows = np.cumsum(sizes) - 1
+            next_kind[last_rows[sizes > 0]] = None
+
+        out = np.full(n, "main", dtype=object)
+        kind_arr = np.asarray(kinds, dtype=object)
+        out[kind_arr == "chapter"] = "heading"
+        out[kind_arr == "link"] = "anchor"
+        out[np.isin(kind_arr.astype(str), ("table", "figure", "rect"))] = "content"
+        is_par = kind_arr == "paragraph"
+        if is_par.any():
+            ntok = np.fromiter(
+                ((len(texts[i].split()) if texts[i] else 0) if is_par[i] else 0
+                 for i in range(n)),
+                dtype=np.int64,
+                count=n,
+            )
+            nav = is_par & (ntok < short_tokens) & (next_kind == "link")
+            out[nav] = "nav"
+
+        doc_ids = batch.column("doc_id").take(
+            pa.array(np.repeat(np.arange(len(sizes), dtype=np.int64), sizes))
+        )
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "offset": pa.array(offsets),
+                "kind": pa.array(kind_arr, pa.string()),
+                "label": pa.array(out, pa.string()),
+            }
+        )
+
+    return corpus_ds.map_batches(label, batch_format="pyarrow")

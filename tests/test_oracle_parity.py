@@ -87,6 +87,7 @@ CHECKED = [
     "elements",
     "window_dedup",
     "doc_novelty",
+    "main_content",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
