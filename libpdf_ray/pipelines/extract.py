@@ -147,15 +147,17 @@ def extract_spans_fused(paths, cfg: PipelineConfig | None = None,
     items = list_fragments(paths)
 
     if fragments_per_task is None:
-        # coalesce fragments while keeping ≥ ~3 task waves per CPU: fewer
-        # tasks amortize per-task + object-store block overhead (measured
-        # 12% end-to-end at 4 and 16 CPUs, taking the engine BELOW the
-        # multiprocessing control), but too few lets one heavy fragment
-        # group become the straggler tail (44 tasks at 32 CPUs regressed
-        # 9.6 → 11.9 s) — hence the cap and the per-CPU floor
+        # coalesce fragments toward ~2 task waves per CPU.  Round 3 kept
+        # ≥3 waves because heavy fragment groups became straggler tails
+        # (44 tasks at 32 CPUs regressed 9.6 → 11.9 s on the pre-speedup
+        # kernel); the round-4 kernel cut per-task wall ~10× so dispatch
+        # overhead now dominates and fragments are near-uniform (families
+        # interleave per doc index: measured max/mean task wall = 2.0).
+        # Re-swept at 32 CPUs on the bench corpus: 1/2/3/4 frags per task
+        # = 1.97/1.66/1.61/1.69 s — 2-3 wins, cap 4 unchanged.
         from ..ops.util import cluster_cpus
 
-        per = len(items) // max(1, 3 * cluster_cpus())
+        per = round(len(items) / max(1, 2 * cluster_cpus()))
         fragments_per_task = int(max(1, min(4, per)))
 
     def read_and_parse(batch: pa.Table) -> pa.Table:
