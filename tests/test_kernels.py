@@ -376,3 +376,83 @@ class TestExamEqualShortcut:
                 chapter, boxes2, 612.0, 792.0, use_exact_shortcut=False
             )
             assert fast == slow, (trial, number, title, [b["text"] for b in boxes], fast, slow)
+
+
+class TestSharedTableAssembly:
+    """assemble_word_boxes_shared (round-4: gather over ONE flat table)
+    must be output-identical to slicing each box and running the batched
+    twin — including styled words and multi-line boxes."""
+
+    def _shared_table(self):
+        import numpy as np
+
+        # three boxes: 2-line plain, styled one-liner, empty
+        text = np.array(
+            ["alpha", "beta", "gamma", "delta", "RED", "WORD"], dtype=object
+        )
+        x0 = np.array([0.0, 30.0, 0.0, 30.0, 0.0, 30.0])
+        x1 = x0 + 25.0
+        y0 = np.array([700.0, 700.0, 680.0, 680.0, 500.0, 500.0])
+        y1 = y0 + 12.0
+        ncolor = np.array(
+            [None, None, None, None, (1.0, 0.0, 0.0), (1.0, 0.0, 0.0)],
+            dtype=object,
+        )
+        font = np.array(
+            [None, None, None, None, "Bold", "Bold"], dtype=object
+        )
+        shared = {
+            "text": text, "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+            "ncolor": ncolor, "fontname": font,
+        }
+        import numpy as np
+
+        shared["_has_color"] = np.array([c is not None for c in ncolor])
+        shared["_has_font"] = np.array([bool(f) for f in font])
+        bounds = [(0, 4), (4, 6), (6, 6)]
+        return shared, bounds
+
+    def _strip_wt(self, lines):
+        out = []
+        for ln in lines:
+            out.append({k: v for k, v in ln.items()
+                        if k not in ("_wt", "_idx", "words")})
+        return out
+
+    def test_shared_equals_batched(self):
+        from libpdf_ray.kernels.textmodel import (
+            assemble_word_boxes_batched,
+            assemble_word_boxes_shared,
+            tab_slice,
+        )
+
+        shared, bounds = self._shared_table()
+        got = assemble_word_boxes_shared(shared, bounds)
+        tabs = [
+            tab_slice((shared, lo, hi)) if hi > lo else None
+            for lo, hi in bounds
+        ]
+        want = assemble_word_boxes_batched(tabs)
+        assert [self._strip_wt(b) for b in got] == [
+            self._strip_wt(b) for b in want
+        ]
+        # styled box lifted; plain box lifted to None
+        assert got[0][0]["ncolor"] is None
+        assert got[1][0]["ncolor"] == (1.0, 0.0, 0.0)
+        assert got[1][0]["fontname"] == "Bold"
+        assert got[2] == []
+        # two lines in box 0, y-descending, words x-sorted
+        assert [ln["text"] for ln in got[0]] == ["alpha beta", "gamma delta"]
+
+    def test_lazy_word_dicts_from_shared(self):
+        from libpdf_ray.kernels.textmodel import (
+            assemble_word_boxes_shared,
+            line_word_dicts,
+        )
+
+        shared, bounds = self._shared_table()
+        lines = assemble_word_boxes_shared(shared, bounds)
+        words = line_word_dicts(lines[1][0])
+        assert [w["text"] for w in words] == ["RED", "WORD"]
+        assert words[0]["ncolor"] == (1.0, 0.0, 0.0)
+        assert words[0]["x0"] == 0.0 and words[1]["x0"] == 30.0
