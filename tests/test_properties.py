@@ -264,3 +264,62 @@ def test_cume_dist_histogram_lookup_matches_definition(values):
     for x in set(values):
         assert lk[x] == sum(1 for v in values if v <= x)
         assert lk[x] / float(n) == sum(1 for v in values if v <= x) / float(n)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_chars=st.integers(min_value=1, max_value=60),
+    styled=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_vectorized_chars_to_words_equals_loop(seed, n_chars, styled):
+    """Round-4: _words_from_char_arrays (vectorized) must be bit-identical
+    to the reference-shaped _chars_to_words/_make_word loop on random char
+    streams — random widths/gaps, explicit space chars, mixed styles."""
+    import numpy as np
+
+    from libpdf_ray.kernels.textmodel import (_chars_to_words,
+                                              _norm_color,
+                                              _words_from_char_arrays)
+
+    rng = np.random.default_rng(seed)
+    glyphs = list("abcdefg") + [" "]
+    texts, x0s, x1s = [], [], []
+    x = 0.0
+    for _ in range(n_chars):
+        g = glyphs[rng.integers(len(glyphs))]
+        w = float(rng.uniform(2.0, 9.0))
+        gap = float(rng.uniform(0.0, 3.0))  # sometimes > word_margin*w
+        x += gap
+        texts.append(g)
+        x0s.append(x)
+        x1s.append(x + w)
+        x += w
+    n = len(texts)
+    ncolor = [
+        ((1.0, 0.0, 0.0) if styled and i % 3 == 0 else None)
+        for i in range(n)
+    ]
+    font = ["F1" if styled and i % 2 == 0 else None for i in range(n)]
+    wt = {
+        "text": np.array(texts, dtype=object),
+        "x0": np.array(x0s),
+        "y0": np.zeros(n),
+        "x1": np.array(x1s),
+        "y1": np.full(n, 10.0),
+        "ncolor": np.array(ncolor, dtype=object),
+        "fontname": np.array(font, dtype=object),
+    }
+    idx = np.arange(n, dtype=np.int64)  # already x-sorted by construction
+    ws_all = np.fromiter((t.strip() == "" for t in texts), bool, n)
+    hc_all = np.array([c is not None for c in ncolor])
+    hf_all = np.array([bool(f) for f in font])
+    got = _words_from_char_arrays(wt, idx, 0.1, ws_all, hc_all, hf_all)
+
+    chars = [
+        {"text": texts[i], "x0": x0s[i], "y0": 0.0, "x1": x1s[i],
+         "y1": 10.0, "ncolor": _norm_color(ncolor[i]), "fontname": font[i]}
+        for i in range(n)
+    ]
+    want = _chars_to_words(chars, 0.1)
+    assert got == want
