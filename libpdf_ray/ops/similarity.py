@@ -273,14 +273,28 @@ def ivf_index_for(src_path: str, centroids: np.ndarray,
     index_dir = os.path.join(cache_root, f"libpdf_ray_ivf_{key}")
     marker = os.path.join(index_dir, "_built")
     if not os.path.exists(marker):
+        # build into a private temp dir and publish with ONE atomic rename:
+        # concurrent builders (repeated query sets against a fresh corpus)
+        # each build their own candidate and exactly one wins — never two
+        # writers interleaving part files into the same live dir
+        import uuid
+
+        tmp_dir = f"{index_dir}.build-{uuid.uuid4().hex[:8]}"
         ivf_build_index(
             read_sized(src_path, columns=columns or [id_col, "embedding"]),
             centroids,
-            index_dir,
+            tmp_dir,
             id_col=id_col,
         )
-        with open(marker, "w") as fh:
+        with open(os.path.join(tmp_dir, "_built"), "w") as fh:
             fh.write("ok")
+        try:
+            os.rename(tmp_dir, index_dir)
+        except OSError:
+            # a concurrent builder won the rename; use theirs
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     return index_dir
 
 
