@@ -410,7 +410,11 @@ def _verified_pairs(
             max_ids=max_bucket_ids,
         )
 
-    cands = (
+    from .util import normalize_blocks
+
+    # chained-shuffle seam: see jaccard_pairs_exact — schema-less empty
+    # blocks from this shuffle must not reach the pair-dedup shuffle
+    cands = normalize_blocks(
         exploded.map_batches(add_group_bucket, batch_format="pandas")
         .groupby("gbucket", num_partitions=n_parts)
         .map_groups(bucket_candidates, batch_format="pandas")
@@ -1014,7 +1018,13 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
                              "n_a": ns[ia], "n_b": ns[ib]})
 
-    pair_rows = (
+    from .util import normalize_blocks
+
+    # normalize between the chained shuffles: Ray's hash shuffle emits
+    # SCHEMA-LESS empty blocks for key-partitions that got no rows, map
+    # UDFs skip empties, and the next shuffle intermittently dies with
+    # ArrowInvalid on the mixed block schemas (reproduced at sf0.1)
+    pair_rows = normalize_blocks(
         exploded.map_batches(add_gbucket, batch_format="pandas")
         .groupby("gbucket", num_partitions=n_parts)
         .map_groups(gram_pairs, batch_format="pandas")

@@ -66,7 +66,7 @@ def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
     ``pairs_ds``: Dataset with two id columns (any orientation, duplicates
     fine).  Ids must be orderable scalars (int or string).
     """
-    from .util import shuffle_partitions
+    from .util import normalize_blocks, shuffle_partitions
 
     n_parts = shuffle_partitions(est_keys=est_nodes if est_nodes else 100_000)
 
@@ -79,7 +79,11 @@ def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
             "own": np.zeros(2 * len(df), dtype=np.int64),
         })
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
+    # pair tables usually arrive post-shuffle; normalize away schema-less
+    # empty blocks (map UDFs skip them, the label shuffles choke on them)
+    edges = normalize_blocks(
+        pairs_ds.map_batches(to_edges, batch_format="pandas")
+    ).materialize()
 
     # label(v) starts as min(v, neighbors(v)) — the first propagation round
     # fused into initialization.
