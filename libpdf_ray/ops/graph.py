@@ -85,6 +85,43 @@ def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
         pairs_ds.map_batches(to_edges, batch_format="pandas")
     ).materialize()
 
+    # size-adaptive route: the distributed label propagation pays
+    # O(diameter) rounds × 2 shuffle spin-ups (~3 s/round of fixed cost on
+    # a tiny graph).  LSH pair tables are ≪ corpus by construction — below
+    # the broadcast guard, collect the edges once and run an exact
+    # union-find driver-side (same min-label representatives; pinned by a
+    # route-equality test).  Above the guard the distributed rounds run
+    # unchanged — this is the same small-input discipline as
+    # relational.SINGLE_TASK_GROUP_BYTES.
+    from .util import BROADCAST_LOOKUP_ROW_LIMIT
+
+    n_edge_rows = edges.count()  # metadata-only after materialize
+    if n_edge_rows <= BROADCAST_LOOKUP_ROW_LIMIT:
+        import ray.data as rd
+
+        ed = edges.to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in zip(ed["key"], ed["val"]):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN id so the representative is the component min
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        nodes = pd.unique(ed["key"])
+        out = pd.DataFrame(
+            {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+        )
+        return rd.from_pandas(out.reset_index(drop=True))
+
     # label(v) starts as min(v, neighbors(v)) — the first propagation round
     # fused into initialization.
     def init_labels(bucket: pd.DataFrame) -> pd.DataFrame:

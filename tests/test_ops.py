@@ -530,3 +530,42 @@ class TestKnnSmallRoute:
             .to_pandas().reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestConnectedComponentsRoutes:
+    def test_driver_unionfind_equals_distributed(self, ray_session):
+        """The small-route union-find must produce identical
+        (doc_id, cluster_id) rows to the distributed label propagation."""
+        import ray.data as rd
+
+        from libpdf_ray.ops import graph as G
+
+        rng = np.random.default_rng(4)
+        # random graph with several components incl. chains (diameter > 1)
+        pairs = []
+        for comp in range(6):
+            members = list(range(comp * 100, comp * 100 + rng.integers(2, 9)))
+            for a, b in zip(members, members[1:]):  # chain
+                pairs.append({"id_a": int(b), "id_b": int(a)})  # reversed too
+        ds = rd.from_items(pairs)
+        small = (
+            G.connected_components(ds, est_nodes=50)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # force the distributed route by shrinking the guard
+        orig = None
+        import libpdf_ray.ops.util as U
+
+        orig = U.BROADCAST_LOOKUP_ROW_LIMIT
+        try:
+            U.BROADCAST_LOOKUP_ROW_LIMIT = 0
+            big = (
+                G.connected_components(rd.from_items(pairs), est_nodes=50)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+        finally:
+            U.BROADCAST_LOOKUP_ROW_LIMIT = orig
+        pd.testing.assert_frame_equal(small, big)
+        # representatives are component minima
+        assert (small.groupby("cluster_id")["doc_id"].min().to_numpy()
+                == small["cluster_id"].unique()).all()
