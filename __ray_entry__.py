@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_overlap": Co.q_sample_overlap,
         "window_dedup": Co.q_window_dedup,
         "doc_novelty": Co.q_doc_novelty,
+        "chunk_docs": Co.q_chunk_docs,
         # full-text search suite (SQL-checked; ops/search.py)
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
@@ -1650,6 +1651,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "chunk_docs": """
+            -- fixed-size training chunks with overlap: k=64 tokens at
+            -- stride 48; chunk count in exact integer arithmetic, final
+            -- chunk may be short (same formula as the engine)
+            WITH ws AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents WHERE trim(text) != ''
+            ),
+            n AS (
+                SELECT doc_id, w, len(w) AS nw,
+                       CASE WHEN len(w) <= 64 THEN 1
+                            ELSE (len(w) - 64 + 47) // 48 + 1 END AS n_chunks
+                FROM ws
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(least(i * 48 + 64, nw) - i * 48 AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(
+                       w[i * 48 + 1 : least(i * 48 + 64, nw)], ' '
+                   ) AS chunk_text
+            FROM n, unnest(range(0, n_chunks)) AS t(i)
         """,
         "doc_novelty": """
             -- per-doc novelty: fraction of its distinct 8-word windows not

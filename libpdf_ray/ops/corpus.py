@@ -642,3 +642,44 @@ def q_doc_novelty(sf_dir: str, k: int = 8, min_docs: int = 2):
         per_bucket, merge, ["doc_id"],
         est_keys=parquet_row_count(path), merge_fn=merge,
     )
+
+
+def q_chunk_docs(sf_dir: str, k: int = 64, stride: int = 48):
+    """Fixed-size training-chunk generation with overlap — the
+    make-training-samples step of an LLM data pipeline: each document's
+    whitespace tokens are windowed into chunks of ``k`` tokens at stride
+    ``stride`` (overlap = k − stride); the final chunk may be short.
+
+    Output (doc_id, chunk_idx, n_tokens, chunk_text).  Chunk count is
+    ``max(1, ceil((len − k) / stride) + 1)`` in exact integer arithmetic
+    (1 chunk for docs with ≤ k tokens), identical in the SQL oracle.
+    Embarrassingly parallel: one map_batches, no shuffle — each task
+    expands its own documents and only chunk rows leave the stage."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_sized(path, columns=["doc_id", "text"])
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, idxs, ntoks, texts = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            w = text.split()
+            n = len(w)
+            if n == 0:
+                continue
+            n_chunks = 1 if n <= k else (n - k + stride - 1) // stride + 1
+            for i in range(n_chunks):
+                start = i * stride
+                piece = w[start:start + k]
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                ntoks.append(len(piece))
+                texts.append(" ".join(piece))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids),
+                "chunk_idx": pd.Series(idxs, dtype="int64"),
+                "n_tokens": pd.Series(ntoks, dtype="int64"),
+                "chunk_text": pd.Series(texts, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pandas")

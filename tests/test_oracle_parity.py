@@ -88,6 +88,7 @@ CHECKED = [
     "window_dedup",
     "doc_novelty",
     "main_content",
+    "chunk_docs",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
