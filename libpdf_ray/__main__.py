@@ -68,10 +68,17 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import os
+
     import ray
 
+    # the north-rule deployment shape is `ray job submit` onto a fixed
+    # multi-node cluster: honor RAY_ADDRESS (job submission sets it to the
+    # cluster address) and only default to a local session when unset —
+    # hardcoding "local" would silently hijack a cluster run onto one node
     init_kwargs = dict(
-        address="local", include_dashboard=False, ignore_reinit_error=True,
+        address=os.environ.get("RAY_ADDRESS", "local"),
+        include_dashboard=False, ignore_reinit_error=True,
         logging_level="ERROR",
     )
     if args.num_cpus:
