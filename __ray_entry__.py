@@ -622,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dedup": Co.q_window_dedup,
         "doc_novelty": Co.q_doc_novelty,
         "chunk_docs": Co.q_chunk_docs,
+        "mixture_sample": Co.q_mixture_sample,
         # full-text search suite (SQL-checked; ops/search.py)
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
@@ -1651,6 +1652,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "mixture_sample": """
+            -- data-mixing sampler: per-source quotas k_i = floor(B*w_i/W)
+            -- with budget B = min_j floor(n_j*W/w_j); picks are each
+            -- source's smallest-Knuth-hash docs (ties by doc_id) — exact
+            -- integers end-to-end, W=30, weights 3 for src0-4 else 1
+            WITH counts AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY 1
+            ),
+            w AS (
+                SELECT source, n,
+                       CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                            THEN 3 ELSE 1 END AS wt
+                FROM counts
+            ),
+            b AS (SELECT min(n * 30 // wt) AS budget FROM w),
+            k AS (
+                SELECT source, (SELECT budget FROM b) * wt // 30 AS k_src
+                FROM w
+            ),
+            r AS (
+                SELECT d.source, d.doc_id,
+                       row_number() OVER (
+                           PARTITION BY d.source
+                           ORDER BY (CAST(d.doc_id AS HUGEINT) * 2654435761)
+                                    % 4294967296, d.doc_id
+                       ) AS rn
+                FROM documents d
+            )
+            SELECT r.source, CAST(r.doc_id AS BIGINT) AS doc_id
+            FROM r JOIN k ON r.source = k.source
+            WHERE r.rn <= k.k_src
         """,
         "chunk_docs": """
             -- fixed-size training chunks with overlap: k=64 tokens at

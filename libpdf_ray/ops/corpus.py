@@ -683,3 +683,88 @@ def q_chunk_docs(sf_dir: str, k: int = 64, stride: int = 48):
         )
 
     return ds.map_batches(chunk, batch_format="pandas")
+
+
+#: mixture weights for :func:`q_mixture_sample` — upweight the first five
+#: sources 3:1 (a literal, shared verbatim with the SQL oracle)
+MIXTURE_WEIGHTS = {f"src{i}": 3 for i in range(5)}
+MIXTURE_DEFAULT_WEIGHT = 1
+MIXTURE_WEIGHT_TOTAL = 30  # 5×3 + 15×1 over the fixture's 20 sources
+
+
+def q_mixture_sample(sf_dir: str):
+    """Data-mixing sampler: draw a deterministic sample whose per-source
+    proportions match target weights, with MAXIMUM retention — the
+    "mix sources at fixed ratios" step of training-data assembly.
+
+    Exact integer arithmetic end-to-end (engine == SQL oracle):
+    ``budget B = min_j floor(n_j · W / w_j)`` (the largest total sample
+    for which no source runs out), per-source quota
+    ``k_i = floor(B · w_i / W)``, and each source's k_i picks are its
+    smallest-Knuth-hash documents (ties by doc_id) — the same
+    engine-independent selection as :func:`q_source_sample`.
+
+    Two streaming passes: (1) per-source counts (per-batch value_counts →
+    tiny fixed-key combine → driver reads n_sources rows), (2) the
+    variable-quota reservoir (per-batch top-k_i per source is the
+    combiner, min-k is associative, the shuffle carries ≤ Σk_i rows)."""
+    from .util import parquet_row_count
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_sized(path, columns=["doc_id", "source"])
+
+    # pass 1: per-source counts (sources are a tiny domain)
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["source"].value_counts()
+        return pd.DataFrame({"source": vc.index, "n": vc.to_numpy()})
+
+    def count_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False, sort=False)["n"].sum()
+
+    counts = combine_partials(
+        docs.map_batches(count_partial, batch_format="pandas"),
+        count_merge, ["source"], est_keys=64, merge_fn=count_merge,
+    ).to_pandas()
+
+    W = MIXTURE_WEIGHT_TOTAL
+    wts = {
+        s: MIXTURE_WEIGHTS.get(s, MIXTURE_DEFAULT_WEIGHT)
+        for s in counts["source"]
+    }
+    budget = min(
+        int(n) * W // wts[s] for s, n in zip(counts["source"], counts["n"])
+    )
+    kmap = {s: budget * w // W for s, w in wts.items()}
+
+    # pass 2: variable-quota per-source reservoir (same shape as
+    # q_source_sample, with k from the mixture quota)
+    def reduce_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        keep = df.groupby("source", sort=False).cumcount() < df["source"].map(
+            kmap
+        ).fillna(0).to_numpy()
+        return df[keep]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.uint64)
+        h = (ids * np.uint64(_HASH_MULT)) % np.uint64(_HASH_MOD)
+        return reduce_top(
+            pd.DataFrame(
+                {
+                    "source": df["source"],
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "h": h.astype("int64"),
+                }
+            )
+        )
+
+    picked = combine_partials(
+        docs.map_batches(partial, batch_format="pandas"),
+        reduce_top,
+        ["source"],
+        est_keys=max(16, parquet_row_count(path) // 64),
+        merge_fn=reduce_top,
+    )
+    return picked.map_batches(
+        lambda df: df[["source", "doc_id"]], batch_format="pandas"
+    )

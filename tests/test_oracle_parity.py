@@ -89,6 +89,7 @@ CHECKED = [
     "doc_novelty",
     "main_content",
     "chunk_docs",
+    "mixture_sample",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
