@@ -146,6 +146,53 @@ def _nearest_index(edges: list, value: float, tol: float):
     return best
 
 
+def _snap_join_edges(
+    edges: list, snap_tolerance: float, join_tolerance: float, horizontal: bool
+) -> list:
+    """Snap parallel edges into position clusters, then join collinear
+    runs whose end-to-start gap is ≤ ``join_tolerance`` (pdfplumber
+    ``snap_edges``/``join_edge_group`` semantics, the lines-strategy
+    preprocessing libpdf configures at tables.py:62-79).  Edges further
+    apart than the join tolerance (deliberately missing boundaries —
+    merged cells) stay separate."""
+    if not edges:
+        return []
+    lo_k, hi_k, pos0, pos1 = (
+        ("x0", "x1", "y0", "y1") if horizontal else ("y0", "y1", "x0", "x1")
+    )
+    order = sorted(edges, key=lambda s: (s[pos0] + s[pos1]) / 2.0)
+    out = []
+    cluster: list = []
+    cluster_pos = None
+    for s in order:
+        p = (s[pos0] + s[pos1]) / 2.0
+        if cluster and p - cluster_pos > snap_tolerance:
+            out.extend(_join_cluster(cluster, lo_k, hi_k, pos0, pos1, join_tolerance))
+            cluster = []
+        cluster.append(s)
+        cluster_pos = p
+    if cluster:
+        out.extend(_join_cluster(cluster, lo_k, hi_k, pos0, pos1, join_tolerance))
+    return out
+
+
+def _join_cluster(cluster, lo_k, hi_k, pos0, pos1, join_tolerance) -> list:
+    pos = sum((s[pos0] + s[pos1]) / 2.0 for s in cluster) / len(cluster)
+    cluster.sort(key=lambda s: s[lo_k])
+    merged = []
+    cur_lo, cur_hi = cluster[0][lo_k], cluster[0][hi_k]
+    for s in cluster[1:]:
+        if s[lo_k] - cur_hi <= join_tolerance:
+            cur_hi = max(cur_hi, s[hi_k])
+        else:
+            merged.append((cur_lo, cur_hi))
+            cur_lo, cur_hi = s[lo_k], s[hi_k]
+    merged.append((cur_lo, cur_hi))
+    return [
+        {lo_k: lo, hi_k: hi, pos0: pos, pos1: pos} for lo, hi in merged
+    ]
+
+
 def detect_table_grids(
     page_segments: list,
     snap_tolerance: float = 3.0,
@@ -171,20 +218,38 @@ def detect_table_grids(
     "col_edges", "cells": [{"row", "col", "x0", "y0", "x1", "y1"}],
     "n_rows", "n_cols", "anchors": set of (r, c)}``.
     """
-    segs = []
+    raw_h, raw_v = [], []
     for s in page_segments:
         x0, x1 = sorted((float(s["x0"]), float(s["x1"])))
         y0, y1 = sorted((float(s["y0"]), float(s["y1"])))
-        w, h = x1 - x0, y1 - y0
-        if max(w, h) < edge_min_length:
-            continue
-        segs.append(
-            {"x0": x0, "y0": y0, "x1": x1, "y1": y1, "horizontal": w >= h}
+        (raw_h if (x1 - x0) >= (y1 - y0) else raw_v).append(
+            {"x0": x0, "y0": y0, "x1": x1, "y1": y1}
         )
-    h_segs = [s for s in segs if s["horizontal"]]
-    v_segs = [s for s in segs if not s["horizontal"]]
+    # pdfplumber's snap_edges + join_edge_group (TableFinder.get_edges):
+    # many writers draw one table rule as a STACK of per-row mini-segments
+    # (observed in the reference corpus: tests/pdf/lorem-ipsum.pdf draws
+    # each vertical rule as 12 pt pieces) — snap collinear edges into one
+    # position cluster, then fuse runs whose gaps are ≤ join_tolerance
+    # into single long edges.  Merge BEFORE the min-length filter, as
+    # pdfplumber does (fragments can be individually shorter than
+    # edge_min_length).
+    h_segs = [
+        s
+        for s in _snap_join_edges(raw_h, snap_tolerance, join_tolerance, True)
+        if s["x1"] - s["x0"] >= edge_min_length
+    ]
+    v_segs = [
+        s
+        for s in _snap_join_edges(raw_v, snap_tolerance, join_tolerance, False)
+        if s["y1"] - s["y0"] >= edge_min_length
+    ]
+    for s in h_segs:
+        s["horizontal"] = True
+    for s in v_segs:
+        s["horizontal"] = False
     if len(h_segs) < 2 or len(v_segs) < 2:
         return []
+    segs = h_segs + v_segs
 
     # union-find over all segments, joined when an h and a v intersect
     parent = list(range(len(segs)))

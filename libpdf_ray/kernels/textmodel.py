@@ -163,9 +163,13 @@ def assemble_textbox_lines(
     if chars:
         chars = delete_pseudo_annos(chars)
         line_groups = _cluster_into_lines(list(chars), y_tolerance)
-        return [
+        lines = [
             _line_from_words(_chars_to_words(g, word_margin)) for g in line_groups
         ]
+        # a run of ONLY whitespace glyphs yields a word-less line with no
+        # geometry (real-PDF char soups produce these; the sidecar never
+        # does) — it carries no text and must not reach textbox grouping
+        return [ln for ln in lines if ln["words"]]
     words = textbox.get("words")
     if words:
         norm = [

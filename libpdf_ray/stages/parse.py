@@ -59,6 +59,10 @@ def parse_batch(batch: pa.Table, cfg: PipelineConfig,
         # becomes an error row, never a dead task — at 10^12 docs a single
         # raising row must not kill the batch or poison retries
         try:
+            if row.get("_decode_error"):
+                # decoder-level poison (e.g. encrypted/corrupt PDF bytes):
+                # carry the decode failure, don't run the kernel
+                raise RuntimeError(row["_decode_error"])
             spans = extract_document(row, cfg)
             errors.append("")
         except Exception as exc:  # noqa: BLE001 - deliberate catch-all
