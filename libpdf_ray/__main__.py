@@ -20,8 +20,14 @@ def build_parser() -> argparse.ArgumentParser:
         prog="python -m libpdf_ray",
         description="Ray-Data-native structured-document span extraction",
     )
-    p.add_argument("input_dir", help="corpus directory of sidecar parquet shards")
+    p.add_argument("input_dir", help="corpus directory of sidecar parquet "
+                   "shards (or of real .pdf files with --input-format pdf)")
     p.add_argument("-o", "--output", required=True, help="output directory")
+    p.add_argument("--input-format", default="sidecar",
+                   choices=("sidecar", "pdf"),
+                   help="sidecar: raw-layout parquet corpus (default); "
+                        "pdf: a directory/glob of real PDF files decoded "
+                        "by the pure-stdlib PdfByteDecoder")
     p.add_argument("--page-range", default="", help="e.g. '3-5,7' (default: all)")
     p.add_argument("--smart-page-crop", action="store_true")
     p.add_argument("--page-crop", default="", metavar="T,B,L,R",
@@ -29,12 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     for flag in ("annotations", "chapters", "paragraphs", "tables", "figures", "rects"):
         p.add_argument(f"--no-{flag}", action="store_true")
     p.add_argument("--media-dir", default="", help="also export figure media objects")
-    p.add_argument("--media-format", default="png-stub",
-                   choices=("png-stub", "svg", "both"),
-                   help="png-stub: deterministic placeholder payloads (no "
-                        "raster codec in this container); svg: REAL vector "
-                        "crops of each figure region; both: the two side "
-                        "by side")
+    p.add_argument("--media-format", default="png",
+                   choices=("png", "svg", "both"),
+                   help="png: REAL 300-dpi raster crops of each figure "
+                        "region (stdlib encoder); svg: vector crops; "
+                        "both: the pair side by side")
     p.add_argument("--num-cpus", type=int, default=0, help="0 = let Ray decide")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--concurrency", type=int, default=0,
@@ -45,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also export relational views (any of: elements, "
                         "cells, links, file_meta, pages, text_styles, "
                         "rect_styles) as parquet under <output>/views/")
+    p.add_argument("--visual-format", default="both",
+                   choices=("png", "svg", "both"),
+                   help="visual-debug output: png = the reference's "
+                        "150-dpi raster pages, svg = vector, both")
     p.add_argument("--visual-debug", default="", metavar="DIR",
                    help="render one SVG per (doc, page) with element bboxes "
                         "in the reference debug colors under DIR "
@@ -116,21 +125,56 @@ def main(argv=None) -> int:
         print(f"unknown view(s): {', '.join(unknown)}", file=sys.stderr)
         return 2
 
+    def read_input():
+        # fresh Dataset per consumer (Datasets are re-executable, but a
+        # fresh plan keeps the logs and stats per stage honest)
+        if args.input_format == "pdf":
+            from libpdf_ray.stages.pdf_decoder import read_pdf_files
+
+            return read_pdf_files(args.input_dir)
+        from libpdf_ray.pipelines.extract import read_corpus
+
+        return read_corpus(args.input_dir)
+
+    # side-mode run summaries are reduced IN-STREAM (one partial row per
+    # batch + tree sum) — never a per-document driver DataFrame
+    from libpdf_ray.pipelines.summary import manifest_summary
+
     if args.format == "yaml":
         # reference parity mode: one nested YAML tree per document
         # (libpdf/process.py:131-186); the manifest is the run summary
-        from libpdf_ray.pipelines.extract import read_corpus
         from libpdf_ray.pipelines.yamldump import dump_yaml
 
-        manifest = dump_yaml(
-            read_corpus(args.input_dir), cfg, args.output,
-            batch_size=args.batch_size,
-        ).to_pandas()
+        stats = manifest_summary(
+            dump_yaml(read_input(), cfg, args.output,
+                      batch_size=args.batch_size),
+            sum_cols=("n_spans",),
+        )
         summary = {
             "format": "yaml",
-            "documents": int(len(manifest)),
-            "errors": int((manifest["error"] != "").sum()),
-            "spans": int(manifest["n_spans"].sum()),
+            "documents": stats["documents"],
+            "errors": stats["errors"],
+            "spans": stats["n_spans"],
+            "output": args.output,
+        }
+    elif args.input_format == "pdf":
+        # real-PDF corpus: stream spans straight to partitioned parquet
+        # (resume manifests are a parquet-shard concept; PDF runs re-read
+        # only the PDFs, which is the whole job)
+        from libpdf_ray.pipelines.extract import extract_spans
+
+        out_dir = os.path.join(args.output, "spans")
+        extract_spans(read_input(), cfg).write_parquet(out_dir)
+        # summarize from the WRITTEN columns (pruned re-read, not a second
+        # full decode of every PDF)
+        stats = manifest_summary(
+            ray.data.read_parquet(out_dir, columns=["n_spans", "error"]),
+            sum_cols=("n_spans",),
+        )
+        summary = {
+            "documents": stats["documents"],
+            "errors": stats["errors"],
+            "spans": stats["n_spans"],
             "output": args.output,
         }
     else:
@@ -144,7 +188,6 @@ def main(argv=None) -> int:
         # losslessly encoded across them)
         import os
 
-        from libpdf_ray.pipelines.extract import read_corpus
         from libpdf_ray.stages.cells import cells_table
         from libpdf_ray.stages.elements import elements_table
         from libpdf_ray.stages.links_view import links_table
@@ -163,11 +206,10 @@ def main(argv=None) -> int:
         exported = []
         for name in view_names:
             out = os.path.join(args.output, "views", name)
-            view_fns[name](read_corpus(args.input_dir)).write_parquet(out)
+            view_fns[name](read_input()).write_parquet(out)
             exported.append(name)
         summary["views"] = exported
     if args.visual_debug:
-        from libpdf_ray.pipelines.extract import read_corpus
         from libpdf_ray.stages.elements import render_debug_svg
 
         inc = tuple(
@@ -178,31 +220,24 @@ def main(argv=None) -> int:
             v.strip() for v in args.visual_debug_exclude_elements.split(",")
             if v.strip()
         )
-        manifest = render_debug_svg(
-            read_corpus(args.input_dir), cfg, args.visual_debug,
-            include_elements=inc, exclude_elements=exc,
-            split_elements=args.visual_split_elements,
-        ).to_pandas()
-        summary["visual_debug_pages"] = int(
-            (manifest["error"] == "").sum()
+        dbg = manifest_summary(
+            render_debug_svg(
+                read_input(), cfg, args.visual_debug,
+                include_elements=inc, exclude_elements=exc,
+                split_elements=args.visual_split_elements,
+                fmt=args.visual_format,
+            )
         )
+        summary["visual_debug_pages"] = dbg["documents"] - dbg["errors"]
     if args.media_dir:
-        from libpdf_ray.pipelines.extract import extract_spans, read_corpus, spans_table
-        from libpdf_ray.state.media_store import export_media, export_media_svg
+        from libpdf_ray.state.media_store import export_media_svg
 
-        if args.media_format in ("png-stub", "both"):
-            manifest = export_media(
-                spans_table(extract_spans(read_corpus(args.input_dir), cfg)),
-                args.media_dir,
+        crops = manifest_summary(
+            export_media_svg(
+                read_input(), cfg, args.media_dir, fmt=args.media_format
             )
-            summary["media_objects"] = manifest.count()
-        if args.media_format in ("svg", "both"):
-            svg_manifest = export_media_svg(
-                read_corpus(args.input_dir), cfg, args.media_dir
-            ).to_pandas()
-            summary["media_svg_crops"] = int(
-                (svg_manifest["error"] == "").sum()
-            )
+        )
+        summary["media_crops"] = crops["documents"] - crops["errors"]
     print(json.dumps(summary))
     ray.shutdown()
     return 0

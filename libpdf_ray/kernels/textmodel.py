@@ -43,7 +43,8 @@ def _norm_color(ncolor):
     return t if t else None
 
 
-def _cluster_into_lines(items: list, y_tolerance: float) -> list:
+def _cluster_into_lines(items: list, y_tolerance: float,
+                        line_overlap: float = 0.0) -> list:
     """Group glyph runs (words or chars) into lines by vertical center.
 
     ``items`` arrive in arbitrary order (the sidecar shuffles them); they are
@@ -56,13 +57,30 @@ def _cluster_into_lines(items: list, y_tolerance: float) -> list:
         items, key=lambda it: (-(it["y0"] + it["y1"]) / 2.0, it["x0"])
     )
     lines = [[ordered[0]]]
-    last_yc = (ordered[0]["y0"] + ordered[0]["y1"]) / 2.0
+    last = ordered[0]
+    last_yc = (last["y0"] + last["y1"]) / 2.0
     for it in ordered[1:]:
         yc = (it["y0"] + it["y1"]) / 2.0
-        if abs(yc - last_yc) < y_tolerance:
+        # two rules, matching the pdfminer stack the reference runs on:
+        # the running-center rule (textbox_crop, utils.py:614-629) ALWAYS,
+        # plus — only when the caller passes ``line_overlap`` (the CHAR-
+        # soup page-level path) — pdfminer's relative-overlap rule
+        # (LAParams line_overlap=0.5): mixed-metric fonts on one baseline
+        # (serif + mono inline code, super/subscripts) have different
+        # glyph-box centers but still overlap most of their heights.
+        # Word/line inputs keep the absolute rule alone — the reference
+        # passes line_overlap=0.5 POINTS as textbox_crop's y_tolerance,
+        # a quirk pinned by tests (centers 0.6 pt apart must split).
+        same = abs(yc - last_yc) < y_tolerance
+        if not same and line_overlap > 0.0:
+            overlap = min(last["y1"], it["y1"]) - max(last["y0"], it["y0"])
+            min_h = min(last["y1"] - last["y0"], it["y1"] - it["y0"])
+            same = overlap > line_overlap * min_h > 0
+        if same:
             lines[-1].append(it)
         else:
             lines.append([it])
+        last = it
         last_yc = yc
     for line in lines:
         line.sort(key=lambda it: it["x0"])
@@ -162,7 +180,8 @@ def assemble_textbox_lines(
     chars = textbox.get("chars")
     if chars:
         chars = delete_pseudo_annos(chars)
-        line_groups = _cluster_into_lines(list(chars), y_tolerance)
+        line_groups = _cluster_into_lines(list(chars), y_tolerance,
+                                          line_overlap=0.5)
         lines = [
             _line_from_words(_chars_to_words(g, word_margin)) for g in line_groups
         ]

@@ -4,11 +4,14 @@ Mirrors the engine's media model (figures carry ``media_ref`` pointers, never
 inline bytes — SURVEY §1.3): media lives in a sidecar object store keyed by
 ``media_ref``; pipelines move references and small fixed-size features.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so the
-decode kernel is a clearly-marked deterministic fake behind the real Ray
-plumbing — actor-pool stage, small batches for large payloads, fixed-width
-feature output — which is the part that matters at scale.  Swapping
-``_fake_decode`` for a real decoder changes no pipeline code.
+Round 5: a REAL decode path exists.  ``kernels/png.py`` decodes the PNG
+objects the media sinks write, so ``MediaFeatureExtractor(media_root=…)``
+reads actual bytes and computes actual dimensions + channel statistics.
+Without a ``media_root`` (pure-reference pipelines that never wrote
+media) the extractor falls back to the deterministic ref-derived stand-in
+— stable, documented, and pinned by the ``media_meta`` oracle.  Video/
+audio codecs remain out of scope for this container; their stages would
+bind at the same seam.
 """
 
 from __future__ import annotations
@@ -43,16 +46,40 @@ class MediaFeatureExtractor:
     failures to an ``error`` column instead of poisoning the task — the
     poison-document discipline of SURVEY §4.2."""
 
-    def __init__(self, feature_dim: int = MEDIA_FEATURE_DIM, strict: bool = False):
+    def __init__(self, feature_dim: int = MEDIA_FEATURE_DIM, strict: bool = False,
+                 media_root: str = ""):
         self.feature_dim = feature_dim
         self.strict = strict
-        # NotImplementedError guard: flip this when a real codec is present
-        self.real_codec = None
+        # real codec: the stdlib PNG decoder over the media object store;
+        # loaded once per actor (actor-pool __init__ discipline)
+        self.media_root = media_root
+        if media_root:
+            from ..kernels.png import decode_png
 
-    def _features(self, media_ref: str) -> np.ndarray:
-        if self.real_codec is not None:  # pragma: no cover - no codec in env
-            raise NotImplementedError("real image decode not available here")
-        meta = _fake_decode(media_ref)
+            self._decode_png = decode_png
+
+    def _real_decode(self, media_ref: str) -> dict:
+        """Read + decode the actual media object → dims and channel means."""
+        import os
+
+        path = os.path.join(self.media_root, media_ref)
+        with open(path, "rb") as fh:
+            arr = self._decode_png(fh.read())
+        rgb = arr[:, :, :3] if arr.shape[2] >= 3 else np.repeat(arr, 3, axis=2)
+        mean = (rgb.reshape(-1, 3).mean(axis=0) / 255.0).tolist()
+        return {"width": arr.shape[1], "height": arr.shape[0],
+                "mean_rgb": mean, "pixels": rgb}
+
+    def _features(self, media_ref: str, meta: dict) -> np.ndarray:
+        if "pixels" in meta:
+            # real features: per-channel mean + std + overall luma stats
+            rgb = meta["pixels"].reshape(-1, 3).astype(np.float64) / 255.0
+            luma = rgb @ np.asarray([0.299, 0.587, 0.114])
+            vec = np.concatenate(
+                [rgb.mean(axis=0), rgb.std(axis=0),
+                 [float(luma.mean()), float(luma.std())]]
+            )
+            return vec[: self.feature_dim]
         digest = hashlib.md5((media_ref + "#feat").encode()).digest()
         vec = np.frombuffer(digest[: self.feature_dim], dtype=np.uint8)
         vec = vec.astype(np.float64) / 255.0
@@ -64,10 +91,13 @@ class MediaFeatureExtractor:
         widths, heights, feats, errors = [], [], [], []
         for ref in batch["media_ref"]:
             try:
-                meta = _fake_decode(ref)
+                meta = (
+                    self._real_decode(ref) if self.media_root
+                    else _fake_decode(ref)
+                )
                 widths.append(meta["width"])
                 heights.append(meta["height"])
-                feats.append(self._features(ref).tolist())
+                feats.append(self._features(ref, meta).tolist())
                 errors.append("")
             except Exception as exc:  # poison-row → error column
                 if self.strict:
@@ -93,11 +123,15 @@ def media_table(spans_ds):
     return spans_ds.map_batches(figures_only, batch_format="pandas")
 
 
-def extract_media_features(spans_ds, batch_size: int = 64, concurrency=2):
+def extract_media_features(spans_ds, batch_size: int = 64, concurrency=2,
+                           media_root: str = ""):
     """The full multimodal path: spans → media refs → decoded features.
-    Small batch_size on purpose: decoded payloads dominate worker heap."""
+    ``media_root`` set → REAL decode of the written PNG objects; unset →
+    the deterministic ref-derived stand-in.  Small batch_size on purpose:
+    decoded payloads dominate worker heap."""
     return media_table(spans_ds).map_batches(
         MediaFeatureExtractor,
+        fn_constructor_kwargs={"media_root": media_root},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

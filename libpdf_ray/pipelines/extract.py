@@ -71,21 +71,28 @@ def read_corpus(paths, columns=PARSE_COLUMNS, **kwargs) -> "ray.data.Dataset":
 def extract_spans(
     ds: "ray.data.Dataset",
     cfg: PipelineConfig | None = None,
+    decoder=None,
 ) -> "ray.data.Dataset":
-    """Sidecar Dataset → (doc_id, spans, n_spans, est_pages) Dataset."""
+    """Raw document Dataset → (doc_id, spans, n_spans, est_pages) Dataset.
+
+    ``decoder`` is the parse-boundary seam (``stages/decoder.py``):
+    default sidecar rows; pass ``PdfByteDecoder()`` for a Dataset of
+    ``{doc_id, pdf_bytes}`` rows (``read_pdf_files``)."""
     cfg = cfg or PipelineConfig()
     kwargs = dict(batch_format="pyarrow", batch_size=cfg.parse_batch_size)
     if cfg.parse_concurrency:
         # stateful actor-pool form: warm workers, pinned CPUs
         return ds.map_batches(
             DocumentParser,
-            fn_constructor_kwargs={"cfg": cfg},
+            fn_constructor_kwargs={"cfg": cfg, "decoder": decoder},
             concurrency=cfg.parse_concurrency,
             num_cpus=1,
             **kwargs,
         )
     # stateless-task form: maximally elastic, the default on shared clusters
-    return ds.map_batches(parse_batch, fn_kwargs={"cfg": cfg}, **kwargs)
+    return ds.map_batches(
+        parse_batch, fn_kwargs={"cfg": cfg, "decoder": decoder}, **kwargs
+    )
 
 
 def spans_table(ds: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -199,10 +199,19 @@ def _decode_textboxes(col) -> list:
 def decode_sidecar_rows(batch: pa.Table) -> list:
     """Batch → per-doc dicts, with the textboxes column fast-decoded.
 
+    Batches carrying a ``pdf_bytes`` binary column are REAL-PDF rows
+    (``stages/pdf_decoder.read_pdf_files`` shape) and dispatch to
+    :class:`PdfByteDecoder` — one seam, so every downstream stage (views,
+    yaml dump, visual debug, media export) runs on real PDFs unchanged.
+
     Corpora whose textboxes column deviates from the canonical schema
     (e.g. schema-inferred ingests where an all-null ``chars`` field lost
     its struct type) fall back to plain ``to_pylist`` — slower, never
     wrong."""
+    if "pdf_bytes" in batch.column_names:
+        from .pdf_decoder import PdfByteDecoder
+
+        return PdfByteDecoder().decode(batch)
     if "textboxes" in batch.column_names:
         try:
             tb_docs = _decode_textboxes(batch.column("textboxes"))

@@ -137,26 +137,51 @@ def _page_svg(width: float, height: float, boxes: list) -> str:
     return "\n".join(parts)
 
 
+def _page_png(width: float, height: float, boxes: list,
+              dpi: int = 150) -> bytes:
+    """Raster twin of :func:`_page_svg` at the reference's debug dpi
+    (``visual_debug_libpdf`` renders pages at resolution=150,
+    libpdf/utils.py:752-838): white page, one translucent rgba fill +
+    solid outline per element, rendered through the stdlib canvas."""
+    from ..kernels.png import Canvas
+
+    cv = Canvas(width, height, dpi=dpi)
+    cv.stroke_rect(0, 0, width, height, (0, 0, 0, 255), 1.0)
+    for etype, _uid, x0, y0, x1, y1 in boxes:
+        r, g, b, a = DEBUG_RGBA[etype]
+        cv.fill_rect(x0, y0, x1, y1, (r, g, b, a))
+        cv.stroke_rect(x0, y0, x1, y1, (r, g, b, 255), 1.0)
+    return cv.png_bytes()
+
+
 class _SvgRenderer:
-    """Actor-pool sink: raw corpus rows → one SVG per (doc, page) under
+    """Actor-pool sink: raw corpus rows → one render per (doc, page) under
     ``out_dir`` (reference layout: ``libpdf_<page>.png`` per page,
     optionally split per element type into subdirectories —
-    libpdf/utils.py:727-748)."""
+    libpdf/utils.py:727-748).  ``fmt``: "svg" (vector), "png" (the
+    reference's 150-dpi raster, real bytes via kernels/png.py), "both"."""
 
     def __init__(self, cfg: PipelineConfig, out_dir: str,
-                 render_elements: tuple, split_elements: bool):
+                 render_elements: tuple, split_elements: bool,
+                 fmt: str = "svg", dpi: int = 150):
         self.cfg = cfg
         self.out_dir = out_dir
         self.render_elements = render_elements
         self.split_elements = split_elements
+        self.fmt = fmt
+        self.dpi = dpi
 
-    def _write(self, path: str, text: str):
+    def _write(self, path: str, payload):
         import os
 
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(text)
+        if isinstance(payload, bytes):
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+        else:
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(payload)
         os.replace(tmp, path)  # atomic, idempotent on retry
 
     def __call__(self, batch: pa.Table):
@@ -201,11 +226,16 @@ class _SvgRenderer:
                 for group in groups:
                     kept = [b for b in boxes if b[0] in group]
                     sub = group[0] if self.split_elements else ""
-                    path = os.path.join(
-                        self.out_dir, row["doc_id"], sub,
-                        f"libpdf_{page_no}.svg",
-                    )
-                    self._write(path, _page_svg(w, h, kept))
+                    base = os.path.join(self.out_dir, row["doc_id"], sub)
+                    path = ""
+                    if self.fmt in ("svg", "both"):
+                        path = os.path.join(base, f"libpdf_{page_no}.svg")
+                        self._write(path, _page_svg(w, h, kept))
+                    if self.fmt in ("png", "both"):
+                        path = os.path.join(base, f"libpdf_{page_no}.png")
+                        self._write(
+                            path, _page_png(w, h, kept, self.dpi)
+                        )
                     out["doc_id"].append(row["doc_id"])
                     out["page"].append(page_no)
                     out["path"].append(path)
@@ -219,7 +249,8 @@ def render_debug_svg(ds, cfg: PipelineConfig | None = None,
                      include_elements: tuple = (),
                      exclude_elements: tuple = (),
                      split_elements: bool = False,
-                     batch_size: int = 16, concurrency: int = 2):
+                     batch_size: int = 16, concurrency: int = 2,
+                     fmt: str = "svg", dpi: int = 150):
     """Visual debug, rendered: one SVG per (document, page) with every
     element's bbox drawn translucent in its reference color.
 
@@ -241,6 +272,7 @@ def render_debug_svg(ds, cfg: PipelineConfig | None = None,
         fn_constructor_kwargs={
             "cfg": cfg, "out_dir": out_dir,
             "render_elements": rendered, "split_elements": split_elements,
+            "fmt": fmt, "dpi": dpi,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -18,9 +18,15 @@ def file_meta_batch(batch: pa.Table) -> pa.Table:
     ``creation_date_raw`` (a PDF ``D:`` string column, when present) is
     parsed with the reference's lenient grammar; the sidecar's native
     timestamp is passed through otherwise."""
-    rows = batch.select(
-        [c for c in ("doc_id", "meta", "pages") if c in batch.column_names]
-    ).to_pylist()
+    if "pdf_bytes" in batch.column_names:
+        # real-PDF rows: meta/pages come out of the byte decoder
+        from .decoder import decode_sidecar_rows
+
+        rows = decode_sidecar_rows(batch)
+    else:
+        rows = batch.select(
+            [c for c in ("doc_id", "meta", "pages") if c in batch.column_names]
+        ).to_pylist()
     out = {
         "doc_id": [],
         "file_identifier": [],
@@ -74,8 +80,15 @@ def file_meta_batch(batch: pa.Table) -> pa.Table:
 def pages_batch(batch: pa.Table) -> pa.Table:
     """Explode the per-doc pages list into a (doc_id, number, width, height)
     table — the Page-model analog (models/page.py:27-79)."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    pages_col = batch.column("pages").to_pylist()
+    if "pdf_bytes" in batch.column_names:
+        from .decoder import decode_sidecar_rows
+
+        rows = decode_sidecar_rows(batch)
+        doc_ids = [r["doc_id"] for r in rows]
+        pages_col = [r.get("pages") for r in rows]
+    else:
+        doc_ids = batch.column("doc_id").to_pylist()
+        pages_col = batch.column("pages").to_pylist()
     out_doc, out_num, out_w, out_h = [], [], [], []
     for doc_id, pages in zip(doc_ids, pages_col):
         for p in pages or []:

@@ -497,7 +497,10 @@ def read_pdf_files(paths, parallelism: int = -1):
     import ray.data
 
     ds = ray.data.read_binary_files(
-        paths, include_paths=True, parallelism=parallelism
+        paths,
+        include_paths=True,
+        parallelism=parallelism,
+        file_extensions=["pdf", "PDF"],
     )
 
     def to_rows(batch: pa.Table) -> pa.Table:

@@ -6,9 +6,12 @@ analog writes one object per ``media_ref`` under a media root — executed
 distributed (each task writes its own batch's objects), idempotent (same ref
 → same path → overwrite), and resumable for free.
 
-No raster codec exists in this container, so payloads are deterministic
-placeholder bytes derived from the ref (a real deployment renders the page
-crop here); the naming/layout/sink plumbing is the real contract.
+Round 5: payloads are REAL.  ``kernels/png.py`` is a stdlib PNG encoder
++ RGBA canvas, so the crop writers rasterize the figure's vector content
+(words / segments / rects) at the reference's 300 dpi
+(``libpdf/extract.py:734-754``) — and the spans-only sink renders a real,
+decodable label card per ref.  The SVG vector crops remain available
+side by side.
 """
 
 from __future__ import annotations
@@ -19,10 +22,19 @@ import os
 import pandas as pd
 
 
-def _placeholder_png_bytes(media_ref: str) -> bytes:
-    """Deterministic fake payload (stable across workers and runs)."""
+def _label_card_png(media_ref: str) -> bytes:
+    """Deterministic REAL PNG for a ref-only export (no geometry in
+    scope): a 128×96 card carrying the ref text and a color derived from
+    its digest — decodable by any viewer, stable across workers/runs."""
+    from ..kernels.png import Canvas
+
     digest = hashlib.sha256(media_ref.encode()).digest()
-    return b"\x89PNG-STUB\r\n" + digest
+    cv = Canvas(128, 96, dpi=72)
+    cv.fill_rect(4, 4, 124, 92, (digest[0], digest[1], digest[2], 255))
+    cv.stroke_rect(0, 0, 128, 96, (0, 0, 0, 255), 2.0)
+    tail = media_ref.rsplit("/", 1)[-1]
+    cv.text(tail[:20], 8, 44, 8.0, (255, 255, 255, 255))
+    return cv.png_bytes()
 
 
 class MediaWriter:
@@ -37,7 +49,7 @@ class MediaWriter:
         for ref in batch["media_ref"]:
             path = os.path.join(self.media_root, ref)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            payload = _placeholder_png_bytes(ref)
+            payload = _label_card_png(ref)
             tmp = path + ".tmp"
             with open(tmp, "wb") as fh:
                 fh.write(payload)
@@ -101,21 +113,49 @@ def _figure_crop_svg(bbox: tuple, words: list, segments: list,
     return "\n".join(parts)
 
 
+def _figure_crop_png(bbox: tuple, words: list, segments: list,
+                     rects: list, dpi: int = 300) -> bytes:
+    """Rasterize one figure crop (same draw model as the SVG twin) at the
+    reference's 300 dpi (``images_to_save``, libpdf/extract.py:734-754)."""
+    from ..kernels.png import Canvas
+
+    fx0, fy0, fx1, fy1 = bbox
+    w, h = fx1 - fx0, fy1 - fy0
+    cv = Canvas(w, h, dpi=dpi)
+    if not (words or segments or rects):
+        # pure raster figure (embedded JPEG/JPX we don't transcode): a
+        # framed placeholder with the image diagonal cross, never blank
+        cv.stroke_rect(0, 0, w, h, (90, 90, 90, 255), 1.5)
+        cv.line(0, 0, w, h, (180, 180, 180, 255))
+        cv.line(0, h, w, 0, (180, 180, 180, 255))
+    for x0, y0, x1, y1 in rects:
+        cv.stroke_rect(x0 - fx0, y0 - fy0, x1 - fx0, y1 - fy0,
+                       (0, 0, 0, 255), 0.75)
+    for x0, y0, x1, y1 in segments:
+        cv.line(x0 - fx0, y0 - fy0, x1 - fx0, y1 - fy0, (0, 0, 0, 255), 0.75)
+    for text, x0, y0, x1, y1 in words:
+        cv.text(str(text), x0 - fx0, y0 - fy0, max(y1 - y0, 1.0),
+                (0, 0, 0, 255))
+    return cv.png_bytes()
+
+
 class VectorCropWriter:
-    """Actor-pool sink: raw corpus rows → one REAL vector crop per figure.
+    """Actor-pool sink: raw corpus rows → one REAL crop per figure.
 
     The reference crops the page to the figure bbox and rasterizes at
-    300 dpi (``images_to_save``, libpdf/extract.py:734-754).  No raster
-    codec exists in this container, but the figure's VECTOR content —
-    words, line segments, rect outlines inside the bbox — is all in the
-    corpus, so the crop renders losslessly to SVG: same region, same
-    geometry, browser-viewable.  Files land at
-    ``<media_root>/<media_ref with .svg>``; the placeholder-PNG sink
-    (:class:`MediaWriter`) keeps serving the binary-payload contract."""
+    300 dpi (``images_to_save``, libpdf/extract.py:734-754).  The
+    figure's vector content — words, line segments, rect outlines inside
+    the bbox — is all in the corpus, so the crop renders both ways:
+    ``fmt="png"`` rasterizes through the stdlib canvas
+    (``kernels/png.py``) at the reference dpi; ``fmt="svg"`` emits the
+    lossless vector twin; ``fmt="both"`` writes the pair."""
 
-    def __init__(self, cfg, media_root: str):
+    def __init__(self, cfg, media_root: str, fmt: str = "svg",
+                 dpi: int = 300):
         self.cfg = cfg
         self.media_root = media_root
+        self.fmt = fmt
+        self.dpi = dpi
 
     def __call__(self, batch) -> pd.DataFrame:
         import pandas as pd  # noqa: F811 - worker-side import
@@ -145,10 +185,20 @@ class VectorCropWriter:
             # raw vector content, bucketed per page once per document
             words_by_page: dict = {}
             for tb in row.get("textboxes") or []:
+                page_words = words_by_page.setdefault(int(tb["page"]), [])
+                glyphs = tb.get("words") or tb.get("chars")
+                if glyphs:  # dict-list form (real-PDF decoder, unit rows)
+                    for g in glyphs:
+                        if g.get("x0") is None or g["x0"] != g["x0"]:
+                            continue  # pseudo-anno glyphs carry no box
+                        page_words.append(
+                            (g["text"], float(g["x0"]), float(g["y0"]),
+                             float(g["x1"]), float(g["y1"]))
+                        )
+                    continue
                 wt = tab_slice(tb.get("wordtab") or tb.get("chartab"))
                 if wt is None:
                     continue
-                page_words = words_by_page.setdefault(int(tb["page"]), [])
                 for i in range(len(wt["text"])):
                     page_words.append(
                         (wt["text"][i], float(wt["x0"][i]), float(wt["y0"][i]),
@@ -183,14 +233,26 @@ class VectorCropWriter:
                 rcts = [rc for rc in rects_by_page.get(page, [])
                         if inside(bb, *rc)]
                 ref = fig["media_ref"]
-                rel = ref[:-4] + ".svg" if ref.endswith(".png") else ref + ".svg"
-                path = os.path.join(self.media_root, rel)
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                svg = _figure_crop_svg(bb, words, segs, rcts)
-                tmp = path + ".tmp"
-                with open(tmp, "w", encoding="utf-8") as fh:
-                    fh.write(svg)
-                os.replace(tmp, path)  # atomic, idempotent on retry
+                if self.fmt in ("svg", "both"):
+                    rel = (ref[:-4] + ".svg" if ref.endswith(".png")
+                           else ref + ".svg")
+                    path = os.path.join(self.media_root, rel)
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    svg = _figure_crop_svg(bb, words, segs, rcts)
+                    tmp = path + ".tmp"
+                    with open(tmp, "w", encoding="utf-8") as fh:
+                        fh.write(svg)
+                    os.replace(tmp, path)  # atomic, idempotent on retry
+                if self.fmt in ("png", "both"):
+                    rel = ref if ref.endswith(".png") else ref + ".png"
+                    path = os.path.join(self.media_root, rel)
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    payload = _figure_crop_png(bb, words, segs, rcts,
+                                               self.dpi)
+                    tmp = path + ".tmp"
+                    with open(tmp, "wb") as fh:
+                        fh.write(payload)
+                    os.replace(tmp, path)  # atomic, idempotent on retry
                 out["doc_id"].append(row["doc_id"])
                 out["media_ref"].append(ref)
                 out["path"].append(path)
@@ -201,14 +263,24 @@ class VectorCropWriter:
 
 
 def export_media_svg(corpus_ds, cfg, media_root: str,
-                     batch_size: int = 16, concurrency: int = 2):
-    """REAL figure export: one SVG vector crop per figure media_ref.
-    Returns the manifest Dataset (doc_id, media_ref, path, n_words,
-    n_shapes, error); consume it to drive execution."""
+                     batch_size: int = 16, concurrency: int = 2,
+                     fmt: str = "svg", dpi: int = 300):
+    """REAL figure export: one crop per figure media_ref — ``fmt`` picks
+    SVG vector, 300-dpi raster PNG, or both.  Returns the manifest
+    Dataset (doc_id, media_ref, path, n_words, n_shapes, error); consume
+    it to drive execution."""
     return corpus_ds.map_batches(
         VectorCropWriter,
-        fn_constructor_kwargs={"cfg": cfg, "media_root": media_root},
+        fn_constructor_kwargs={"cfg": cfg, "media_root": media_root,
+                               "fmt": fmt, "dpi": dpi},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def export_media_png(corpus_ds, cfg, media_root: str, **kwargs):
+    """300-dpi raster figure crops (the reference's images_to_save
+    shape).  See :func:`export_media_svg`."""
+    kwargs.setdefault("fmt", "png")
+    return export_media_svg(corpus_ds, cfg, media_root, **kwargs)

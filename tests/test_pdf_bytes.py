@@ -1,0 +1,252 @@
+"""Real-PDF decoder tests, pinned to the reference's own test corpus.
+
+Every expectation here is transcribed from the reference's test suite
+(/root/reference/tests/test_full_features.py, test_tables.py,
+test_ds93_chapter.py, test_figures.py) and run against the SAME PDFs in
+/root/reference/tests/pdf — so a pass means the engine's real-PDF path
+reproduces the reference's extraction on its own inputs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from libpdf_ray.config import PipelineConfig
+from libpdf_ray.kernels.document import extract_document, extract_document_full
+from libpdf_ray.kernels.pdfcrypt import aes_cbc_decrypt, rc4, _aes_cbc_encrypt_nopad
+from libpdf_ray.kernels.pdfobj import Lexer, Name, PdfFile, Ref, Stream, text_string
+from libpdf_ray.stages.pdf_decoder import decode_pdf_document
+
+PDF_DIR = "/root/reference/tests/pdf"
+CFG = PipelineConfig()
+
+
+def _load(name: str) -> dict:
+    with open(os.path.join(PDF_DIR, name), "rb") as fh:
+        return decode_pdf_document(name, fh.read())
+
+
+def _spans(name: str) -> list:
+    return extract_document(_load(name), CFG)
+
+
+def _elements(name: str) -> list:
+    return extract_document_full(_load(name), CFG)[1]
+
+
+# -- object model ----------------------------------------------------
+
+
+class TestPdfObjects:
+    def test_lexer_primitives(self):
+        lex = Lexer(b"<< /A 1 /B (lit\\)eral) /C <48656c6c6f> /D [1 2 R 3.5] "
+                    b"/E /Na#6de /F true /G null >>")
+        d = lex.parse()
+        assert d["A"] == 1
+        assert d["B"] == b"lit)eral"
+        assert d["C"] == b"Hello"
+        assert d["D"] == [Ref(1, 2), 3.5]
+        assert d["E"] == Name("Name")
+        assert d["F"] is True
+
+    def test_literal_string_escapes(self):
+        lex = Lexer(b"(a\\n\\t\\101\\\\ (nested) b)")
+        assert lex.parse() == b"a\n\tA\\ (nested) b"
+
+    def test_text_string_utf16(self):
+        assert text_string(b"\xfe\xff\x00H\x00i") == "Hi"
+        assert text_string(b"plain") == "plain"
+
+    @pytest.mark.parametrize(
+        "name", sorted(os.path.basename(p) for p in glob.glob(f"{PDF_DIR}/*.pdf"))
+    )
+    def test_all_reference_pdfs_open(self, name):
+        """Every reference PDF parses: pages found, content decodes."""
+        with open(os.path.join(PDF_DIR, name), "rb") as fh:
+            pdf = PdfFile(fh.read())
+        pages = pdf.pages()
+        assert pages, name
+        body = pdf.content_bytes(pages[0])
+        assert isinstance(body, bytes)
+
+    def test_xref_stream_and_objstm(self):
+        """lorem-ipsum is a PDF-1.5 file: xref stream + object streams."""
+        with open(os.path.join(PDF_DIR, "lorem-ipsum.pdf"), "rb") as fh:
+            pdf = PdfFile(fh.read())
+        assert len(pdf.pages()) == 2
+        assert any(
+            isinstance(v, Stream)
+            and str(pdf.resolve(v.dict.get("Type")) or "") == "ObjStm"
+            for v in pdf._cache.values()
+        ) or pdf.xref  # objstm entries exist in the xref at minimum
+        assert any(e[0] == "c" for e in pdf.xref.values())
+
+
+class TestCrypto:
+    def test_rc4_vector(self):
+        # well-known RC4 test vector (Key/Plaintext from RFC 6229 family)
+        assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+
+    def test_aes_cbc_roundtrip(self):
+        key = bytes(range(16))
+        iv = bytes(range(16, 32))
+        plain = b"sixteen byte msg" * 2
+        ct = iv + _aes_cbc_encrypt_nopad(key, iv, plain + bytes([16] * 16))
+        assert aes_cbc_decrypt(key, ct) == plain
+
+    def test_encrypted_pdf_decodes(self):
+        """pr-138-example.pdf is RC4-128 (V4/R4, empty user password)."""
+        spans = _spans("pr-138-example.pdf")
+        text = " ".join(s["text"] for s in spans)
+        assert "Home Loan Interest Rates" in text
+        assert len(spans) > 100
+
+
+# -- extraction parity with the reference's own assertions -----------
+
+
+class TestFullFeatures:
+    """Mirrors tests/test_full_features.py over full_features.pdf."""
+
+    @pytest.fixture(scope="class")
+    def elements(self):
+        return _elements("full_features.pdf")
+
+    def test_chapters(self):
+        spans = _spans("full_features.pdf")
+        chapters = [s["text"] for s in spans if s["kind"] == "chapter"]
+        assert chapters == [
+            "virt.1 Disclaimer",
+            "virt.1.1 Content of table",
+            "1 Introduction",
+            "2 Chapter Useful",
+            "2.1 Meaningful",
+            "2.2 Funny",
+            "3 Surprise",
+            "A Example",
+        ]
+
+    def test_paragraph_count(self, elements):
+        # test_content_structure: len(objects.flattened.paragraphs) == 48
+        assert sum(1 for e in elements if e["etype"] == "paragraph") == 48
+
+    def test_figures(self, elements):
+        # test_figures: 7 figures; figure.1 is the page-1 body figure at
+        # (200..392, 239..383), figure.2 the page-1 header figure (uid idx
+        # follows extraction order, which is content-stream order — the
+        # reference's flattened.figures[0/1] assertions)
+        figs = {e["uid"]: e for e in elements if e["etype"] == "figure"}
+        assert len(figs) == 7
+        f0 = figs["figure.1"]
+        assert f0["page"] == 1
+        assert 200 < f0["x0"] and f0["x1"] < 392
+        assert 239 < f0["y0"] and f0["y1"] < 383
+        f1 = figs["figure.2"]
+        assert f1["page"] == 1
+        assert 73 < f1["x0"] and f1["x1"] < 115
+        assert 719 < f1["y0"] and f1["y1"] < 755
+        assert "chapter.1/figure.1" in figs
+
+    def test_tables(self, elements):
+        tables = [e for e in elements if e["etype"] == "table"]
+        assert len(tables) == 2
+        assert tables[0]["uid"] == "table.1"
+        assert tables[0]["page"] == 1
+        t1 = tables[1]
+        assert t1["uid"] == "chapter.3/table.1"
+        assert t1["page"] == 5
+        assert 56 < t1["x0"] and t1["x1"] < 300
+        assert 504 < t1["y0"] and t1["y1"] < 654
+        cells = t1["cells"]
+        assert cells[0]["text"] == "some"
+        assert [c["text"] for c in cells if c["row"] == 3 and c["col"] == 2] == [
+            "Henry\ncavill"
+        ]
+        assert [c["text"] for c in cells if c["row"] == 7 and c["col"] == 5] == ["3"]
+
+    def test_chapter_content_paragraph(self):
+        # test_chapters: chapter 'Content of table' starts with a 3-line
+        # paragraph "libpdf allows the extraction ... Figure or Table."
+        spans = _spans("full_features.pdf")
+        idx = next(
+            i for i, s in enumerate(spans) if s["text"] == "virt.1.1 Content of table"
+        )
+        para = next(s for s in spans[idx + 1:] if s["kind"] == "paragraph")
+        assert para["text"].startswith("libpdf allows the extraction")
+        assert para["text"].endswith("Figure or Table.")
+        assert para["text"].count("\n") == 2  # 3 lines
+
+
+class TestOtherReferencePdfs:
+    def test_ds93_chapter_numbers(self):
+        # tests/test_ds93_chapter.py: exact-similarity chapter matches
+        spans = _spans("DS93-chapter-issue-fix.pdf")
+        chapters = [s["text"] for s in spans if s["kind"] == "chapter"]
+        assert chapters == [
+            "3.5.4 Franca-to-AUTOSAR Client Server Link",
+            "9. The note composition of C Chord are C, E and G",
+        ]
+
+    def test_header_footer_paragraph_count(self):
+        # test_smart_header_footer_detection: 42 paragraphs without crop
+        spans = _spans("test_header_footer_detection.pdf")
+        assert sum(1 for s in spans if s["kind"] == "paragraph") == 42
+
+    def test_figures_extraction_filter(self):
+        # tests/test_figures.py: 6 raw figures -> 2 after filtering
+        doc = _load("test_figures_extraction.pdf")
+        spans = extract_document(doc, CFG)
+        figs = [s for s in spans if s["kind"] == "figure"]
+        assert len(figs) == 2
+
+    def test_lorem_ipsum_table_cells(self):
+        # tests/test_tables.py: table.1 cell(1,1) and cells[14] == (3,5)
+        elements = _elements("lorem-ipsum.pdf")
+        tables = [e for e in elements if e["etype"] == "table"]
+        cells = tables[0]["cells"]
+        assert cells[0]["row"] == 1 and cells[0]["col"] == 1
+        assert cells[0]["text"] == "Tempora co\nVoluptatem"
+        assert cells[14]["row"] == 3 and cells[14]["col"] == 5
+        assert cells[14]["text"] == "Eius quaer Etincidunt"
+
+    def test_metadata(self):
+        # pdfTeX Info dict with D: dates (stages/meta parses the raw form)
+        doc = _load("lorem-ipsum.pdf")
+        meta = doc["meta"]
+        assert meta["creator"] == "LaTeX with hyperref package"
+        assert meta["producer"].startswith("pdfTeX")
+        assert meta["creation_date_raw"].startswith("D:2017")
+        assert doc["est_pages"] == 2
+        title = _load("howto-logging.pdf")["meta"]["title"]
+        assert title == "Logging HOWTO"
+
+    def test_every_pdf_extracts_spans(self):
+        """End-to-end smoke over the WHOLE reference corpus: every PDF
+        (including the encrypted one) yields spans, no poison rows."""
+        for path in sorted(glob.glob(f"{PDF_DIR}/*.pdf")):
+            name = os.path.basename(path)
+            spans = _spans(name)
+            assert len(spans) > 0, name
+
+
+class TestRayIntegration:
+    def test_read_pdf_files_pipeline(self, ray_session):
+        """read_binary_files → PdfByteDecoder actor pool → span rows."""
+        from libpdf_ray.stages.parse import DocumentParser
+        from libpdf_ray.stages.pdf_decoder import PdfByteDecoder, read_pdf_files
+
+        ds = read_pdf_files(sorted(glob.glob(f"{PDF_DIR}/*.pdf")))
+        out = ds.map_batches(
+            DocumentParser(CFG, decoder=PdfByteDecoder()),
+            batch_format="pyarrow",
+            batch_size=4,
+        )
+        table = out.to_pandas()
+        assert len(table) == 12
+        assert (table["error"] == "").all()
+        assert (table["n_spans"] > 0).all()
+        by_id = dict(zip(table["doc_id"], table["n_spans"]))
+        assert by_id["full_features"] == 72
