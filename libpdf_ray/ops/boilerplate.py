@@ -166,6 +166,7 @@ def strip_boilerplate(
                 spans = spans.combine_chunks()
             sizes = (
                 pc.list_value_length(spans)
+                .fill_null(0)  # null spans list = 0 rows; flatten() skips
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64)
             )

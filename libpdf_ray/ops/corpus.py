@@ -570,7 +570,8 @@ def q_window_dedup(sf_dir: str, k: int = 8, min_docs: int = 2):
     path = f"{sf_dir}/documents.parquet"
     ds = read_sized(path, columns=["doc_id", "text"])
     pairs = _window_pairs(ds, "text", "doc_id", k)
-    n_parts = shuffle_partitions(est_keys=parquet_row_count(path) * 64)
+    n_rows = parquet_row_count(path)
+    n_parts = shuffle_partitions(est_keys=n_rows * 64)
 
     def hot(g: pd.DataFrame) -> pd.DataFrame:
         vc = g.drop_duplicates(["h", "doc_id"])["h"].value_counts()
@@ -579,8 +580,12 @@ def q_window_dedup(sf_dir: str, k: int = 8, min_docs: int = 2):
             {"h": vc.index, "n_docs": vc.to_numpy().astype("int64")}
         )
 
+    # the routed dataset is the EXPLODED (hash, doc_id) pair set — ~64
+    # windows/doc × ~48 B (32-hex md5 + id) — several times larger than
+    # the compressed source; sizing the single-task route by file bytes
+    # would funnel a multi-GiB frame into one repartition(1) task
     return _bucketed_groups(pairs, "h", n_parts, hot,
-                            est_bytes=file_bytes(path))
+                            est_bytes=max(file_bytes(path), n_rows * 64 * 48))
 
 
 def q_doc_novelty(sf_dir: str, k: int = 8, min_docs: int = 2):
@@ -599,8 +604,10 @@ def q_doc_novelty(sf_dir: str, k: int = 8, min_docs: int = 2):
     path = f"{sf_dir}/documents.parquet"
     ds = read_sized(path, columns=["doc_id", "text"])
     pairs = _window_pairs(ds, "text", "doc_id", k)
-    fb = file_bytes(path)
-    n_parts = shuffle_partitions(est_keys=parquet_row_count(path) * 64)
+    n_rows = parquet_row_count(path)
+    # exploded-pair-set size, not source file size (see q_window_dedup)
+    fb = max(file_bytes(path), n_rows * 64 * 48)
+    n_parts = shuffle_partitions(est_keys=n_rows * 64)
 
     def tag_shared(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["h", "doc_id"])
@@ -640,7 +647,7 @@ def q_doc_novelty(sf_dir: str, k: int = 8, min_docs: int = 2):
 
     return combine_partials(
         per_bucket, merge, ["doc_id"],
-        est_keys=parquet_row_count(path), merge_fn=merge,
+        est_keys=n_rows, merge_fn=merge,
     )
 
 

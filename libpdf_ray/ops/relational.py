@@ -95,29 +95,54 @@ def q_pricing_summary(sf_dir: str):
     )
     cutoff = pd.Timestamp("2000-01-01")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] <= cutoff]
-        price_c = _cents(df["l_extendedprice"])
-        disc_p = _pct(df["l_discount"])
-        tax_p = _pct(df["l_tax"])
-        part = pd.DataFrame(
+    def partial(batch: "pa.Table") -> "pa.Table":
+        # Arrow-native partial on the biggest scan in the system: the
+        # string key columns stay zero-copy from the object store — the
+        # former pandas form copied them per batch (round-4 verdict #4).
+        # Integer math matches _cents/_pct bit-for-bit (round half-even).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mask = pc.less_equal(
+            batch.column("l_shipdate"), pa.scalar(cutoff.to_datetime64())
+        )
+        batch = batch.filter(mask)
+        i64 = pa.int64()
+        price_c = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)), i64
+        )
+        disc_p = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0)), i64
+        )
+        tax_p = pc.cast(
+            pc.round(pc.multiply(batch.column("l_tax"), 100.0)), i64
+        )
+        disc_i = pc.multiply(price_c, pc.subtract(pa.scalar(100, i64), disc_p))
+        part = pa.table(
             {
-                "l_returnflag": df["l_returnflag"],
-                "l_linestatus": df["l_linestatus"],
-                "qty_i": df["l_quantity"].round().astype("int64"),
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_i": pc.cast(pc.round(batch.column("l_quantity")), i64),
                 "base_i": price_c,
-                "disc_i": price_c * (100 - disc_p),
-                "charge_i": price_c * (100 - disc_p) * (100 + tax_p),
+                "disc_i": disc_i,
+                "charge_i": pc.multiply(
+                    disc_i, pc.add(pa.scalar(100, i64), tax_p)
+                ),
                 "discpct_i": disc_p,
-                "n": np.ones(len(df), dtype="int64"),
             }
         )
-        return part.groupby(
-            ["l_returnflag", "l_linestatus"], as_index=False
-        ).sum()
+        agg = part.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_i", "sum"), ("base_i", "sum"), ("disc_i", "sum"),
+             ("charge_i", "sum"), ("discpct_i", "sum"),
+             ("qty_i", "count")]
+        )
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_i", "base_i", "disc_i",
+             "charge_i", "discpct_i", "n"]
+        )
 
     agg = _sum_combine(
-        ds.map_batches(partial, batch_format="pandas"),
+        ds.map_batches(partial, batch_format="pyarrow"),
         ["l_returnflag", "l_linestatus"],
         est_keys=8,
     )
@@ -345,20 +370,33 @@ def q_events_hourly(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        us = df["ts"].astype("int64")  # microseconds since epoch
-        part = pd.DataFrame(
+    def partial(batch: "pa.Table") -> "pa.Table":
+        # Arrow-native: event_type strings never convert to objects; the
+        # hour bucket is integer division on the raw microsecond view
+        # (timestamps are positive, so truncation == floor == pandas //)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        i64 = pa.int64()
+        us = pc.cast(batch.column("ts"), i64)
+        part = pa.table(
             {
-                "event_type": df["event_type"],
-                "hour_bucket": us // 3_600_000_000,
-                "value_i": _cents(df["value"]),
-                "n": np.ones(len(df), "int64"),
+                "event_type": batch.column("event_type"),
+                "hour_bucket": pc.divide(us, pa.scalar(3_600_000_000, i64)),
+                "value_i": pc.cast(
+                    pc.round(pc.multiply(batch.column("value"), 100.0)), i64
+                ),
             }
         )
-        return part.groupby(["event_type", "hour_bucket"], as_index=False).sum()
+        agg = part.group_by(["event_type", "hour_bucket"]).aggregate(
+            [("value_i", "sum"), ("value_i", "count")]
+        )
+        return agg.rename_columns(
+            ["event_type", "hour_bucket", "value_i", "n"]
+        )
 
     agg = _sum_combine(
-        ds.map_batches(partial, batch_format="pandas"),
+        ds.map_batches(partial, batch_format="pyarrow"),
         ["event_type", "hour_bucket"],
         est_keys=100_000,
     )
@@ -407,6 +445,21 @@ def _bucketed_groups(ds, key: str, n_parts: int, kernel,
 
     nb = max(n_parts * 4, 16)
 
+    def add_bucket_arrow(batch):
+        # integer keys: multiplicative hash on the zero-copy int view —
+        # the whole batch (string payloads included) passes through
+        # without an Arrow→pandas conversion.  Any key→bucket assignment
+        # is correct (the kernel needs only key-disjoint buckets), and
+        # this one is deterministic across workers.
+        import pyarrow as pa
+
+        vals = batch.column(key).to_numpy(zero_copy_only=False)
+        h = (vals.astype(np.uint64, copy=False)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(nb)).astype(np.int64))
+        )
+
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[key], index=False).astype("int64")
         return df.assign(_bucket=h.abs() % nb)
@@ -414,8 +467,24 @@ def _bucketed_groups(ds, key: str, n_parts: int, kernel,
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return kernel(g.drop(columns=["_bucket"]))
 
+    key_type = None
+    try:
+        # fetch_if_missing=False: never trigger execution just to pick a
+        # bucketing codepath — unknown schema falls back to pandas hashing
+        schema = ds.schema(fetch_if_missing=False)
+        if schema is not None:
+            key_type = schema.field(key).type
+    except Exception:
+        pass
+    import pyarrow as pa
+
+    if key_type is not None and pa.types.is_integer(key_type):
+        bucketed = ds.map_batches(add_bucket_arrow, batch_format="pyarrow")
+    else:
+        # string/other keys: pandas hash is the stable cross-worker hash
+        bucketed = ds.map_batches(add_bucket, batch_format="pandas")
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        bucketed
         .groupby("_bucket", num_partitions=n_parts)
         .map_groups(run, batch_format="pandas")
     )

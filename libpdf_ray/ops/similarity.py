@@ -266,8 +266,13 @@ def ivf_index_for(src_path: str, centroids: np.ndarray,
     from .util import read_sized
 
     st = os.stat(src_path)
+    # key covers EVERYTHING that shapes the built index: source identity,
+    # quantizer, and the id/column projection (two callers differing only
+    # in id_col must not share one cached build)
+    col_sig = ",".join(columns or [id_col, "embedding"])
     key = hashlib.md5(
-        f"{os.path.abspath(src_path)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"{os.path.abspath(src_path)}:{st.st_mtime_ns}:{st.st_size}"
+        f":{id_col}:{col_sig}".encode()
         + np.ascontiguousarray(centroids, dtype=np.float64).tobytes()
     ).hexdigest()[:12]
     index_dir = os.path.join(cache_root, f"libpdf_ray_ivf_{key}")
@@ -291,10 +296,18 @@ def ivf_index_for(src_path: str, centroids: np.ndarray,
         try:
             os.rename(tmp_dir, index_dir)
         except OSError:
-            # a concurrent builder won the rename; use theirs
             import shutil
 
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+            if os.path.exists(marker):
+                # a concurrent builder won the rename; use theirs
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+            else:
+                # index_dir exists but is NOT a complete build (stale
+                # crash debris / external interference): replace it with
+                # the fresh complete build instead of returning a broken
+                # dir that would silently yield empty probes forever
+                shutil.rmtree(index_dir, ignore_errors=True)
+                os.rename(tmp_dir, index_dir)
     return index_dir
 
 

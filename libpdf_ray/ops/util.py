@@ -147,10 +147,16 @@ def combine_partials(
 
     ``combine_fn`` must be a pandas frame → frame reduction that is correct
     both globally and per key-disjoint bucket (any per-key aggregation is).
-    ``merge_fn``, if given, is a pure partial→partial reduction (NO top-k /
-    formatting — intermediate tasks see arbitrary block subsets, not
-    key-disjoint buckets) that lets the single-task branch tree-merge
-    instead of funneling every partial block into one task.
+    ``merge_fn``, if given, is a partial→partial reduction that lets the
+    single-task branch tree-merge instead of funneling every partial
+    block into one task.  It must be ASSOCIATIVE over arbitrary block
+    subsets (intermediate tasks see unordered subsets, not key-disjoint
+    buckets): plain per-key aggregations qualify, and so does per-key
+    smallest-k-by-deterministic-order selection (a deterministic top-k is
+    an associative idempotent reduction — merging any two partial top-k
+    sets and re-selecting yields the global top-k; the samplers rely on
+    this).  Output FORMATTING (renames, ratios) must stay in
+    ``combine_fn``, which runs exactly once per key.
     """
     if est_keys <= SINGLE_TASK_COMBINE_KEY_LIMIT:
         if merge_fn is not None:

@@ -118,8 +118,21 @@ def list_fragments(paths) -> list:
             files.append(p)
     items = []
     for f in files:
-        for rg in range(_pq.ParquetFile(f).metadata.num_row_groups):
-            items.append({"path": f, "rg": rg})
+        md = _pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            items.append(
+                {
+                    "path": f,
+                    "rg": rg,
+                    "bytes": int(md.row_group(rg).total_byte_size),
+                }
+            )
+    # HEAVY-FIRST: schedule the most expensive fragments first so the
+    # stragglers of the last wave are the lightest tasks, not the
+    # heaviest (the classic LPT bound) — row-group byte size is the
+    # parse-cost proxy (word payloads dominate both).  Path tie-break
+    # keeps the order deterministic.
+    items.sort(key=lambda it: (-it["bytes"], it["path"], it["rg"]))
     return items
 
 
