@@ -94,6 +94,34 @@ def _q_span_kinds(sf_dir: str):
     )
 
 
+REFERENCE_PDF_DIR = "/root/reference/tests/pdf"
+
+
+def _q_pdf_spans(sf_dir: str):
+    """Span extraction over REAL PDF bytes (the reference's 12 test PDFs;
+    ``sf_dir`` is unused — the input is the reference corpus itself).
+    read_binary_files → PdfByteDecoder → the full layout pipeline →
+    exploded span rows."""
+    from libpdf_ray.pipelines.extract import extract_spans, spans_table
+    from libpdf_ray.stages.pdf_decoder import PdfByteDecoder, read_pdf_files
+
+    from libpdf_ray.config import PipelineConfig
+
+    return spans_table(
+        extract_spans(read_pdf_files(REFERENCE_PDF_DIR), PipelineConfig(),
+                      decoder=PdfByteDecoder())
+    )
+
+
+def _q_pdf_file_meta(sf_dir: str):
+    """File-metadata view over real PDF bytes (Info dict, D: dates,
+    page counts) — the S4 operator on the reference corpus."""
+    from libpdf_ray.stages.meta import file_meta_table
+    from libpdf_ray.stages.pdf_decoder import read_pdf_files
+
+    return file_meta_table(read_pdf_files(REFERENCE_PDF_DIR))
+
+
 def _q_media_features(sf_dir: str):
     from libpdf_ray.ops.multimodal import extract_media_features
 
@@ -548,6 +576,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     tune_data_context()
 
     return {
+        # ---- round-5 rotation: the 23 oracle queries the driver's capped
+        # CORRECTNESS snapshots (r1-r4 stopped at 50) have never
+        # hash-checked come FIRST, so CORRECTNESS_r05 ∪ {r1-r4} covers
+        # every oracle query at least once (round-4 verdict, next #8) ----
+        "elements": _q_elements,
+        "file_meta": _q_file_meta,
+        "pages": _q_pages,
+        "cells": _q_cells,
+        "links": _q_links,
+        "text_styles": _q_text_styles,
+        "rect_styles": _q_rect_styles,
+        "boilerplate": _q_boilerplate,
+        "main_content": _q_main_content,
+        "vocab_stats": Co.q_vocab_stats,
+        "repetition_stats": Co.q_repetition_stats,
+        "hash_sample": Co.q_hash_sample,
+        "decontaminate": Co.q_decontaminate,
+        "customers_no_orders": Co.q_customers_no_orders,
+        "source_sample": Co.q_source_sample,
+        "weighted_sample": Co.q_weighted_sample,
+        "sample_overlap": Co.q_sample_overlap,
+        "window_dedup": Co.q_window_dedup,
+        "doc_novelty": Co.q_doc_novelty,
+        "chunk_docs": Co.q_chunk_docs,
+        "mixture_sample": Co.q_mixture_sample,
+        "bm25_search": S.q_bm25_search,
+        "posting_lists": S.q_posting_lists,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -601,31 +656,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs": _q_dedup_docs,
         "knn_ivf_exact": _q_knn_ivf_exact,
         "text_spans": _q_text_spans,
-        "elements": _q_elements,
-        "file_meta": _q_file_meta,
-        "pages": _q_pages,
-        "cells": _q_cells,
-        "links": _q_links,
-        "text_styles": _q_text_styles,
-        "rect_styles": _q_rect_styles,
-        "boilerplate": _q_boilerplate,
-        "main_content": _q_main_content,
-        # corpus-curation suite (SQL-checked; ops/corpus.py)
-        "vocab_stats": Co.q_vocab_stats,
-        "repetition_stats": Co.q_repetition_stats,
-        "hash_sample": Co.q_hash_sample,
-        "decontaminate": Co.q_decontaminate,
-        "customers_no_orders": Co.q_customers_no_orders,
-        "source_sample": Co.q_source_sample,
-        "weighted_sample": Co.q_weighted_sample,
-        "sample_overlap": Co.q_sample_overlap,
-        "window_dedup": Co.q_window_dedup,
-        "doc_novelty": Co.q_doc_novelty,
-        "chunk_docs": Co.q_chunk_docs,
-        "mixture_sample": Co.q_mixture_sample,
-        # full-text search suite (SQL-checked; ops/search.py)
-        "bm25_search": S.q_bm25_search,
-        "posting_lists": S.q_posting_lists,
         # ---- rows-only queries (no SQL oracle by nature) LAST, so a
         # driver snapshot cap lands on the oracle-bearing entries first ----
         "media_features": _q_media_features,
@@ -636,6 +666,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "distinct_sketch": _q_distinct_sketch,
         "price_quantiles": _q_price_quantiles,
+        # REAL-PDF extraction over the reference's own test corpus
+        # (byte decoder → full layout pipeline; no SQL oracle can parse
+        # PDF bytes — parity is pinned by tests/test_pdf_bytes.py against
+        # the reference's own test assertions)
+        "pdf_spans": _q_pdf_spans,
+        "pdf_file_meta": _q_pdf_file_meta,
     }
 
 

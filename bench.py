@@ -206,16 +206,50 @@ def _burn(_i) -> float:
     return time.time() - t0
 
 
+def _control_scaling(lo: int, hi: int) -> dict:
+    """Host scaling CEILING in this minute: the same fixed bag of ``2*hi``
+    deterministic numpy tasks through a pool of ``lo`` procs, then of
+    ``hi`` procs.  A perfectly isolated host gives wall_lo/wall_hi =
+    hi/lo (efficiency 1.0); neighbor contention caps it lower — and caps
+    the ENGINE's achievable ratio identically, which is why each scaling
+    draw pairs the engine ratio with this one from the same minute."""
+    import multiprocessing as mp
+
+    n_tasks = 2 * hi
+
+    def pool_wall(procs: int) -> float:
+        with mp.Pool(procs) as pool:
+            t0 = time.time()
+            pool.map(_burn, range(n_tasks))
+            return time.time() - t0
+
+    wall_lo = pool_wall(lo)
+    wall_hi = pool_wall(hi)
+    eff = (wall_lo / wall_hi) / (hi / lo)
+    return {
+        "control_wall_low": round(wall_lo, 3),
+        "control_wall_high": round(wall_hi, 3),
+        "control_efficiency": round(eff, 3),
+    }
+
+
 def run_scaling() -> dict:
-    """Same job at num_cpus=N and 4N in fresh processes.
+    """Same job at num_cpus=N and 4N in fresh processes — PAIRED with a
+    Ray-free multiprocessing control measured in the same minute.
 
     Default levels are 2 → 8 (override with SCALE_CPUS_LOW/HIGH): a pure
     multiprocessing control shows this VM inflates per-task time ~21% at 8
     concurrent procs, ~30% at 16 and ~43% at 32 (BASELINE.md) — host
     contention, not engine behavior.  2→8 is the widest N→4N pair inside
-    the host's linear regime, where the ratio measures the ENGINE.  The
-    full series (2→8: 0.84, 4→16: 0.71, 8→32: 0.46, tracking the host's
-    own multiprocessing ceiling at each pair) is reported in BASELINE.md.
+    the host's linear regime, where the ratio measures the ENGINE.
+
+    Each draw reports three numbers (round-4 verdict, next #6):
+    ``scaling_efficiency`` (engine), ``control_efficiency`` (the host's
+    same-minute ceiling), and ``paired_ratio`` = engine/control — the
+    bar-relevant figure: a paired_ratio ≥ 0.8 means the engine achieves
+    ≥ 80% of what ANY parallel program could achieve on this host right
+    now.  ``SCALE_DRAWS`` (default 1) repeats the whole pairing and adds
+    a median row.
     """
 
     def run(ncpu: int) -> dict:
@@ -234,22 +268,42 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("SCALE_CPUS_LOW", "2"))
     hi = int(os.environ.get("SCALE_CPUS_HIGH", "8"))
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo = r_lo["queries"]["extract"]
-    t_hi = r_hi["queries"]["extract"]
-    eff = (t_lo / t_hi) / (hi / lo)
-    return {
-        "metric": f"extract scaling efficiency (num_cpus {lo} -> {hi}, fresh processes)",
+    n_draws = int(os.environ.get("SCALE_DRAWS", "1"))
+    draws = []
+    for _ in range(n_draws):
+        # control brackets the engine pair so both see the same minute
+        ctrl = _control_scaling(lo, hi)
+        r_lo, r_hi = run(lo), run(hi)
+        t_lo = r_lo["queries"]["extract"]
+        t_hi = r_hi["queries"]["extract"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        draws.append(
+            {
+                "extract_sec_low": t_lo,
+                "extract_sec_high": t_hi,
+                "docs_per_sec_low": r_lo["docs_per_sec_extract"],
+                "docs_per_sec_high": r_hi["docs_per_sec_extract"],
+                "scaling_efficiency": round(eff, 3),
+                **ctrl,
+                "paired_ratio": round(eff / ctrl["control_efficiency"], 3)
+                if ctrl["control_efficiency"] else None,
+            }
+        )
+    med = sorted(d["scaling_efficiency"] for d in draws)[len(draws) // 2]
+    med_paired = sorted(
+        d["paired_ratio"] for d in draws if d["paired_ratio"] is not None
+    )
+    out = {
+        "metric": f"extract scaling efficiency (num_cpus {lo} -> {hi}, fresh processes, paired mp control)",
         "cpus_low": lo,
         "cpus_high": hi,
-        "extract_sec_low": t_lo,
-        "extract_sec_high": t_hi,
-        "docs_per_sec_low": r_lo["docs_per_sec_extract"],
-        "docs_per_sec_high": r_hi["docs_per_sec_extract"],
-        "scaling_efficiency": round(eff, 3),
-        "total_sec_low": r_lo["value"],
-        "total_sec_high": r_hi["value"],
+        "draws": draws,
+        "scaling_efficiency": med,
+        "paired_ratio": med_paired[len(med_paired) // 2] if med_paired else None,
+        **{k: draws[-1][k] for k in ("extract_sec_low", "extract_sec_high",
+                                     "docs_per_sec_low", "docs_per_sec_high")},
     }
+    return out
 
 
 if __name__ == "__main__":

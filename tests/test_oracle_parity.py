@@ -103,6 +103,10 @@ ROWS_ONLY = [
     "kmeans_clusters",
     "distinct_sketch",
     "price_quantiles",
+    # real-PDF extraction: no SQL oracle can parse PDF bytes; parity with
+    # the reference is pinned by tests/test_pdf_bytes.py
+    "pdf_spans",
+    "pdf_file_meta",
 ]
 
 
