@@ -69,6 +69,7 @@ from .regions import (
     filter_figures,
     table_from_grid,
     table_inside_any_figure,
+    word_crop_text,
 )
 from .textmodel import (
     assemble_lines_from_arrays,
@@ -291,6 +292,17 @@ def prepare_pages(
             inside = boxes_completely_inside(
                 textboxes_by_page.get(page_no, []), bbox, margin=cfg.rect_text_offset
             )
+            text = "\n".join(tb["text"] for tb in inside)
+            if not inside:
+                # no whole textbox inside: word-granularity crop (inline
+                # highlight rects live INSIDE a paragraph line — the
+                # reference's char-level lt_textbox_crop finds their
+                # words; tests/test_rects.py code-inline parity)
+                text = word_crop_text(
+                    textboxes_by_page.get(page_no, []), bbox,
+                    margin=cfg.rect_text_offset,
+                    y_tolerance=cfg.line_y_tolerance,
+                )
             ncolor = rect.get("non_stroking_color")
             rects.append(
                 {
@@ -300,7 +312,7 @@ def prepare_pages(
                     "y0": bbox[1],
                     "x1": bbox[2],
                     "y1": bbox[3],
-                    "text": "\n".join(tb["text"] for tb in inside),
+                    "text": text,
                     "ncolor": tuple(float(c) for c in ncolor) if ncolor else None,
                     "links": [],
                 }

@@ -726,6 +726,17 @@ class PageInterpreter:
         stroke = op in (b"S", b"s", b"B", b"B*", b"b", b"b*")
         fill = op in (b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*")
         page = self._page_no
+        # pdfminer classification parity: a path with MULTIPLE subpaths is
+        # a CURVE, never a rect — even-odd ring fills (``re re f*``, the
+        # way browsers/WeasyPrint draw border boxes) must not produce rect
+        # records (the reference's pdfplumber rect list excludes them:
+        # tests/test_rects.py counts pin this).  Fill-only multi-subpath
+        # paths therefore emit nothing; stroked ones still contribute
+        # their line segments to table detection.
+        n_subpaths = sum(1 for it in path if it[0] in ("m", "re"))
+        emit_rects = n_subpaths <= 1
+        if not stroke and not emit_rects:
+            return
         pts: list = []
         start = None
 
@@ -747,6 +758,7 @@ class PageInterpreter:
                 self._emit_rect(
                     min(xs), min(ys), max(xs), max(ys), page,
                     gs.ncolor if fill else None, stroke, fill,
+                    record=emit_rects,
                 )
             elif item[0] == "m":
                 pts = [apply_mat(gs.ctm, item[1], item[2])]
@@ -759,12 +771,14 @@ class PageInterpreter:
             elif item[0] == "h":
                 if stroke:
                     close_poly()
-        if fill and not stroke and start is not None and len(pts) >= 4:
-            # filled polygon that is axis-aligned-rectangular → rect record
+        if (fill and not stroke and emit_rects and start is not None
+                and len(pts) >= 4):
+            # single filled 4-corner polygon (m l l l h) — pdfminer's
+            # other rect shape; bbox degenerate polys are dropped
             xs = [p[0] for p in pts]
             ys = [p[1] for p in pts]
             w, h = max(xs) - min(xs), max(ys) - min(ys)
-            if w > 0 or h > 0:
+            if (w > 0 or h > 0) and len(pts) <= 5:
                 self._emit_rect(min(xs), min(ys), max(xs), max(ys), page,
                                 gs.ncolor, False, True)
 
@@ -779,9 +793,10 @@ class PageInterpreter:
             }
         )
 
-    def _emit_rect(self, x0, y0, x1, y1, page, ncolor, stroke, fill) -> None:
+    def _emit_rect(self, x0, y0, x1, y1, page, ncolor, stroke, fill,
+                   record: bool = True) -> None:
         w, h = x1 - x0, y1 - y0
-        if fill and (w < self._THIN or h < self._THIN) and max(w, h) > 4.0:
+        if record and fill and (w < self._THIN or h < self._THIN) and max(w, h) > 4.0:
             # vector table border drawn as a thin filled bar → centerline
             if w < h:
                 cx = (x0 + x1) / 2.0
@@ -803,6 +818,8 @@ class PageInterpreter:
                     {"page": page, "x0": seg[0], "y0": seg[1],
                      "x1": seg[2], "y1": seg[3]}
                 )
+        if not record:  # multi-subpath member: edges only, no rect record
+            return
         rec = {"page": page, "x0": x0, "y0": y0, "x1": x1, "y1": y1}
         if ncolor is not None:
             rec["non_stroking_color"] = list(ncolor)

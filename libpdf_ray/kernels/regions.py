@@ -97,6 +97,34 @@ def boxes_completely_inside(textboxes: list, bbox: tuple, margin: float = 0.0) -
     ]
 
 
+def word_crop_text(textboxes: list, bbox: tuple, margin: float = 0.0,
+                   y_tolerance: float = 0.5) -> str:
+    """Text of the WORDS completely inside ``bbox`` ± margin, re-clustered
+    into lines — the fine-grained half of the reference's
+    ``lt_textbox_crop`` (libpdf/utils.py: chars in bbox → LA reassembly).
+    Used when a rect contains no whole textbox (inline-code highlight
+    rects sit INSIDE a paragraph line; only word granularity finds their
+    text — reference behavior pinned by tests/test_rects.py
+    code-inline assertions)."""
+    from .textmodel import _cluster_into_lines, textbox_word_dicts
+
+    x0, y0, x1, y1 = bbox
+    inside = []
+    for tb in textboxes:
+        if (tb["x1"] < x0 - margin or tb["x0"] > x1 + margin
+                or tb["y1"] < y0 - margin or tb["y0"] > y1 + margin):
+            continue
+        for w in textbox_word_dicts(tb):
+            if (w.get("x0") is not None
+                    and w["x0"] >= x0 - margin and w["y0"] >= y0 - margin
+                    and w["x1"] <= x1 + margin and w["y1"] <= y1 + margin):
+                inside.append(w)
+    if not inside:
+        return ""
+    lines = _cluster_into_lines(inside, y_tolerance)
+    return "\n".join(" ".join(w["text"] for w in ln) for ln in lines)
+
+
 def table_inside_any_figure(
     table_bbox: tuple, figure_bboxes: list, tolerance: float = 5.0
 ) -> bool:

@@ -98,11 +98,14 @@ class TestCrypto:
         assert aes_cbc_decrypt(key, ct) == plain
 
     def test_encrypted_pdf_decodes(self):
-        """pr-138-example.pdf is RC4-128 (V4/R4, empty user password)."""
+        """pr-138-example.pdf is RC4-128 (V4/R4, empty user password).
+        Reference tests/test_figures.py: its figures carry INVALID
+        (zero-height) bboxes and the flattened figure list is empty."""
         spans = _spans("pr-138-example.pdf")
         text = " ".join(s["text"] for s in spans)
         assert "Home Loan Interest Rates" in text
-        assert len(spans) > 100
+        assert len(spans) >= 10
+        assert not [s for s in spans if s["kind"] == "figure"]
 
 
 # -- extraction parity with the reference's own assertions -----------
@@ -230,6 +233,132 @@ class TestOtherReferencePdfs:
             name = os.path.basename(path)
             spans = _spans(name)
             assert len(spans) > 0, name
+
+
+class TestRectsExtraction:
+    """Mirrors tests/test_rects.py over test_rects_extraction.pdf
+    (WeasyPrint, PDF 1.7): chapter-scoped rect counts, exact fill colors
+    and cropped text — incl. the pdfminer classification quirk that
+    multi-subpath ring fills are curves, never rects."""
+
+    @pytest.fixture(scope="class")
+    def by_chapter(self):
+        from libpdf_ray.config import SMART_CROP_CONFIG
+
+        doc = _load("test_rects_extraction.pdf")
+        _, elements = extract_document_full(doc, SMART_CROP_CONFIG)
+        chapters = {e["uid"]: e["title"] for e in elements
+                    if e["etype"] == "chapter"}
+        out: dict = {t: [] for t in chapters.values()}
+        for e in elements:
+            if e["etype"] != "rect" or "/" not in e["uid"]:
+                continue
+            parent = e["uid"].rsplit("/", 1)[0]
+            if parent in chapters:
+                out[chapters[parent]].append(e)
+        return out
+
+    def test_code_block(self, by_chapter):
+        rects = by_chapter["Code Block Highlighting"]
+        assert len(rects) == 1
+        r = rects[0]
+        assert r["text"].startswith("def decode_title(obj_bytes: bytes) -> str:")
+        assert r["ncolor"] == (0.941176, 0.941176, 0.941176)
+
+    def test_code_inline(self, by_chapter):
+        # 2 inline code spans, the first broken across two lines → 3 rects
+        rects = by_chapter["Code Inline Highlighting"]
+        assert len(rects) == 3
+        texts = [r["text"] for r in rects]
+        assert "from pathlib import Path" in texts
+        assert any("decode_title(obj_bytes: bytes)" in t for t in texts)
+        # the full signature is NOT inside any single inline rect
+        assert not any("decode_title(obj_bytes: bytes) -> str" in t for t in texts)
+        for r in rects:
+            assert r["ncolor"] == (0.945098, 0.945098, 0.945098)
+
+    def test_admonitions(self, by_chapter):
+        # 3 admonitions × (outer box + title bar) = 6
+        rects = by_chapter["Adminition"]
+        assert len(rects) == 6
+        important = next(
+            r for r in rects if "A very importing Adminition" in r["text"]
+        )
+        assert important["ncolor"] == (0.858824, 0.980392, 0.956863)
+        assert any("Wichtig" in r["text"] for r in rects)
+
+    def test_tables_chapter(self, by_chapter):
+        # multi-subpath border ring fills are NOT rects: 5 survive
+        assert len(by_chapter["Tables"]) == 5
+
+
+class TestWordColors:
+    """Mirrors tests/test_word_colors.py over test_words_color_style.pdf:
+    per-word non-stroking colors and font styles survive the whole
+    byte-decode → layout → style-lift path."""
+
+    @pytest.fixture(scope="class")
+    def styles(self):
+        import pyarrow as pa
+
+        from libpdf_ray.stages.styles import styles_batch
+
+        with open(os.path.join(PDF_DIR, "test_words_color_style.pdf"), "rb") as fh:
+            batch = pa.table(
+                {"doc_id": ["wc"], "pdf_bytes": [fh.read()]}
+            )
+        return styles_batch(batch, CFG).to_pandas()
+
+    def _line(self, styles, substr):
+        for _key, g in styles.groupby(["box_idx", "line_idx"]):
+            g = g.sort_values("word_idx")
+            if substr in " ".join(g["word_text"]):
+                return g
+        raise AssertionError(f"line containing {substr!r} not found")
+
+    def _wc(self, g, word):
+        rows = g[g["word_text"] == word]
+        return {
+            (r["word_ncolor_r"], r["word_ncolor_g"], r["word_ncolor_b"])
+            for _, r in rows.iterrows()
+        }
+
+    def test_colors_heading(self, styles):
+        # test_colors_0: chapter 'Color in Text and Heading' is red
+        g = self._line(styles, "Color in Text and Heading")
+        assert self._wc(g, "Color") == {(1.0, 0.0, 0.0)}
+
+    def test_colors_blue_paragraph(self, styles):
+        # test_colors_1: 'Paragraph text is blue' line ncolor == (0,0,1)
+        g = self._line(styles, "Paragraph text is blue")
+        row = g.iloc[0]
+        assert (
+            row["line_ncolor_r"], row["line_ncolor_g"], row["line_ncolor_b"]
+        ) == (0.0, 0.0, 1.0)
+
+    def test_colors_mixed_words(self, styles):
+        # test_colors_3: per-word colors inside 'This line has no color...'
+        g = self._line(styles, "This line has no color")
+        assert self._wc(g, "has") == {(0.0, 0.0, 1.0)}
+        assert self._wc(g, "changes") == {(1.0, 0.0, 0.0)}
+        assert self._wc(g, "words") == {(0.0, 0.0, 1.0)}
+        assert self._wc(g, "color") <= {(0.0, 1.0, 0.0), (0.0, 0.0, 0.0)}
+
+    def test_colors_yellow_background_words(self, styles):
+        # test_colors_5
+        g = self._line(styles, "These words are printed")
+        assert self._wc(g, "printed") == {(0.0, 0.0, 1.0)}
+        assert self._wc(g, "background") == {(1.0, 0.0, 0.0)}
+        assert self._wc(g, "words") == {(0.0, 1.0, 0.0)}
+        assert self._wc(g, "but") == {(0.0, 1.0, 0.0)}
+
+    def test_styled_text_fonts(self, styles):
+        # test_colors_6: 'bold' in Bold font, neighbors not
+        g = self._line(styles, "bold text format")
+        bold = g[g["word_text"] == "bold"]
+        assert all("Bold" in f for f in bold["word_fontname"])
+        others = g[g["word_text"] != "bold"]
+        assert all("Bold" not in (f or "") for f in others["word_fontname"])
 
 
 class TestRayIntegration:
