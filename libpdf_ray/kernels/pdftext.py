@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import re
 
-from .pdfobj import Keyword, Lexer, Name, PdfError, PdfFile, Stream, NULL
+from .pdfobj import ContentLexer, Keyword, Lexer, Name, PdfError, PdfFile, Stream, NULL
 
 # -- glyph-name → unicode (AGL subset: Latin-1 + common publishing glyphs;
 # enough for /Differences tables of western non-embedded fonts) ------------
@@ -145,7 +145,7 @@ def parse_cmap(data: bytes) -> tuple:
     ranges the test corpus uses)."""
     to_text: dict = {}
     lengths: set = set()
-    lex = Lexer(data, 0)
+    lex = ContentLexer(data, 0)
     stack: list = []
     n = len(data)
     while lex.pos < n:
@@ -232,9 +232,11 @@ class Font:
     text, vertical metrics."""
 
     __slots__ = ("name", "widths", "default_width", "to_text", "ascent",
-                 "descent", "code_bytes", "font_matrix", "space_code")
+                 "descent", "code_bytes", "font_matrix", "space_code",
+                 "_glyph_cache")
 
     def __init__(self) -> None:
+        self._glyph_cache: dict = {}  # code → (w0, text), hot-path memo
         self.name = ""
         self.widths: dict = {}
         self.default_width = 500.0
@@ -512,7 +514,7 @@ class PageInterpreter:
         resources = resources or {}
         fonts = r(resources.get("Font")) or {}
         xobjects = r(resources.get("XObject")) or {}
-        lex = Lexer(content, 0)
+        lex = ContentLexer(content, 0)
         stack: list = []
         gstack: list = []
         tm = tlm = MAT_ID
@@ -663,26 +665,39 @@ class PageInterpreter:
         page = self._page_no
         asc, dsc = font.ascent, font.descent
         chars = self.chars
+        # one full matrix composition per SHOW STRING; per glyph only the
+        # translation advances (device delta = adv × the text-space x axis
+        # of tm×ctm) — was 6 mat_mults per glyph, profiled hot
+        ma, mb, mc, md, me, mf = mat_mult(tm, gs.ctm)
+        sa = fsize * th
+        ta, tb = sa * ma, sa * mb          # glyph x axis (device)
+        ca, cb = fsize * mc, fsize * md    # glyph y axis (device)
+        ox = rise * mc + me                # running glyph origin (device)
+        oy = rise * md + mf
+        total_adv = 0.0
+        glyph_cache = font._glyph_cache
+        space_code = font.space_code
+        fontname = font.name
         for code in font.iter_codes(bytes(raw)):
-            if font.font_matrix is not None:
-                w0 = font.width(code) * font.font_matrix[0]
-            else:
-                w0 = font.width(code) / 1000.0
+            cached = glyph_cache.get(code)
+            if cached is None:
+                if font.font_matrix is not None:
+                    w0 = font.width(code) * font.font_matrix[0]
+                else:
+                    w0 = font.width(code) / 1000.0
+                cached = (w0, font.text(code))
+                glyph_cache[code] = cached
+            w0, text = cached
             adv = (w0 * fsize + tc) * th
-            if code == font.space_code:
+            if code == space_code:
                 adv += tw * th
-            text = font.text(code)
             if text and not invisible:
-                trm = mat_mult(
-                    (fsize * th, 0.0, 0.0, fsize, 0.0, rise), mat_mult(tm, gs.ctm)
-                )
-                # glyph box: advance wide, descent→ascent tall, in text
-                # space; transformed corners → device-space AABB
-                corners = (
-                    apply_mat(trm, 0.0, dsc),
-                    apply_mat(trm, w0 if w0 > 0 else 0.4, asc),
-                )
-                (ax, ay), (bx, by) = corners
+                # corners (0,dsc) and (w0|0.4, asc) in glyph space → AABB
+                gx = w0 if w0 > 0 else 0.4
+                ax = dsc * ca + ox
+                ay = dsc * cb + oy
+                bx = gx * ta + asc * ca + ox
+                by = gx * tb + asc * cb + oy
                 x0d, x1d = (ax, bx) if ax <= bx else (bx, ax)
                 y0d, y1d = (ay, by) if ay <= by else (by, ay)
                 for ch in text:
@@ -691,14 +706,16 @@ class PageInterpreter:
                             "text": ch,
                             "x0": x0d, "y0": y0d, "x1": x1d, "y1": y1d,
                             "ncolor": ncolor,
-                            "fontname": font.name,
+                            "fontname": fontname,
                             "size": fsize,
                             "page": page,
                         }
                     )
                     x0d = x1d  # multi-char expansion (ligatures) share the box
-            tm = mat_mult((1, 0, 0, 1, adv, 0), tm)
-        return tm
+            ox += adv * ma
+            oy += adv * mb
+            total_adv += adv
+        return mat_mult((1, 0, 0, 1, total_adv, 0), tm)
 
     # -- paths -------------------------------------------------------
 
