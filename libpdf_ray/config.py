@@ -55,6 +55,10 @@ class PipelineConfig:
     # regrouping, libpdf/utils.py:616-622 — quirk preserved) ---
     line_y_tolerance: float = 0.5  # LA_PARAMS['line_overlap']
     word_margin: float = 0.1  # LA_PARAMS['word_margin']
+    # pdfminer line-membership gap rule for UNGROUPED page analysis
+    # (LA_PARAMS['char_margin'] = 6.0, libpdf/parameters.py:222): columns
+    # across a gutter split into separate lines/boxes
+    char_margin: float = 6.0
     # textbox grouping: lines whose vertical gap < line_margin × line
     # height join the same box (pdfminer group_textlines; the reference
     # overrides the 0.5 default to 0.4, parameters.py:223)

@@ -76,6 +76,7 @@ from .textmodel import (
     assemble_textbox_lines,
     assemble_word_boxes_batched,
     assemble_word_boxes_shared,
+    group_lines_into_boxes_la,
     tab_slice,
     group_lines_into_boxes,
     is_whitespace_only,
@@ -181,7 +182,11 @@ def prepare_pages(
             )
         elif t.get("wordtab") is None:
             t["lines"] = assemble_textbox_lines(
-                t, cfg.line_y_tolerance, cfg.word_margin
+                t, cfg.line_y_tolerance, cfg.word_margin,
+                # page-level analysis of an ungrouped soup applies the
+                # char_margin column split; grouped boxes never do (their
+                # extent IS the line extent)
+                char_margin=cfg.char_margin if t.get("ungrouped") else 0.0,
             )
         kept_boxes.append(t)
 
@@ -209,8 +214,9 @@ def prepare_pages(
         if t.get("ungrouped"):
             # the rawest form: an ungrouped page region — run pdfminer's
             # missing step and cluster the lines into textboxes
-            # (group_textlines semantics, textbox.py:934-977)
-            for box in group_lines_into_boxes(t["lines"], cfg.line_margin):
+            # (group_textlines semantics, textbox.py:934-977; the
+            # column-aware LA variant keeps one open box per column)
+            for box in group_lines_into_boxes_la(t["lines"], cfg.line_margin):
                 sub = {"page": t["page"], **box}
                 sub["text"] = textbox_text(sub)
                 textboxes_by_page.setdefault(t["page"], []).append(sub)

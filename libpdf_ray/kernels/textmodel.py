@@ -164,10 +164,69 @@ def delete_pseudo_annos(chars: list) -> list:
     return [c for c in chars if not is_pseudo_anno(c)]
 
 
+def _stream_lines(chars: list, line_overlap: float, char_margin: float) -> list:
+    """pdfminer ``group_objects`` line building over chars in STREAM
+    order: a glyph extends the current line iff it vertically overlaps
+    the previous glyph by more than ``line_overlap ×`` the smaller height
+    AND sits within ``char_margin ×`` the wider glyph horizontally.
+
+    Stream locality is what keeps COLUMNS apart when the gutter is
+    narrower than ``char_margin × width`` (the writer emits one column's
+    text block before the other's, so cross-column glyphs are never
+    stream-adjacent) — exactly how pdfminer separates two-column pages.
+    Returns x-sorted line groups in first-glyph order."""
+    lines: list = []
+    cur: list = []
+    last = None
+    for ch in chars:
+        if last is not None:
+            ov = min(last["y1"], ch["y1"]) - max(last["y0"], ch["y0"])
+            min_h = min(last["y1"] - last["y0"], ch["y1"] - ch["y0"])
+            if ch["x0"] >= last["x1"]:
+                hdist = ch["x0"] - last["x1"]
+            elif last["x0"] >= ch["x1"]:
+                hdist = last["x0"] - ch["x1"]
+            else:
+                hdist = 0.0
+            w = max(last["x1"] - last["x0"], ch["x1"] - ch["x0"])
+            if not (ov > line_overlap * min_h and hdist < char_margin * w):
+                lines.append(cur)
+                cur = []
+        cur.append(ch)
+        last = ch
+    if cur:
+        lines.append(cur)
+    for ln in lines:
+        ln.sort(key=lambda c: c["x0"])
+    return lines
+
+
+def _split_by_char_margin(line_chars: list, char_margin: float) -> list:
+    """Split one x-sorted glyph row at gaps wider than ``char_margin ×``
+    the wider neighboring glyph (pdfminer ``hdistance < char_margin *
+    max(w0, w1)`` line-membership rule, LAParams char_margin — the
+    reference configures 6.0).  Side-by-side COLUMNS share a y-row but
+    sit across a gutter far wider than any intra-line gap; without this
+    split a two-column page fuses into garbled full-width lines."""
+    if len(line_chars) < 2:
+        return [line_chars]
+    out = [[line_chars[0]]]
+    prev = line_chars[0]
+    for ch in line_chars[1:]:
+        gap = ch["x0"] - prev["x1"]
+        w = max(prev["x1"] - prev["x0"], ch["x1"] - ch["x0"])
+        if gap >= char_margin * w and gap > 0:
+            out.append([])
+        out[-1].append(ch)
+        prev = ch
+    return out
+
+
 def assemble_textbox_lines(
     textbox: dict,
     y_tolerance: float = 0.5,
     word_margin: float = 0.1,
+    char_margin: float = 0.0,
 ) -> list:
     """Raw sidecar textbox → assembled line dicts (the engine's layout
     analysis step).
@@ -180,8 +239,27 @@ def assemble_textbox_lines(
     chars = textbox.get("chars")
     if chars:
         chars = delete_pseudo_annos(chars)
-        line_groups = _cluster_into_lines(list(chars), y_tolerance,
-                                          line_overlap=0.5)
+        if char_margin > 0.0 and textbox.get("stream_ordered"):
+            # real-PDF soup: glyph STREAM order is meaningful — build
+            # lines the way pdfminer does (columns stay separate even
+            # across a gutter narrower than char_margin × width), then
+            # order the finished lines top-to-bottom for grouping
+            line_groups = _stream_lines(chars, 0.5, char_margin)
+            line_groups.sort(
+                key=lambda g: (
+                    -(min(c["y0"] for c in g) + max(c["y1"] for c in g)) / 2.0,
+                    g[0]["x0"],
+                )
+            )
+        else:
+            line_groups = _cluster_into_lines(list(chars), y_tolerance,
+                                              line_overlap=0.5)
+            if char_margin > 0.0:
+                line_groups = [
+                    part
+                    for g in line_groups
+                    for part in _split_by_char_margin(g, char_margin)
+                ]
         lines = [
             _line_from_words(_chars_to_words(g, word_margin)) for g in line_groups
         ]
@@ -675,6 +753,57 @@ def group_lines_into_boxes(lines: list, line_margin: float = 0.4) -> list:
         }
         for box in boxes
     ]
+
+
+def group_lines_into_boxes_la(lines: list, line_margin: float = 0.4,
+                              align_tolerance: float = 2.0) -> list:
+    """Layout-analysis textbox grouping for an UNGROUPED page region with
+    possible COLUMNS: pdfminer ``find_neighbors`` semantics — a line
+    joins a box only when the vertical gap fits AND the line is
+    left-aligned, right-aligned, or x-overlapping with it.  Unlike the
+    sequential :func:`group_lines_into_boxes`, several boxes stay OPEN at
+    once, so two columns' alternating lines each find their own column's
+    box instead of breaking the other's.
+
+    ``lines`` top-to-bottom (ties left-to-right); returns textbox dicts
+    in first-line order."""
+    boxes: list = []  # each: {"x0","y0","x1","y1","lines",...}
+    for ln in lines:
+        if "y1" not in ln:
+            continue
+        height = ln["y1"] - ln["y0"]
+        best = None
+        best_overlap = -1.0
+        for box in boxes:
+            last = box["lines"][-1]
+            gap = last["y0"] - ln["y1"]
+            ref_h = max(height, last["y1"] - last["y0"])
+            if gap >= line_margin * ref_h or gap < -0.6 * ref_h:
+                continue
+            x_overlap = min(box["x1"], ln["x1"]) - max(box["x0"], ln["x0"])
+            aligned = (
+                abs(ln["x0"] - box["x0"]) <= align_tolerance
+                or abs(ln["x1"] - box["x1"]) <= align_tolerance
+            )
+            if x_overlap > 0 or aligned:
+                if x_overlap > best_overlap:
+                    best = box
+                    best_overlap = x_overlap
+        if best is None:
+            boxes.append(
+                {
+                    "x0": ln["x0"], "y0": ln["y0"],
+                    "x1": ln["x1"], "y1": ln["y1"],
+                    "lines": [ln],
+                }
+            )
+        else:
+            best["lines"].append(ln)
+            best["x0"] = min(best["x0"], ln["x0"])
+            best["y0"] = min(best["y0"], ln["y0"])
+            best["x1"] = max(best["x1"], ln["x1"])
+            best["y1"] = max(best["y1"], ln["y1"])
+    return boxes
 
 
 def hbox_from_lines(lines: list) -> dict:

@@ -420,6 +420,10 @@ def decode_pdf_document(doc_id: str, data: bytes) -> dict:
                 "x1": w,
                 "y1": h,
                 "ungrouped": True,
+                # glyphs are in content-stream order (meaningful, unlike
+                # the shuffled sidecar): enables pdfminer's stream-order
+                # line building, which keeps columns apart
+                "stream_ordered": True,
                 "chars": chars,
             }
         )

@@ -292,6 +292,27 @@ class TestRectsExtraction:
         assert len(by_chapter["Tables"]) == 5
 
 
+class TestTwoColumnLayout:
+    """two_colums_sampe.pdf (Word 2010): stream-order line building keeps
+    the columns apart even though the gutter (14 pt) is narrower than
+    char_margin × glyph width — the pdfminer separation mechanism."""
+
+    def test_columns_not_fused(self):
+        spans = _spans("two_colums_sampe.pdf")
+        paras = [s["text"] for s in spans if s["kind"] == "paragraph"]
+        abstract = next(t for t in paras if t.startswith("Abstract"))
+        # column-pure: the right column's text never bleeds into the
+        # abstract's lines (the fused form read "...papers, Work in can
+        # be placed on one page..." before stream-order lines)
+        first_line = abstract.split("\n")[0]
+        assert "can be placed" not in first_line
+        assert "Process papers" in abstract
+        # the right column's opening paragraph exists on its own
+        assert any("can be placed on one page" in t for t in paras)
+        # single-column spans intact
+        assert any(t.startswith("Session T1A") for t in paras)
+
+
 class TestWordColors:
     """Mirrors tests/test_word_colors.py over test_words_color_style.pdf:
     per-word non-stroking colors and font styles survive the whole
