@@ -26,6 +26,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CORPUS = os.environ.get("BENCH_CORPUS", "/tmp/libpdf_ray_bench_corpus")
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "4200"))
 BENCH_SKEW_PAGES = int(os.environ.get("BENCH_SKEW_PAGES", "100"))
+BENCH_PDF_DOCS = int(os.environ.get("BENCH_PDF_DOCS", "600"))
 
 
 def _sf_label(path: str) -> float:
@@ -50,6 +51,29 @@ def _ensure_corpus() -> str:
     out = f"{BENCH_CORPUS}_v{SCHEMA_VERSION}_n{BENCH_DOCS}_k{BENCH_SKEW_PAGES}"
     return write_corpus(out, n_docs=BENCH_DOCS, seed=42, shards=16,
                         skew_pages=BENCH_SKEW_PAGES, families=families)
+
+
+def _ensure_pdf_corpus() -> str:
+    """Deterministic on-disk corpus of REAL PDF files (fixture docs
+    rendered by kernels/pdfwrite; cached across runs by param key)."""
+    import glob
+
+    from libpdf_ray.fixtures import DEFAULT_FAMILIES, build_document
+    from libpdf_ray.kernels.pdfwrite import write_pdf
+    from libpdf_ray.schema import SCHEMA_VERSION
+
+    out = f"{BENCH_CORPUS}_pdf_v{SCHEMA_VERSION}_n{BENCH_PDF_DOCS}"
+    if len(glob.glob(os.path.join(out, "*.pdf"))) == BENCH_PDF_DOCS:
+        return out
+    os.makedirs(out, exist_ok=True)
+    for i in range(BENCH_PDF_DOCS):
+        fam = DEFAULT_FAMILIES[i % len(DEFAULT_FAMILIES)]
+        doc = build_document(i, fam, skew_pages=8)
+        path = os.path.join(out, f"{doc['doc_id']}.pdf")
+        if not os.path.exists(path):
+            with open(path, "wb") as fh:
+                fh.write(write_pdf(doc))
+    return out
 
 
 def run_benchmarks() -> dict:
@@ -138,6 +162,21 @@ def run_benchmarks() -> dict:
             "docs_per_sec_extract": round(n_docs / timings["extract"], 2),
         }
 
+    # real-PDF byte path: a cached synthetic PDF corpus (fixture docs
+    # rendered by kernels/pdfwrite) streamed through read_binary_files →
+    # PdfByteDecoder — the deployment shape for actual PDF files
+    pdf_dir = _ensure_pdf_corpus()
+    from libpdf_ray.pipelines.extract import extract_spans
+    from libpdf_ray.stages.pdf_decoder import PdfByteDecoder, read_pdf_files
+
+    n_pdf = timed(
+        "pdf_extract",
+        lambda: extract_spans(
+            read_pdf_files(pdf_dir), SMART_CROP_CONFIG,
+            decoder=PdfByteDecoder(),
+        ).count(),
+    )
+
     # relational / training-data headliners over $GRAFT_SF_DIR
     timed("pricing_summary", lambda: R.q_pricing_summary(SF_DIR).to_pandas())
     timed("top_customers", lambda: R.q_top_customers(SF_DIR).to_pandas())
@@ -150,7 +189,11 @@ def run_benchmarks() -> dict:
 
     control = _noise_control()
 
-    total = round(sum(timings.values()), 3)
+    # the summed headline stays comparable with earlier rounds: the new
+    # real-PDF stage reports separately (pdf_extract_sec / docs_per_sec_pdf)
+    total = round(
+        sum(v for k, v in timings.items() if k != "pdf_extract"), 3
+    )
     return {
         "metric": "headline pipelines wall time (extract + relational suite)",
         "value": total,
@@ -163,6 +206,11 @@ def run_benchmarks() -> dict:
         "extract_runs": extract_runs,
         "docs_per_sec_extract": round(n_docs / timings["extract"], 2)
         if timings.get("extract")
+        else None,
+        "n_pdfs_extracted": n_pdf,
+        "pdf_extract_sec": timings.get("pdf_extract"),
+        "docs_per_sec_pdf": round(n_pdf / timings["pdf_extract"], 2)
+        if timings.get("pdf_extract")
         else None,
         "noise_control": control,
     }
