@@ -167,6 +167,7 @@ def _finish_group(group, cfg: PipelineConfig):
             "doc_id": [doc_meta["doc_id"]],
             "spans": [spans],
             "n_spans": [len(spans)],
+            "est_pages": [len(doc_meta.get("pages") or [])],
         }
     )
 

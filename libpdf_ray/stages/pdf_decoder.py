@@ -48,7 +48,8 @@ from ..kernels.pdfobj import (
 )
 from ..kernels.pdftext import PageInterpreter, apply_mat, page_base_ctm
 
-__all__ = ["PdfByteDecoder", "decode_pdf_document", "read_pdf_files"]
+__all__ = ["PdfByteDecoder", "decode_pdf_document", "pdf_page_count",
+           "read_pdf_files"]
 
 
 def _dest_array(pdf: PdfFile, dest):
@@ -373,8 +374,21 @@ def _collect_meta(pdf: PdfFile) -> dict:
     return meta
 
 
-def decode_pdf_document(doc_id: str, data: bytes) -> dict:
+def pdf_page_count(data: bytes) -> int:
+    """Cheap page-count probe: xref + page-tree walk only, NO content
+    interpretation — the skew-scheduling estimate for real PDF corpora
+    (the north rule's repartition-by-estimated-page-count signal)."""
+    return len(PdfFile(data).pages())
+
+
+def decode_pdf_document(doc_id: str, data: bytes,
+                        page_subset=None) -> dict:
     """One PDF file → the engine's internal document dict.
+
+    ``page_subset`` (set of 1-based page numbers) interprets ONLY those
+    pages' content streams — the intra-document parallelism unit for
+    5000-page manuals (the ``pages`` list and catalog stay complete, so
+    every range task derives the identical outline/names context).
 
     Raises :class:`PdfError` on unrecoverable files (encrypted, no
     catalog); the parse stage's poison-row discipline turns that into an
@@ -399,6 +413,8 @@ def decode_pdf_document(doc_id: str, data: bytes) -> dict:
             }
         )
         page_dims[int(pg["number"])] = (float(w), float(h))
+        if page_subset is not None and int(pg["number"]) not in page_subset:
+            continue
         try:
             interp.run_page(pg)
         except PdfError:

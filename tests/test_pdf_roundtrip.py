@@ -108,6 +108,44 @@ def test_metadata_roundtrips():
     )
 
 
+def test_pdf_split_path_identical(ray_session, tmp_path):
+    """Skew-aware page-range split over real PDF bytes: the 5000-page-
+    manual shape at test scale — a heavy written manual splits into page
+    ranges, light docs take the ordinary decode, and the merged output is
+    span-identical to the monolithic byte path."""
+    from libpdf_ray.pipelines.extract import extract_spans
+    from libpdf_ray.pipelines.pdf_split import extract_spans_pdf_split
+    from libpdf_ray.stages.pdf_decoder import PdfByteDecoder, read_pdf_files
+
+    docs = [build_document(500 + i, DEFAULT_FAMILIES[i], skew_pages=4)
+            for i in range(4)]
+    docs.append(build_document(599, "skew", skew_pages=90))  # the manual
+    for d in docs:
+        (tmp_path / f"{d['doc_id']}.pdf").write_bytes(write_pdf(d))
+
+    def spans_by_doc(df):
+        return {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"])
+                          for s in r["spans"]]
+            for _, r in df.iterrows()
+        }
+
+    split = spans_by_doc(
+        extract_spans_pdf_split(
+            str(tmp_path), SMART_CROP_CONFIG,
+            heavy_pages=40, split_pages=16, num_partitions=2,
+        ).to_pandas()
+    )
+    mono = spans_by_doc(
+        extract_spans(
+            read_pdf_files(str(tmp_path)), SMART_CROP_CONFIG,
+            decoder=PdfByteDecoder(),
+        ).to_pandas()
+    )
+    assert split == mono
+    assert len(split) == 5
+
+
 def test_ray_pipeline_over_written_pdfs(ray_session, tmp_path):
     """Write a small synthetic PDF corpus to disk and stream it through
     the Ray byte-decode pipeline — the real-PDF deployment shape at
