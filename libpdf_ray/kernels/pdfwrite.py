@@ -171,8 +171,32 @@ def _iter_words(tb: dict):
         }
 
 
-def write_pdf(doc: dict) -> bytes:
-    """Internal document dict → PDF bytes (classic xref, PDF 1.4)."""
+def _inv_rot(width: float, height: float, rotate: int):
+    """Inverse of the decoder's rotated-page base CTM: maps VISIBLE-page
+    coords (the fixture's space, W×H upright) back to the rotated page's
+    user space, plus the MediaBox to declare.  Used to author pages with
+    /Rotate whose decoded geometry is bit-equal to the upright fixture —
+    the round-trip proof of the decoder's rotation handling."""
+    if rotate == 90:
+        # decoder ctm: (x,y)_user → (y, -x + W)… inverse: (u,v)_visible →
+        # user (x,y) with x = height_user - v? derive from
+        # pdftext.page_base_ctm(mediabox=[0,0,H,W], 90): ctm=(0,1,-1,0,W,0)
+        # device = (W - y, x)  ⇒ user = (v, W - u)
+        return (lambda u, v: (v, width - u)), [0, 0, height, width]
+    if rotate == 180:
+        return (lambda u, v: (width - u, height - v)), [0, 0, width, height]
+    if rotate == 270:
+        # ctm=(0,-1,1,0,0,H): device = (y, H - x) ⇒ user = (H - v, u)
+        return (lambda u, v: (height - v, u)), [0, 0, height, width]
+    return (lambda u, v: (u, v)), [0, 0, width, height]
+
+
+def write_pdf(doc: dict, rotate: int = 0) -> bytes:
+    """Internal document dict → PDF bytes (classic xref, PDF 1.4).
+
+    ``rotate`` ∈ {0, 90, 180, 270} authors every page with /Rotate and
+    pre-transformed content, so the decoded (visible-space) geometry is
+    identical to the upright document."""
     w = _Writer()
     catalog_num = w.reserve()   # 1
     info_num = w.reserve()      # 2
@@ -223,18 +247,40 @@ def write_pdf(doc: dict) -> bytes:
         if oid is not None:
             fixture_obj_map[int(oid)] = page_obj_nums[int(pg["number"])]
 
+    page_dims = {
+        int(p["number"]): (float(p["width"]), float(p["height"]))
+        for p in pages
+    }
+
+    def _inv_for(page_no: int):
+        wv, hv = page_dims.get(int(page_no), (612.0, 792.0))
+        return _inv_rot(wv, hv, rotate)[0]
+
     def dest_array(page_no: int, kind: str, x: float, y: float) -> str:
         pref = page_obj_nums.get(int(page_no))
         if pref is None:
             pref = next(iter(page_obj_nums.values()))
         if kind == "fit":
             return f"[{pref} 0 R /Fit]"
-        return f"[{pref} 0 R /XYZ {_num(x)} {_num(y)} 0]"
+        ux, uy = _inv_for(page_no)(x, y)
+        return f"[{pref} 0 R /XYZ {_num(ux)} {_num(uy)} 0]"
 
     for pg in pages:
         pno = int(pg["number"])
         width, height = float(pg["width"]), float(pg["height"])
+        inv, mediabox = _inv_rot(width, height, rotate)
         ops = []
+        if rotate:
+            # ONE inverse-rotation cm wraps ALL page content (paths,
+            # images, text): emitted coordinates stay the fixture's
+            # visible-space values, and the decoder's /Rotate base CTM
+            # maps them back — round-trip equality proves that math
+            if rotate == 90:
+                ops.append(f"q 0 -1 1 0 0 {_num(width)} cm\n")
+            elif rotate == 180:
+                ops.append(f"q -1 0 0 -1 {_num(width)} {_num(height)} cm\n")
+            else:  # 270
+                ops.append(f"q 0 1 -1 0 {_num(height)} 0 cm\n")
         for seg in by_page_seg.get(pno, []):
             ops.append(
                 f"0 G 0.75 w {_num(float(seg['x0']))} {_num(float(seg['y0']))} m "
@@ -282,6 +328,8 @@ def write_pdf(doc: dict) -> bytes:
                         float(word["y1"]), word.get("ncolor"), "F1",
                     )
                 )
+        if rotate:
+            ops.append("Q\n")  # close the inverse-rotation frame
         content_num = w.add(_stream_obj("", "".join(ops).encode("latin-1")))
 
         annot_refs = []
@@ -289,17 +337,21 @@ def write_pdf(doc: dict) -> bytes:
             if (ann.get("subtype") or "") != "Link":
                 # noise annots pass through with their subtype
                 subtype = ann.get("subtype") or "Square"
+                na, nb = _inv_for(pno)(float(ann["x0"]), float(ann["y0"]))
+                nc_, nd = _inv_for(pno)(float(ann["x1"]), float(ann["y1"]))
                 annot_refs.append(
                     w.add(
                         f"<< /Type /Annot /Subtype /{subtype} /Rect "
-                        f"[{_num(float(ann['x0']))} {_num(float(ann['y0']))} "
-                        f"{_num(float(ann['x1']))} {_num(float(ann['y1']))}] >>"
+                        f"[{_num(min(na, nc_))} {_num(min(nb, nd))} "
+                        f"{_num(max(na, nc_))} {_num(max(nb, nd))}] >>"
                     )
                 )
                 continue
+            ia, ib = _inv_for(pno)(float(ann["x0"]), float(ann["y0"]))
+            ic, idd = _inv_for(pno)(float(ann["x1"]), float(ann["y1"]))
             rect_s = (
-                f"[{_num(float(ann['x0']))} {_num(float(ann['y0']))} "
-                f"{_num(float(ann['x1']))} {_num(float(ann['y1']))}]"
+                f"[{_num(min(ia, ic))} {_num(min(ib, idd))} "
+                f"{_num(max(ia, ic))} {_num(max(ib, idd))}]"
             )
             kind = ann.get("dest_kind") or ""
             enc = ann.get("encoding") or "dest"
@@ -334,10 +386,12 @@ def write_pdf(doc: dict) -> bytes:
             if annot_refs
             else ""
         )
+        rot_s = f" /Rotate {rotate}" if rotate else ""
         w.set(
             page_obj_nums[pno],
             f"<< /Type /Page /Parent {pages_root} 0 R "
-            f"/MediaBox [0 0 {_num(width)} {_num(height)}] "
+            f"/MediaBox [0 0 {_num(mediabox[2])} {_num(mediabox[3])}]"
+            f"{rot_s} "
             f"/Resources << /Font << /F1 {font_num} 0 R >> "
             f"/XObject << /Im1 {img_num} 0 R >> >> "
             f"/Contents {content_num} 0 R{annots_s} >>",

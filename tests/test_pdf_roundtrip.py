@@ -92,6 +92,69 @@ def test_splitchapter_falls_back_to_virt_number():
             assert g[1].split(" ", 1)[-1] == w[1].split(" ", 1)[-1]
 
 
+@pytest.mark.parametrize("rotate", [90, 180, 270])
+def test_rotated_pages_roundtrip(rotate):
+    """Pages authored with /Rotate (content pre-transformed through the
+    inverse base CTM, the idiom real producers use for landscape pages)
+    must decode to the SAME spans as the upright document — proving the
+    decoder's rotation handling (page_base_ctm) end-to-end."""
+    for family in ("outlined", "tables", "linked"):
+        doc = build_document(150, family, skew_pages=6)
+        dec = decode_pdf_document(
+            doc["doc_id"], write_pdf(doc, rotate=rotate)
+        )
+        got = _key(extract_document(dec, SMART_CROP_CONFIG))
+        assert got == _key(doc["expected_spans"]), f"{family} rot={rotate}"
+        # visible page dims keep the upright shape
+        pg = dec["pages"][0]
+        src = doc["pages"][0]
+        assert abs(pg["width"] - float(src["width"])) < 1e-6
+        assert abs(pg["height"] - float(src["height"])) < 1e-6
+
+
+def test_corrupted_pdfs_become_poison_rows_not_dead_tasks():
+    """Byte-level fuzz over a written PDF (truncation, bit flips, xref
+    vandalism, random splices): every corrupted document must land as a
+    normal row — error string or recovered spans — never an exception
+    out of parse_batch (at 10^12 docs a poison byte must not kill a
+    task)."""
+    import random
+
+    import pyarrow as pa
+
+    from libpdf_ray.stages.parse import parse_batch
+    from libpdf_ray.stages.pdf_decoder import PdfByteDecoder
+
+    rng = random.Random(7)
+    base = write_pdf(build_document(42, "outlined", skew_pages=4))
+    payloads, ids = [], []
+    for i in range(40):
+        b = bytearray(base)
+        mode = i % 4
+        if mode == 0:
+            b = b[: rng.randrange(10, len(b))]
+        elif mode == 1:
+            for _ in range(rng.randrange(1, 30)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif mode == 2:
+            b = bytearray(bytes(b).replace(b"startxref", b"startxrEF"))
+        else:
+            p = rng.randrange(len(b))
+            b[p:p] = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
+        payloads.append(bytes(b))
+        ids.append(f"fuzz{i}")
+    batch = pa.table(
+        {"doc_id": pa.array(ids), "pdf_bytes": pa.array(payloads, pa.binary())}
+    )
+    df = parse_batch(
+        batch, SMART_CROP_CONFIG, decoder=PdfByteDecoder()
+    ).to_pandas()
+    assert len(df) == 40  # every row accounted for
+    # xref vandalism must be RECOVERED by the rescan fallback, not errored
+    recovered = df[(df["error"] == "") & (df["n_spans"] > 0)]
+    assert len(recovered) >= 10
+
+
 def test_metadata_roundtrips():
     doc = build_document(111, "plain", skew_pages=6)
     dec = decode_pdf_document(doc["doc_id"], write_pdf(doc))
