@@ -64,13 +64,21 @@ def _probe_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _light_parse(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+def _light_parse(batch: pa.Table, cfg: PipelineConfig,
+                 heavy_pages: int) -> pa.Table:
     """Ordinary per-doc byte decode for the light rows (reads bytes in
     the task — no driver materialization, no object-store hop for the
-    raw file)."""
+    raw file).  The light/heavy ROUTE happens inside the batch UDF, not
+    as a row filter: a row filter leaves probe-schema empty blocks that
+    skipped map UDFs carry into the union, where the schema mismatch
+    kills downstream exchanges (the round-4 normalize_blocks lesson) —
+    this stage always emits the parse schema, possibly with 0 rows."""
+    import pyarrow.compute as pc
+
     from ..stages.parse import parse_batch
     from ..stages.pdf_decoder import PdfByteDecoder
 
+    batch = batch.filter(pc.less(batch.column("n_pages"), heavy_pages))
     payloads = []
     for p in batch.column("path").to_pylist():
         with open(p, "rb") as fh:
@@ -84,12 +92,30 @@ def _light_parse(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     return parse_batch(raw, cfg, decoder=PdfByteDecoder())
 
 
-def _range_rows(batch: pa.Table, split_pages: int):
-    """One heavy probe row → one sub-row per page range."""
+_RANGE_SCHEMA = pa.schema(
+    [
+        ("path", pa.string()),
+        ("doc_id", pa.string()),
+        ("split_id", pa.int32()),
+        ("n_splits", pa.int32()),
+        ("range", pa.list_(pa.int32())),
+    ]
+)
+
+
+def _range_rows(batch: pa.Table, split_pages: int, heavy_pages: int):
+    """Heavy probe rows → one sub-row per page range.  The heavy filter
+    lives HERE (see _light_parse note); a batch with no heavy rows emits
+    one 0-row table with the RANGE schema so no probe-schema block ever
+    reaches the shuffle."""
+    emitted = False
     for ri in range(batch.num_rows):
+        n = int(batch.column("n_pages")[ri].as_py())
+        if n < heavy_pages:
+            continue
+        emitted = True
         path = batch.column("path")[ri].as_py()
         doc_id = batch.column("doc_id")[ri].as_py()
-        n = int(batch.column("n_pages")[ri].as_py())
         ranges = [
             list(range(lo, min(lo + split_pages, n + 1)))
             for lo in range(1, n + 1, split_pages)
@@ -104,6 +130,8 @@ def _range_rows(batch: pa.Table, split_pages: int):
                     "range": pa.array([rng], pa.list_(pa.int32())),
                 }
             )
+    if not emitted:
+        yield _RANGE_SCHEMA.empty_table()
 
 
 def _prepare_range(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
@@ -177,18 +205,17 @@ def extract_spans_pdf_split(
         override_num_blocks=max(1, len(files) // 16),
     ).map_batches(_probe_batch, batch_format="pyarrow")
 
-    light = probe.filter(
-        lambda row: row["n_pages"] < heavy_pages
-    ).map_batches(
-        _light_parse, fn_kwargs={"cfg": cfg},
+    light = probe.map_batches(
+        _light_parse, fn_kwargs={"cfg": cfg, "heavy_pages": heavy_pages},
         batch_format="pyarrow", batch_size=16,
     )
 
     heavy = (
-        probe.filter(lambda row: row["n_pages"] >= heavy_pages)
-        .map_batches(
-            _range_rows, fn_kwargs={"split_pages": split_pages},
-            batch_format="pyarrow", batch_size=1,
+        probe.map_batches(
+            _range_rows,
+            fn_kwargs={"split_pages": split_pages,
+                       "heavy_pages": heavy_pages},
+            batch_format="pyarrow", batch_size=4,
         )
         # spread sub-rows so one manual's ranges run on many workers
         .repartition(num_partitions * 4)
