@@ -516,6 +516,26 @@ def read_pdf_files(paths, parallelism: int = -1):
     driver."""
     import ray.data
 
+    # Clamp read parallelism to the file count: Ray's default block-split
+    # heuristic can request more read tasks than files, and the resulting
+    # EMPTY read blocks skip every fused map UDF — they then carry a
+    # schema-less RefBundle into any later union/shuffle (the intermittent
+    # HashShuffleAggregator failure documented in pipelines/pdf_split.py).
+    # Local dirs/lists are counted directly; non-local paths keep the
+    # caller's parallelism (object-store listings happen inside Ray).
+    if parallelism == -1:
+        import os
+
+        n_files = 0
+        if isinstance(paths, str) and os.path.isdir(paths):
+            n_files = sum(
+                1 for f in os.listdir(paths) if f.lower().endswith(".pdf")
+            )
+        elif isinstance(paths, (list, tuple)):
+            n_files = len(paths)
+        if n_files > 0:
+            parallelism = min(n_files, 200)
+
     ds = ray.data.read_binary_files(
         paths,
         include_paths=True,
