@@ -956,6 +956,11 @@ _CONTENT_TOKEN_RE = re.compile(
 )
 _NAME_HEX_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
 
+# Token intern caches (process-lifetime; the operator/name vocabulary of
+# PDF content streams is tiny and repeats per glyph run).
+_KW_CACHE: dict = {}
+_NAME_CACHE: dict = {}
+
 
 def _scan_literal(data: bytes, pos: int):
     """Literal-string scanner shared with the generic lexer (same escape
@@ -980,45 +985,61 @@ class ContentLexer:
         self.pos = pos
 
     def parse(self, in_content: bool = True):  # signature-compatible
+        # Group indices follow the pattern's declaration order:
+        # 1=num 2=name 3=do 4=dc 5=hex 6=ao 7=ac 8=lp 9=kw 10=cm 11=other.
+        # Integer dispatch + interned Keyword/Name tokens: operators and
+        # resource names repeat thousands of times per page, so per-token
+        # allocation is pure overhead (profiled hot).
         data = self.data
         while True:
             m = _CONTENT_TOKEN_RE.match(data, self.pos)
             if m is None or m.end() == self.pos:
                 raise PdfError("unexpected end of data")
             self.pos = m.end()
-            g = m.lastgroup
-            if g == "num":
-                tok = m.group("num")
+            g = m.lastindex
+            if g == 1:  # num
+                tok = m.group(1)
                 return float(tok) if b"." in tok else int(tok)
-            if g == "kw":
-                kw = m.group("kw")
-                if kw == b"true":
-                    return True
-                if kw == b"false":
-                    return False
-                if kw == b"null":
-                    return NULL
-                return Keyword(kw)
-            if g == "name":
-                raw = m.group("name")[1:]
-                if b"#" in raw:
-                    raw = _NAME_HEX_RE.sub(
-                        lambda mm: bytes([int(mm.group(1), 16)]), raw
-                    )
-                return Name(raw.decode("latin-1"))
-            if g == "hex":
+            if g == 9:  # kw
+                kw = m.group(9)
+                tok = _KW_CACHE.get(kw)
+                if tok is None:
+                    if kw == b"true":
+                        return True
+                    if kw == b"false":
+                        return False
+                    if kw == b"null":
+                        return NULL
+                    if len(_KW_CACHE) > 4096:  # pathological-input guard
+                        _KW_CACHE.clear()
+                    tok = _KW_CACHE[kw] = Keyword(kw)
+                return tok
+            if g == 2:  # name
+                raw = m.group(2)
+                tok = _NAME_CACHE.get(raw)
+                if tok is None:
+                    body = raw[1:]
+                    if b"#" in body:
+                        body = _NAME_HEX_RE.sub(
+                            lambda mm: bytes([int(mm.group(1), 16)]), body
+                        )
+                    if len(_NAME_CACHE) > 65536:  # pathological-input guard
+                        _NAME_CACHE.clear()
+                    tok = _NAME_CACHE[raw] = Name(body.decode("latin-1"))
+                return tok
+            if g == 5:  # hex string
                 digits = bytes(
-                    b for b in m.group("hex")[1:-1]
+                    b for b in m.group(5)[1:-1]
                     if (0x30 <= b <= 0x39) or (0x41 <= b <= 0x46)
                     or (0x61 <= b <= 0x66)
                 )
                 if len(digits) % 2:
                     digits += b"0"
                 return bytes.fromhex(digits.decode("ascii"))
-            if g == "lp":
+            if g == 8:  # lp
                 s, self.pos = _scan_literal(data, self.pos)
                 return s
-            if g == "ao":
+            if g == 6:  # ao
                 out = []
                 while True:
                     o = self.parse()
@@ -1027,9 +1048,9 @@ class ContentLexer:
                     if o is _DICT_END:
                         continue  # malformed; skip
                     out.append(o)
-            if g == "ac":
+            if g == 7:  # ac
                 return _ARR_END
-            if g == "do":
+            if g == 3:  # do
                 d = {}
                 while True:
                     k = self.parse()
@@ -1038,9 +1059,9 @@ class ContentLexer:
                     if k is _ARR_END or not isinstance(k, Name):
                         continue  # malformed key; resync
                     d[str(k)] = self.parse()
-            if g == "dc":
+            if g == 4:  # dc
                 return _DICT_END
-            if g == "cm":
-                continue  # comment
-            # "other": stray delimiter byte → operator-ish token
-            return Keyword(m.group("other"))
+            if g == 10:  # comment
+                continue
+            # g == 11 "other": stray delimiter byte → operator-ish token
+            return Keyword(m.group(11))
