@@ -541,9 +541,10 @@ class PageInterpreter:
                     tlm = tuple(float(v) for v in stack[-6:])
                     tm = tlm
                 elif op == b"Td":
-                    tlm = mat_mult(
-                        (1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm
-                    )
+                    tx, ty = float(stack[-2]), float(stack[-1])
+                    tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
+                           tx * tlm[0] + ty * tlm[2] + tlm[4],
+                           tx * tlm[1] + ty * tlm[3] + tlm[5])
                     tm = tlm
                 elif op == b"Tf":
                     if len(stack) >= 2 and isinstance(stack[-2], Name):
@@ -565,12 +566,15 @@ class PageInterpreter:
                     tm = self._show_tj(stack[-1], gs, tm)
                 elif op == b"TD":
                     gs.tl = -float(stack[-1])
-                    tlm = mat_mult(
-                        (1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm
-                    )
+                    tx, ty = float(stack[-2]), float(stack[-1])
+                    tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
+                           tx * tlm[0] + ty * tlm[2] + tlm[4],
+                           tx * tlm[1] + ty * tlm[3] + tlm[5])
                     tm = tlm
                 elif op == b"T*":
-                    tlm = mat_mult((1, 0, 0, 1, 0, -gs.tl), tlm)
+                    ty = -gs.tl
+                    tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
+                           ty * tlm[2] + tlm[4], ty * tlm[3] + tlm[5])
                     tm = tlm
                 elif op == b"TL":
                     gs.tl = float(stack[-1])
@@ -650,10 +654,13 @@ class PageInterpreter:
     def _show_tj(self, arr, gs: _GState, tm):
         if not isinstance(arr, list):
             return tm
+        k = -gs.fsize * gs.th / 1000.0
         for item in arr:
             if isinstance(item, (int, float)):
-                tx = -float(item) / 1000.0 * gs.fsize * gs.th
-                tm = mat_mult((1, 0, 0, 1, tx, 0), tm)
+                # translation-only premultiply: keeps tm's linear part
+                tx = float(item) * k
+                tm = (tm[0], tm[1], tm[2], tm[3],
+                      tx * tm[0] + tm[4], tx * tm[1] + tm[5])
             elif isinstance(item, (bytes, bytearray)):
                 tm = self._show(bytes(item), gs, tm)
         return tm
@@ -718,7 +725,8 @@ class PageInterpreter:
             ox += adv * ma
             oy += adv * mb
             total_adv += adv
-        return mat_mult((1, 0, 0, 1, total_adv, 0), tm)
+        return (tm[0], tm[1], tm[2], tm[3],
+                total_adv * tm[0] + tm[4], total_adv * tm[1] + tm[5])
 
     # -- paths -------------------------------------------------------
 
