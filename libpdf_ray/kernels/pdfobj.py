@@ -961,6 +961,13 @@ _NAME_HEX_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
 _KW_CACHE: dict = {}
 _NAME_CACHE: dict = {}
 
+# every byte that is NOT a hex digit — one translate() strips garbage from
+# hex strings (CID text is hex-string dense; a per-byte genexpr was hot)
+_NON_HEX_BYTES = bytes(
+    b for b in range(256)
+    if not ((0x30 <= b <= 0x39) or (0x41 <= b <= 0x46) or (0x61 <= b <= 0x66))
+)
+
 
 def _scan_literal(data: bytes, pos: int):
     """Literal-string scanner shared with the generic lexer (same escape
@@ -993,9 +1000,12 @@ class ContentLexer:
         data = self.data
         while True:
             m = _CONTENT_TOKEN_RE.match(data, self.pos)
-            if m is None or m.end() == self.pos:
+            if m is None:
                 raise PdfError("unexpected end of data")
-            self.pos = m.end()
+            end = m.end()
+            if end == self.pos:
+                raise PdfError("unexpected end of data")
+            self.pos = end
             g = m.lastindex
             if g == 1:  # num
                 tok = m.group(1)
@@ -1028,11 +1038,7 @@ class ContentLexer:
                     tok = _NAME_CACHE[raw] = Name(body.decode("latin-1"))
                 return tok
             if g == 5:  # hex string
-                digits = bytes(
-                    b for b in m.group(5)[1:-1]
-                    if (0x30 <= b <= 0x39) or (0x41 <= b <= 0x46)
-                    or (0x61 <= b <= 0x66)
-                )
+                digits = m.group(5)[1:-1].translate(None, _NON_HEX_BYTES)
                 if len(digits) % 2:
                     digits += b"0"
                 return bytes.fromhex(digits.decode("ascii"))
