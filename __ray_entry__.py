@@ -554,6 +554,18 @@ def _q_boilerplate(sf_dir: str):
     )
 
 
+def _q_html_main_text(sf_dir: str):
+    from libpdf_ray.ops.html import q_html_main_text
+
+    return q_html_main_text(sf_dir)
+
+
+def _q_html_block_stats(sf_dir: str):
+    from libpdf_ray.ops.html import q_html_block_stats
+
+    return q_html_block_stats(sf_dir)
+
+
 def _q_main_content(sf_dir: str):
     """Readability-style span classification (heading/anchor/content/nav/
     main) over the extracted corpus — link-density DOM heuristics on the
@@ -580,6 +592,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS snapshots (r1-r4 stopped at 50) have never
         # hash-checked come FIRST, so CORRECTNESS_r05 ∪ {r1-r4} covers
         # every oracle query at least once (round-4 verdict, next #8) ----
+        # HTML main-content extraction (north rule: "HTML boilerplate
+        # strip … DOM heuristics"); renderer-as-oracle — extraction must
+        # invert the deterministic page chrome exactly
+        "html_main_text": _q_html_main_text,
+        "html_block_stats": _q_html_block_stats,
         "elements": _q_elements,
         "file_meta": _q_file_meta,
         "pages": _q_pages,
@@ -779,6 +796,24 @@ def oracle_sql() -> dict[str, str]:
     """
 
     return {
+        # --- HTML main-content extraction (renderer-as-oracle): the DOM
+        # extractor must strip every piece of injected chrome and recover
+        # the source text exactly, so the oracle is a plain projection ---
+        "html_main_text": """
+            SELECT doc_id, text AS main_text,
+                   trim(substr(text, 1, 40)) AS title
+            FROM documents
+        """,
+        "html_block_stats": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(trim(text))
+                                 - length(replace(trim(text), ' ', '')) + 1
+                            END) AS BIGINT) AS total_words
+            FROM documents
+            GROUP BY source
+        """,
         # --- extraction views: hash-checked against the generator oracle ---
         "extract_spans": f"""
             SELECT doc_id, unnest(expected_spans, recursive := true)

@@ -1,0 +1,145 @@
+"""HTML main-content extraction over Ray Data — the "HTML boilerplate
+strip, DOM heuristics" leg of the north rule.
+
+Deployment shape: a corpus of raw HTML pages streams through an
+actor-pool ``map_batches`` stage (the parser tables compile once per
+actor in ``__init__``), each page parsed into a DOM and reduced to its
+main-content record (kernels/htmldom.py).  Per-document python parsing
+IS the workload here, exactly like the PDF byte decoder — the
+distribution win is Ray streaming blocks of pages through the pool with
+backpressure, not vectorizing the parse itself.
+
+Oracle loop: this container has no real HTML corpus, so the pipeline's
+first stage *renders* one deterministically from the ``documents`` table
+(``render_html`` wraps each row's ``text`` in seeded page chrome — nav,
+sidebar, inline ads, comments, footer).  Extraction must then recover
+``text`` EXACTLY, making the DuckDB oracle a plain projection of the
+source table: a hash-checked, end-to-end contract on the whole
+strip-the-boilerplate path (the generator-as-oracle pattern of
+kernels/pdfwrite.py).  At real scale the render stage is replaced by
+``read_parquet``/``read_binary_files`` over stored pages; nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+DOC_COLUMNS = ["doc_id", "text", "lang", "source"]
+
+
+def render_pages_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text, lang, source) → (doc_id, source, html).
+
+    Deterministic per doc_id — replayable on task retry."""
+    from ..kernels.htmldom import render_html
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    pages = [
+        render_html(i, t or "", lang or "en")
+        for i, t, lang in zip(ids, texts, langs)
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "html": pa.array(pages, pa.string()),
+        }
+    )
+
+
+class HtmlMainExtractor:
+    """Actor-pool stage: (doc_id, source, html) → main-content record.
+
+    One DOM parse per page; prune tables/regexes are module-level
+    compiled constants, and the actor form keeps the parser warm across
+    batches (and gives the stage an explicit concurrency knob)."""
+
+    def __init__(self):
+        from ..kernels.htmldom import extract_main
+
+        self._extract = extract_main
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ex = self._extract
+        recs = [ex(h or "") for h in batch.column("html").to_pylist()]
+        n_words = [
+            len(r["main_text"].split(" ")) if r["main_text"] else 0 for r in recs
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "main_text": pa.array([r["main_text"] for r in recs], pa.string()),
+                "title": pa.array([r["title"] for r in recs], pa.string()),
+                "n_blocks": pa.array([r["n_blocks"] for r in recs], pa.int64()),
+                "n_dropped": pa.array([r["n_dropped"] for r in recs], pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+            }
+        )
+
+
+def html_extract_dataset(sf_dir: str):
+    """documents.parquet → rendered pages → extracted main-content table."""
+    from .util import read_sized
+
+    ds = read_sized(f"{sf_dir}/documents.parquet", columns=DOC_COLUMNS)
+    pages = ds.map_batches(render_pages_batch, batch_format="pyarrow")
+    return pages.map_batches(
+        HtmlMainExtractor,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=64,
+    )
+
+
+def q_html_main_text(sf_dir: str):
+    """Per-document extracted main text + title.
+
+    Oracle: the extraction must invert the renderer exactly —
+    ``SELECT doc_id, text AS main_text, substr(text,1,40) AS title``."""
+    return html_extract_dataset(sf_dir).select_columns(
+        ["doc_id", "main_text", "title"]
+    )
+
+
+def q_html_block_stats(sf_dir: str):
+    """Per-source totals of the extracted main content (docs, words).
+
+    Word counts survive the render→parse→strip round trip exactly, so
+    the oracle derives them from the source text alone."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate(
+            [("doc_id", "count"), ("n_words", "sum")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": g.column("doc_id_count").cast(pa.int64()),
+                "total_words": g.column("n_words_sum").cast(pa.int64()),
+            }
+        )
+
+    from .util import combine_partials
+
+    ds = html_extract_dataset(sf_dir).select_columns(
+        ["source", "doc_id", "n_words"]
+    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df):
+        return (
+            df.groupby("source", as_index=False)
+            .agg(n_docs=("n_docs", "sum"), total_words=("total_words", "sum"))
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+
+    # source cardinality is tiny (one key per corpus source); plain
+    # per-key sums are associative, so merge doubles as the tree reducer
+    return combine_partials(
+        partials, merge, key_cols="source", est_keys=64, merge_fn=merge
+    )

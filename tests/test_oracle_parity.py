@@ -90,6 +90,9 @@ CHECKED = [
     "main_content",
     "chunk_docs",
     "mixture_sample",
+    # round-5: HTML main-content extraction (renderer-as-oracle)
+    "html_main_text",
+    "html_block_stats",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
