@@ -50,48 +50,59 @@ def render_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-class HtmlMainExtractor:
-    """Actor-pool stage: (doc_id, source, html) → main-content record.
+def extract_main_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, source, html) → main-content record, one DOM parse per
+    page.  STATELESS on purpose: the prune tables and regexes are
+    module-level compiled constants, so there is nothing to warm up —
+    plain tasks reach full width immediately, where an autoscaling actor
+    pool spends the whole job ramping (measured 3.6 → 3.0 s at sf0.1;
+    same round-2 finding as the parse stage)."""
+    from ..kernels.htmldom import extract_main as ex
 
-    One DOM parse per page; prune tables/regexes are module-level
-    compiled constants, and the actor form keeps the parser warm across
-    batches (and gives the stage an explicit concurrency knob)."""
-
-    def __init__(self):
-        from ..kernels.htmldom import extract_main
-
-        self._extract = extract_main
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ex = self._extract
-        recs = [ex(h or "") for h in batch.column("html").to_pylist()]
-        n_words = [
-            len(r["main_text"].split(" ")) if r["main_text"] else 0 for r in recs
-        ]
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "source": batch.column("source"),
-                "main_text": pa.array([r["main_text"] for r in recs], pa.string()),
-                "title": pa.array([r["title"] for r in recs], pa.string()),
-                "n_blocks": pa.array([r["n_blocks"] for r in recs], pa.int64()),
-                "n_dropped": pa.array([r["n_dropped"] for r in recs], pa.int64()),
-                "n_words": pa.array(n_words, pa.int64()),
-            }
-        )
+    recs = [ex(h or "") for h in batch.column("html").to_pylist()]
+    n_words = [
+        len(r["main_text"].split(" ")) if r["main_text"] else 0 for r in recs
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "main_text": pa.array([r["main_text"] for r in recs], pa.string()),
+            "title": pa.array([r["title"] for r in recs], pa.string()),
+            "n_blocks": pa.array([r["n_blocks"] for r in recs], pa.int64()),
+            "n_dropped": pa.array([r["n_dropped"] for r in recs], pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+        }
+    )
 
 
 def html_extract_dataset(sf_dir: str):
-    """documents.parquet → rendered pages → extracted main-content table."""
-    from .util import read_sized
+    """documents.parquet → rendered pages → extracted main-content table.
 
-    ds = read_sized(f"{sf_dir}/documents.parquet", columns=DOC_COLUMNS)
+    The cost here is per-DOCUMENT python (DOM parse), not bytes, so block
+    count must track row count, not file size: a compressed corpus small
+    enough for one read block would otherwise serialize the whole render +
+    parse behind a single task (measured: the repartition takes ~0.1 s and
+    the stage goes wall-parallel).  At real corpus sizes the read already
+    produces enough blocks and the repartition is a no-op-sized reshuffle
+    of block metadata."""
+    import math
+    import os
+
+    from .util import TARGET_READ_BLOCK_BYTES, parquet_row_count, read_sized
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_sized(path, columns=DOC_COLUMNS)
+    row_blocks = max(1, min(64, parquet_row_count(path) // 64))
+    try:
+        size_blocks = math.ceil(os.path.getsize(path) / TARGET_READ_BLOCK_BYTES)
+    except OSError:
+        size_blocks = row_blocks
+    if size_blocks < row_blocks:  # small file, many docs: read under-splits
+        ds = ds.repartition(row_blocks)
     pages = ds.map_batches(render_pages_batch, batch_format="pyarrow")
     return pages.map_batches(
-        HtmlMainExtractor,
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        batch_size=64,
+        extract_main_batch, batch_format="pyarrow", batch_size=64
     )
 
 

@@ -122,7 +122,7 @@ class TestRendererRoundtrip:
 
 class TestRayPipeline:
     def test_extractor_batch_schema(self, ray_session):
-        from libpdf_ray.ops.html import HtmlMainExtractor, render_pages_batch
+        from libpdf_ray.ops.html import extract_main_batch, render_pages_batch
 
         batch = pa.table(
             {
@@ -134,7 +134,7 @@ class TestRayPipeline:
         )
         pages = render_pages_batch(batch)
         assert pages.column_names == ["doc_id", "source", "html"]
-        out = HtmlMainExtractor()(pages)
+        out = extract_main_batch(pages)
         assert out.column("main_text").to_pylist() == ["one two three", ""]
         assert out.column("n_words").to_pylist() == [3, 0]
 
