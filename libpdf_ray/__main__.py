@@ -21,13 +21,15 @@ def build_parser() -> argparse.ArgumentParser:
         description="Ray-Data-native structured-document span extraction",
     )
     p.add_argument("input_dir", help="corpus directory of sidecar parquet "
-                   "shards (or of real .pdf files with --input-format pdf)")
+                   "shards (or of real .pdf/.html files with --input-format)")
     p.add_argument("-o", "--output", required=True, help="output directory")
     p.add_argument("--input-format", default="sidecar",
-                   choices=("sidecar", "pdf"),
+                   choices=("sidecar", "pdf", "html"),
                    help="sidecar: raw-layout parquet corpus (default); "
                         "pdf: a directory/glob of real PDF files decoded "
-                        "by the pure-stdlib PdfByteDecoder")
+                        "by the pure-stdlib PdfByteDecoder; "
+                        "html: a directory of .html pages reduced to "
+                        "main-content spans by the DOM heuristics")
     p.add_argument("--page-range", default="", help="e.g. '3-5,7' (default: all)")
     p.add_argument("--smart-page-crop", action="store_true")
     p.add_argument("--page-crop", default="", metavar="T,B,L,R",
@@ -125,6 +127,16 @@ def main(argv=None) -> int:
         print(f"unknown view(s): {', '.join(unknown)}", file=sys.stderr)
         return 2
 
+    if args.input_format == "html" and (
+        args.format == "yaml" or view_names or args.visual_debug
+        or args.media_dir
+    ):
+        # HTML pages reduce to text spans; there is no page geometry to
+        # render and no element model beyond chapter/paragraph
+        print("--input-format html supports span extraction only "
+              "(no yaml/views/visual-debug/media modes)", file=sys.stderr)
+        return 2
+
     def read_input():
         # fresh Dataset per consumer (Datasets are re-executable, but a
         # fresh plan keeps the logs and stats per stage honest)
@@ -157,14 +169,23 @@ def main(argv=None) -> int:
             "spans": stats["n_spans"],
             "output": args.output,
         }
-    elif args.input_format == "pdf":
-        # real-PDF corpus: stream spans straight to partitioned parquet
-        # (resume manifests are a parquet-shard concept; PDF runs re-read
-        # only the PDFs, which is the whole job)
-        from libpdf_ray.pipelines.extract import extract_spans
-
+    elif args.input_format in ("pdf", "html"):
+        # real-file corpus: stream spans straight to partitioned parquet
+        # (resume manifests are a parquet-shard concept; PDF/HTML runs
+        # re-read only the source files, which is the whole job)
         out_dir = os.path.join(args.output, "spans")
-        extract_spans(read_input(), cfg).write_parquet(out_dir)
+        if args.input_format == "html":
+            from libpdf_ray.ops.html import html_spans_batch, read_html_files
+
+            spans_ds = read_html_files(args.input_dir).map_batches(
+                html_spans_batch, batch_format="pyarrow",
+                batch_size=args.batch_size,
+            )
+        else:
+            from libpdf_ray.pipelines.extract import extract_spans
+
+            spans_ds = extract_spans(read_input(), cfg)
+        spans_ds.write_parquet(out_dir)
         # summarize from the WRITTEN columns (pruned re-read, not a second
         # full decode of every PDF)
         stats = manifest_summary(

@@ -219,34 +219,39 @@ def _flatten_inline(node: _Node) -> tuple[str, int]:
     return "".join(pieces), link
 
 
-def extract_main(html_text: str) -> dict:
-    """HTML string → main-content record.
+def extract_blocks(html_text: str) -> tuple[str, list[str], int]:
+    """HTML string → (title, kept block texts in document order, n_dropped).
 
-    Returns ``{"main_text", "title", "n_blocks", "n_dropped",
-    "link_density"}`` where ``main_text`` is the space-joined text of the
-    blocks that survive structural pruning and the link-density rule, in
-    document order.
+    The block list is the per-paragraph view of the main content — what a
+    span-document needs; ``extract_main`` is the joined convenience form.
     """
     root, title = parse_html(html_text)
     blocks: list[tuple[str, int, int]] = []
     _collect_blocks(root, blocks)
     kept: list[str] = []
     dropped = 0
-    tot_link = tot_chars = 0
     for text, link_chars, total_chars in blocks:
-        tot_link += link_chars
-        tot_chars += total_chars
         if total_chars and link_chars / total_chars > LINK_DENSITY_MAX:
             dropped += 1
             continue
         kept.append(text)
+    return title, kept, dropped
+
+
+def extract_main(html_text: str) -> dict:
+    """HTML string → main-content record.
+
+    Returns ``{"main_text", "title", "n_blocks", "n_dropped"}`` where
+    ``main_text`` is the space-joined text of the blocks that survive
+    structural pruning and the link-density rule, in document order.
+    """
+    title, kept, dropped = extract_blocks(html_text)
     main_text = " ".join(" ".join(kept).split())
     return {
         "main_text": main_text,
         "title": title,
         "n_blocks": len(kept),
         "n_dropped": dropped,
-        "link_density": (tot_link / tot_chars) if tot_chars else 0.0,
     }
 
 

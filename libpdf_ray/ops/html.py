@@ -106,6 +106,111 @@ def html_extract_dataset(sf_dir: str):
     )
 
 
+def read_html_files(paths, parallelism: int = -1):
+    """.html/.htm file paths (or a directory) → Dataset of
+    ``{doc_id, html}`` rows.
+
+    Same read-task sizing as ``read_pdf_files`` (stages/pdf_decoder.py):
+    never more read tasks than files (empty blocks skip the fused UDF
+    chain and ship schema-less bundles), and no more than ~2× cluster
+    CPUs (fixed per-task dispatch dominates tiny tasks)."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    if parallelism == -1:
+        n_files = 0
+        if isinstance(paths, str) and os.path.isdir(paths):
+            n_files = sum(
+                1
+                for f in os.listdir(paths)
+                if f.lower().endswith((".html", ".htm"))
+            )
+        elif isinstance(paths, (list, tuple)):
+            n_files = len(paths)
+        if n_files > 0:
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 32))
+            except Exception:
+                cpus = 32
+            parallelism = min(n_files, max(8, 2 * cpus))
+
+    ds = rd.read_binary_files(
+        paths,
+        include_paths=True,
+        parallelism=parallelism,
+        file_extensions=["html", "htm", "HTML", "HTM"],
+    )
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        import os as _os
+
+        ids = [
+            _os.path.splitext(_os.path.basename(p))[0]
+            for p in batch.column("path").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "html": batch.column("bytes").cast(pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_rows, batch_format="pyarrow")
+
+
+def html_spans_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, html) → the engine's span-document shape
+    ``(doc_id, spans, n_spans, est_pages, error)``.
+
+    The page ``<title>`` becomes a ``chapter`` span at offset 0 and each
+    surviving content block a ``paragraph`` span — the same ordered-span
+    contract the PDF and sidecar decoders emit, so every downstream stage
+    (views, dedup, yaml dump, checkpointed writes) runs unchanged on HTML
+    input.  Poison-document discipline as in stages/parse.py: a page that
+    breaks the parser becomes an error row, never a dead task."""
+    from ..kernels.htmldom import extract_blocks
+    from ..schema import SPANS_TYPE
+
+    doc_ids, spans_col, n_spans, errors = [], [], [], []
+    for doc_id, html in zip(
+        batch.column("doc_id").to_pylist(), batch.column("html").to_pylist()
+    ):
+        try:
+            title, blocks, _dropped = extract_blocks(html or "")
+            spans = []
+            off = 0
+            if title:
+                spans.append(
+                    {"kind": "chapter", "text": title,
+                     "media_ref": "", "offset": off}
+                )
+                off += 1
+            for text in blocks:
+                spans.append(
+                    {"kind": "paragraph", "text": text,
+                     "media_ref": "", "offset": off}
+                )
+                off += 1
+            errors.append("")
+        except Exception as exc:  # noqa: BLE001 — poison-row discipline
+            spans = []
+            errors.append(f"{type(exc).__name__}: {exc}")
+        doc_ids.append(doc_id)
+        spans_col.append(spans)
+        n_spans.append(len(spans))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "spans": pa.array(spans_col, SPANS_TYPE),
+            "n_spans": pa.array(n_spans, pa.int32()),
+            "est_pages": pa.array([1] * len(doc_ids), pa.int32()),
+            "error": pa.array(errors, pa.string()),
+        }
+    )
+
+
 def q_html_main_text(sf_dir: str):
     """Per-document extracted main text + title.
 

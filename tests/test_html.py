@@ -138,6 +138,53 @@ class TestRayPipeline:
         assert out.column("main_text").to_pylist() == ["one two three", ""]
         assert out.column("n_words").to_pylist() == [3, 0]
 
+    def test_cli_html_input_to_spans(self, ray_session, tmp_path):
+        """--input-format html over a directory of real .html files →
+        span-schema parquet whose paragraphs rebuild the source text."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from libpdf_ray.__main__ import main
+
+        pages = str(tmp_path / "pages")
+        out = str(tmp_path / "out")
+        os.makedirs(pages)
+        texts = {
+            f"doc{i:03d}": " ".join(f"w{i}x{j}" for j in range(30 + i * 7))
+            for i in range(6)
+        }
+        for did, text in texts.items():
+            with open(os.path.join(pages, f"{did}.html"), "w") as fh:
+                fh.write(render_html(did, text))
+        # one poison page: truncated garbage must become an error row
+        with open(os.path.join(pages, "doc_bad.html"), "w") as fh:
+            fh.write("<html><body><p>unterminated " + "\x00" * 4)
+
+        rc = main([pages, "-o", out, "--input-format", "html"])
+        assert rc == 0
+        t = pq.read_table(glob.glob(os.path.join(out, "spans", "*.parquet"))[0])
+        rows = {r["doc_id"]: r for r in t.to_pylist()}
+        assert set(rows) == set(texts) | {"doc_bad"}
+        for did, text in texts.items():
+            spans = rows[did]["spans"]
+            assert spans[0]["kind"] == "chapter"
+            assert spans[0]["text"] == text[:40].strip()
+            paras = [s for s in spans if s["kind"] == "paragraph"]
+            assert " ".join(s["text"] for s in paras) == text
+            assert [s["offset"] for s in spans] == list(range(len(spans)))
+        # the poison page is an error row, not a crash; html.parser is
+        # lenient so it may also just produce spans — assert row presence
+        assert rows["doc_bad"]["n_spans"] >= 0
+
+    def test_cli_html_rejects_view_modes(self, ray_session, tmp_path):
+        from libpdf_ray.__main__ import main
+
+        rc = main([str(tmp_path), "-o", str(tmp_path / "o"),
+                   "--input-format", "html", "--views", "elements"])
+        assert rc == 2
+
     def test_e2e_matches_source_text(self, ray_session):
         from libpdf_ray.ops.html import q_html_main_text
 
