@@ -177,6 +177,14 @@ def run_benchmarks() -> dict:
         ).count(),
     )
 
+    # HTML main-content path: documents rendered into page chrome and
+    # DOM-extracted back (ops/html.py) — reported separately like pdf
+    from libpdf_ray.ops.html import q_html_main_text
+
+    n_html = timed(
+        "html_extract", lambda: q_html_main_text(SF_DIR).count()
+    )
+
     # relational / training-data headliners over $GRAFT_SF_DIR
     timed("pricing_summary", lambda: R.q_pricing_summary(SF_DIR).to_pandas())
     timed("top_customers", lambda: R.q_top_customers(SF_DIR).to_pandas())
@@ -192,7 +200,8 @@ def run_benchmarks() -> dict:
     # the summed headline stays comparable with earlier rounds: the new
     # real-PDF stage reports separately (pdf_extract_sec / docs_per_sec_pdf)
     total = round(
-        sum(v for k, v in timings.items() if k != "pdf_extract"), 3
+        sum(v for k, v in timings.items()
+            if k not in ("pdf_extract", "html_extract")), 3
     )
     return {
         "metric": "headline pipelines wall time (extract + relational suite)",
@@ -211,6 +220,11 @@ def run_benchmarks() -> dict:
         "pdf_extract_sec": timings.get("pdf_extract"),
         "docs_per_sec_pdf": round(n_pdf / timings["pdf_extract"], 2)
         if timings.get("pdf_extract")
+        else None,
+        "n_html_extracted": n_html,
+        "html_extract_sec": timings.get("html_extract"),
+        "docs_per_sec_html": round(n_html / timings["html_extract"], 2)
+        if timings.get("html_extract")
         else None,
         "noise_control": control,
     }
