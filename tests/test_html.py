@@ -120,6 +120,34 @@ class TestRendererRoundtrip:
         assert any('class="ad"' in p for p in pages)
 
 
+class TestFuzz:
+    def test_garbage_never_raises(self):
+        """Poison-input discipline at the kernel level: arbitrary byte
+        soups (broken tags, nulls, nested junk) must parse to SOME result,
+        never raise — the batch op's error-row path is for truly
+        pathological cases only."""
+        import zlib
+
+        pieces = [
+            "<", ">", "</", "<>", "<p", "p>", "&", "&amp", "&#x;", "<!--",
+            "-->", "<!", "<a href='", "'>", '"', "\x00", "\\", "<<p>>",
+            "<p class=>", "</nav>", "<table><td>", "word ", "<ul><li>",
+        ]
+        for seed in range(80):
+            rng = zlib.crc32(str(seed).encode())
+            soup = []
+            for j in range(60):
+                rng = (rng * 1103515245 + 12345) & 0x7FFFFFFF
+                soup.append(pieces[rng % len(pieces)])
+            rec = extract_main("".join(soup))
+            assert isinstance(rec["main_text"], str)
+
+    def test_deeply_nested_does_not_blow_recursion(self):
+        page = "<div>" * 400 + "<p>deep text</p>" + "</div>" * 400
+        rec = extract_main(page)
+        assert rec["main_text"] == "deep text"
+
+
 class TestRayPipeline:
     def test_extractor_batch_schema(self, ray_session):
         from libpdf_ray.ops.html import extract_main_batch, render_pages_batch
