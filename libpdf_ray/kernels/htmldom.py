@@ -280,49 +280,11 @@ def _junk(rng: _Lcg, n: int) -> str:
     return " ".join(_JUNK_VOCAB[rng.next(len(_JUNK_VOCAB))] for _ in range(n))
 
 
-def render_html(doc_id, text: str, lang: str = "en") -> str:
-    """Wrap ``text`` in deterministic page chrome.
-
-    The main text is split into ``<p>`` blocks (some words wrapped in
-    inline ``<b>``/``<em>``/``<a>`` markup), surrounded by masthead, nav,
-    sidebar, interleaved ad divs, a comments section and a footer whose
-    junk content derives only from ``doc_id``.  ``extract_main`` must
-    recover ``text`` exactly and the ``<title>`` is ``text[:40]``.
-    """
-    rng = _Lcg(zlib.crc32(str(doc_id).encode()))
+def _content_paras(paras, rng: _Lcg) -> list[str]:
+    """Main-text paragraphs as <p> markup, some words wrapped inline."""
+    out = []
     esc = _html.escape
-    words = text.split(" ") if text else []
-    paras: list[list[str]] = []
-    i = 0
-    while i < len(words):
-        step = 8 + rng.next(9)  # 8-16 words per paragraph
-        paras.append(words[i : i + step])
-        i += step
-
-    out: list[str] = [
-        "<!DOCTYPE html>",
-        f'<html lang="{esc(lang)}">',
-        "<head><meta charset=\"utf-8\">",
-        f"<title>{esc(text[:40])}</title>",
-        "<style>body{margin:0;font:16px serif}.ad{color:#999}</style>",
-        "<script>window.__t=Date.now();</script>",
-        "</head>",
-        "<body>",
-        '<header class="masthead"><h1><a href="/">'
-        f"{_junk(rng, 2)}</a></h1>",
-        "<nav><ul>",
-    ]
-    for _ in range(3 + rng.next(4)):
-        out.append(f'<li><a href="/{_junk(rng, 1)}">{_junk(rng, 1)}</a></li>')
-    out.append("</ul></nav></header>")
-    out.append('<div class="wrapper">')
-    out.append('<aside class="sidebar"><h3>' + _junk(rng, 1) + "</h3><ul>")
-    for _ in range(2 + rng.next(4)):
-        out.append(f'<li><a href="#">{_junk(rng, 2)}</a></li>')
-    out.append("</ul><p>" + _junk(rng, 6) + "</p></aside>")
-    out.append("<main><article>")
-    for pi, para in enumerate(paras):
-        # inline markup around one word of some paragraphs
+    for para in paras:
         chunk = [esc(w) for w in para]
         if chunk and rng.next(3) == 0:
             j = rng.next(len(chunk))
@@ -333,16 +295,92 @@ def render_html(doc_id, text: str, lang: str = "en") -> str:
             attr = ' href="#ref"' if wrap == "a" else ""
             chunk[j] = f"<{wrap}{attr}>{chunk[j]}</{wrap}>"
         out.append("<p>" + " ".join(chunk) + "</p>")
-        if rng.next(4) == 0:
-            out.append(f'<div class="ad">{_junk(rng, 4)}</div>')
-    out.append("</article>")
-    out.append('<div id="comments"><h3>' + _junk(rng, 1) + "</h3>")
-    for _ in range(rng.next(3) + 1):
-        out.append(f'<div class="comment"><p>{_junk(rng, 5 + rng.next(8))}</p></div>')
-    out.append("</div></main></div>")
-    out.append(
-        "<footer><p>" + _junk(rng, 4) + '</p><nav><a href="/">'
-        + _junk(rng, 1) + "</a></nav></footer>"
-    )
+    return out
+
+
+def render_html(doc_id, text: str, lang: str = "en") -> str:
+    """Wrap ``text`` in deterministic page chrome.
+
+    The main text is split into ``<p>`` blocks (some words wrapped in
+    inline ``<b>``/``<em>``/``<a>`` markup) and embedded in one of TWO
+    page archetypes chosen by the doc seed — a modern semantic layout
+    (header/nav/aside/article/footer) or a legacy table layout (nav and
+    sidebar in class-marked ``<td>`` cells) — so the extraction
+    heuristics cannot overfit a single template.  Both carry junk nav,
+    sidebar, inline ads, comments and footer content derived only from
+    ``doc_id``.  ``extract_main`` must recover ``text`` exactly and the
+    ``<title>`` is ``text[:40]``.
+    """
+    rng = _Lcg(zlib.crc32(str(doc_id).encode()))
+    esc = _html.escape
+    words = text.split(" ") if text else []
+    paras: list[list[str]] = []
+    i = 0
+    while i < len(words):
+        step = 8 + rng.next(9)  # 8-16 words per paragraph
+        paras.append(words[i : i + step])
+        i += step
+    legacy = rng.next(3) == 0  # ~1/3 of pages use the table archetype
+
+    out: list[str] = [
+        "<!DOCTYPE html>",
+        f'<html lang="{esc(lang)}">',
+        "<head><meta charset=\"utf-8\">",
+        f"<title>{esc(text[:40])}</title>",
+        "<style>body{margin:0;font:16px serif}.ad{color:#999}</style>",
+        "<script>window.__t=Date.now();</script>",
+        "</head>",
+        "<body>",
+    ]
+
+    if legacy:
+        # 1999-web archetype: table scaffold, class-marked cells
+        out.append('<table width="100%"><tr><td class="nav" colspan="2">')
+        for _ in range(3 + rng.next(4)):
+            out.append(f'<a href="/{_junk(rng, 1)}">{_junk(rng, 1)}</a>')
+        out.append('</td></tr><tr><td class="sidebar" width="20%">')
+        for _ in range(2 + rng.next(4)):
+            out.append(f'<a href="#">{_junk(rng, 2)}</a><br>')
+        out.append("<p>" + _junk(rng, 6) + "</p></td><td>")
+        for p in _content_paras(paras, rng):
+            out.append(p)
+            if rng.next(4) == 0:
+                out.append(f'<div class="ad">{_junk(rng, 4)}</div>')
+        out.append('</td></tr><tr><td class="footer" colspan="2">'
+                   + _junk(rng, 4) + "</td></tr></table>")
+        out.append('<div id="comments"><h3>' + _junk(rng, 1) + "</h3>")
+        for _ in range(rng.next(3) + 1):
+            out.append(
+                f'<div class="comment"><p>{_junk(rng, 5 + rng.next(8))}</p></div>'
+            )
+        out.append("</div>")
+    else:
+        out.append('<header class="masthead"><h1><a href="/">'
+                   f"{_junk(rng, 2)}</a></h1>")
+        out.append("<nav><ul>")
+        for _ in range(3 + rng.next(4)):
+            out.append(f'<li><a href="/{_junk(rng, 1)}">{_junk(rng, 1)}</a></li>')
+        out.append("</ul></nav></header>")
+        out.append('<div class="wrapper">')
+        out.append('<aside class="sidebar"><h3>' + _junk(rng, 1) + "</h3><ul>")
+        for _ in range(2 + rng.next(4)):
+            out.append(f'<li><a href="#">{_junk(rng, 2)}</a></li>')
+        out.append("</ul><p>" + _junk(rng, 6) + "</p></aside>")
+        out.append("<main><article>")
+        for p in _content_paras(paras, rng):
+            out.append(p)
+            if rng.next(4) == 0:
+                out.append(f'<div class="ad">{_junk(rng, 4)}</div>')
+        out.append("</article>")
+        out.append('<div id="comments"><h3>' + _junk(rng, 1) + "</h3>")
+        for _ in range(rng.next(3) + 1):
+            out.append(
+                f'<div class="comment"><p>{_junk(rng, 5 + rng.next(8))}</p></div>'
+            )
+        out.append("</div></main></div>")
+        out.append(
+            "<footer><p>" + _junk(rng, 4) + '</p><nav><a href="/">'
+            + _junk(rng, 1) + "</a></nav></footer>"
+        )
     out.append("</body></html>")
     return "\n".join(out)

@@ -112,10 +112,16 @@ class TestRendererRoundtrip:
         assert render_html(42, "a b c") == render_html(42, "a b c")
 
     def test_chrome_is_actually_injected(self):
-        pages = [render_html(i, "word " * 50) for i in range(8)]
+        pages = [render_html(i, "word " * 50) for i in range(12)]
+        modern = [p for p in pages if '<table width="100%"' not in p]
+        legacy = [p for p in pages if '<table width="100%"' in p]
+        assert modern and legacy, "both archetypes must occur"
         for marker in ("<nav>", "sidebar", "comments", "<footer>"):
-            assert all(marker in p for p in pages)
-        # inline ads fire per-paragraph with probability 1/4 — across 8
+            assert all(marker in p for p in modern)
+        for marker in ('class="nav"', 'class="sidebar"', 'class="footer"',
+                       "comments"):
+            assert all(marker in p for p in legacy)
+        # inline ads fire per-paragraph with probability 1/4 — across 12
         # deterministic pages at least one must carry one
         assert any('class="ad"' in p for p in pages)
 
