@@ -1830,13 +1830,19 @@ def q_order_percentile_rank(sf_dir: str):
     hist = hist_ds.to_pandas().sort_values("cents")
     cum = hist["n"].cumsum().to_numpy(dtype="int64")
     n = int(cum[-1]) if len(cum) else 0
-    lookup = dict(zip(hist["cents"].astype("int64"), cum))
-    ref = ray.put((lookup, n))
+    # broadcast NUMPY arrays, not a python dict: arrays read zero-copy
+    # from the object store per task, while a 150k-entry dict costs a
+    # pickle on put and a full rebuild in EVERY batch (measured: the
+    # dict form made the rank pass 4.5 s of a 6.7 s query; searchsorted
+    # over the shared arrays is ~15× cheaper)
+    keys = hist["cents"].to_numpy(dtype="int64")
+    ref = ray.put((keys, cum, n))
 
     def rank(df: pd.DataFrame) -> pd.DataFrame:
-        lk, total = ray.get(ref)
-        cents = _cents(df["o_totalprice"])
-        le = cents.map(lk).to_numpy(dtype="int64")
+        keys_, cum_, total = ray.get(ref)
+        cents = _cents(df["o_totalprice"]).to_numpy(dtype="int64")
+        idx = np.searchsorted(keys_, cents, side="right") - 1
+        le = cum_[idx]
         return pd.DataFrame(
             {
                 "o_orderkey": df["o_orderkey"],
