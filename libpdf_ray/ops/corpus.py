@@ -336,14 +336,13 @@ def customers_no_orders(customer, orders, est_keys: int, k: int = 20):
             "bucketed anti-join (see corpus._sample_overlap_anti_join)"
         )
     keys = keys_ds.to_pandas()
-    ref = ray.put(frozenset(keys["o_custkey"].tolist()))
+    from .util import isin_broadcast, put_id_set
+
+    ref, as_arr = put_id_set(keys["o_custkey"].to_numpy())
 
     def anti(df: pd.DataFrame) -> pd.DataFrame:
-        have = ray.get(ref)
-        out = df.loc[
-            ~df["c_custkey"].isin(have), ["c_custkey", "c_name", "c_acctbal"]
-        ]
-        return out
+        mask = isin_broadcast(df["c_custkey"], ref, as_arr)
+        return df.loc[~mask, ["c_custkey", "c_name", "c_acctbal"]]
 
     survivors = customer.map_batches(anti, batch_format="pandas")
     return topk(survivors, ["c_acctbal", "c_custkey"], [True, False], k)
@@ -481,13 +480,13 @@ def q_sample_overlap(sf_dir: str):
     # is metadata-only, so the oversized case never touches the driver heap
     if cont_ds.count() > BROADCAST_LOOKUP_ROW_LIMIT:
         return _sample_overlap_anti_join(docs, cont_ds)
-    contaminated = frozenset(cont_ds.to_pandas()["doc_id"].tolist())
-    ref = ray.put(contaminated)
+    from .util import isin_broadcast, put_id_set
+
+    ref, as_arr = put_id_set(cont_ds.to_pandas()["doc_id"].to_numpy())
 
     def mask(df: pd.DataFrame) -> pd.DataFrame:
-        bad = ray.get(ref)
         out = _sample_candidates(df)
-        return out.loc[~out["doc_id"].isin(bad)]
+        return out.loc[~isin_broadcast(out["doc_id"], ref, as_arr)]
 
     return docs.map_batches(mask, batch_format="pandas")
 

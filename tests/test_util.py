@@ -136,3 +136,22 @@ class TestTreeMerge:
         ).to_pandas()
         assert list(out.columns) == ["total"]
         assert out["total"].iloc[0] == 63 * 64 / 2
+
+
+def test_put_id_set_int_and_string_paths(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from libpdf_ray.ops.util import isin_broadcast, put_id_set
+
+    ref, as_arr = put_id_set(np.array([5, 1, 3, 3], dtype="int64"))
+    assert as_arr  # ints broadcast as a sorted zero-copy array
+    s = pd.Series([1, 2, 3, 4, 5], dtype="int64")
+    assert isin_broadcast(s, ref, as_arr).tolist() == [
+        True, False, True, False, True,
+    ]
+
+    ref2, as_arr2 = put_id_set({"a", "c"})
+    assert not as_arr2  # strings stay a frozenset
+    s2 = pd.Series(["a", "b", "c"])
+    assert isin_broadcast(s2, ref2, as_arr2).tolist() == [True, False, True]
