@@ -180,10 +180,12 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: per-document MinHash signatures.
+    """Per-document MinHash signatures (batch-callable).
 
-    ``__init__`` draws the permutation coefficients ONCE per worker from a
-    fixed seed (same on every worker → signatures are globally consistent)."""
+    ``__init__`` draws the permutation coefficients ONCE from a fixed seed
+    (same everywhere → signatures are globally consistent); the tables are
+    tiny, so call sites build the instance on the driver and ship it in a
+    task closure rather than paying an actor pool's ramp-up."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
         rng = np.random.default_rng(seed)
@@ -567,12 +569,13 @@ def minhash_lsh_pairs(
     Verification runs through :func:`_verified_pairs` (driver collect for
     small candidate sets, distributed bucketed join above
     ``max_driver_pairs``)."""
+    # hasher state (permutation tables) is tiny and deterministic: build it
+    # ONCE on the driver and ship it in the task closure — plain tasks
+    # reach full width immediately, where a 4-actor pool spends ~0.75 s of
+    # every query ramping (measured at sf0.1; same lesson as ops/html.py)
+    hasher = MinHasher(num_perm=num_perm)
     sig_ds = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm},
-        batch_format="pandas",
-        concurrency=4,
-        num_cpus=0.5,
+        lambda df: hasher(df), batch_format="pandas"
     ).map_batches(lambda df: df[[id_col, "minhash"]], batch_format="pandas")
     # consumed twice (band explosion now, candidate verification later) —
     # without this the MinHash pass would run twice
@@ -673,12 +676,10 @@ def minhash_exact_pairs(
                 {id_col: batch[id_col], "minhash": sigs, "grams": grams}
             )
 
+    # driver-built state shipped in the closure (see minhash_neardup_pairs)
+    sig_and_grams = _SigAndGrams(num_perm=num_perm, shingle_k=shingle_k)
     sig_ds = ds.map_batches(
-        _SigAndGrams,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pandas",
-        concurrency=4,
-        num_cpus=0.5,
+        lambda df: sig_and_grams(df), batch_format="pandas"
     )
     # consumed twice (band explosion, then grams lookup in verification)
     sig_ds = sig_ds.materialize()
@@ -809,8 +810,9 @@ def simhash_neardup_pairs(
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
 
+    sim_hasher = SimHasher()  # stateless: tasks, not a pool (ramp cost)
     sim_ds = ds.map_batches(
-        SimHasher, batch_format="pandas", concurrency=4, num_cpus=0.5
+        lambda df: sim_hasher(df), batch_format="pandas"
     ).map_batches(lambda df: df[[id_col, "simhash"]], batch_format="pandas")
     sim_ds = sim_ds.materialize()
     n_docs = sim_ds.count()
@@ -1128,15 +1130,12 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
     ).materialize()
     n_vecs = emb_ds.count()
 
+    # hyperplane matrices are seeded + tiny: driver-built, closure-shipped
+    bucketer = MultiHyperplaneBucketer(
+        dim=dim, n_tables=n_tables, n_planes=n_planes, id_col=id_col
+    )
     exploded = emb_ds.map_batches(
-        MultiHyperplaneBucketer,
-        fn_constructor_kwargs={
-            "dim": dim, "n_tables": n_tables, "n_planes": n_planes,
-            "id_col": id_col,
-        },
-        batch_format="pandas",
-        concurrency=4,
-        num_cpus=0.5,
+        lambda df: bucketer(df), batch_format="pandas"
     )
 
     def batch_verify(df: pd.DataFrame) -> pd.DataFrame:
