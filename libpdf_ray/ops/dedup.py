@@ -357,6 +357,7 @@ def _verified_pairs(
     max_driver_pairs: int = MAX_CANDIDATE_PAIRS,
     max_bucket_ids: int = MAX_BUCKET_IDS,
     payload_encode=None,
+    candidate_mode: str = "auto",
 ):
     """Shared two-phase pair verification for the LSH families.
 
@@ -384,6 +385,15 @@ def _verified_pairs(
     ``batch_verify`` takes a pandas frame with columns
     (id_a, id_b, __pl_a, __pl_b) and returns the verified/filtered output
     frame; both paths call the same kernel, so their pairs are identical.
+
+    ``candidate_mode`` sizes phase 1 the way ``est_bytes`` sizes the exact
+    families: when the exploded set (``n_items × keys_per_item`` scalar
+    rows) is estimated under :data:`SINGLE_TASK_DEDUP_BYTES`, ``auto``
+    skips BOTH chained shuffles and runs the same
+    ``_bucket_pair_frames`` + ``drop_duplicates`` kernel in one coalesced
+    task (~4 s of shuffle spin-up for microseconds of kernel at sf0.1,
+    measured round 5).  ``single`` / ``distributed`` force a route for the
+    equality tests; phase 2 is shared verbatim (:func:`_verify_candidates`).
     """
     import ray
     import ray.data as rd
@@ -392,6 +402,36 @@ def _verified_pairs(
 
     if verify_mode not in ("auto", "driver", "bucketed"):
         raise ValueError(f"unknown verify_mode {verify_mode!r}")
+    if candidate_mode not in ("auto", "single", "distributed"):
+        raise ValueError(f"unknown candidate_mode {candidate_mode!r}")
+
+    # size-adaptive candidate generation (same fixed-cost reasoning as
+    # SINGLE_TASK_DEDUP_BYTES): the exploded set is n_items×keys_per_item
+    # scalar rows (~40 B each: 2-3 int64/hex keys + id).  Below the
+    # threshold the two chained shuffles (group bucket + pair dedup) cost
+    # ~2 s of spin-up each for microseconds of kernel — run the SAME
+    # kernel (_bucket_pair_frames + drop_duplicates) in one coalesced
+    # task instead.  Route-equality is pinned in tests/test_dedup_paths.py.
+    est_exploded_bytes = n_items * keys_per_item * 40
+    if candidate_mode == "single" or (
+        candidate_mode == "auto"
+        and est_exploded_bytes <= SINGLE_TASK_DEDUP_BYTES
+    ):
+        def single_candidates(df: pd.DataFrame) -> pd.DataFrame:
+            return _bucket_pair_frames(
+                df, bucket_keys, id_col, max_ids=max_bucket_ids
+            ).drop_duplicates(["id_a", "id_b"])
+
+        deduped = exploded.repartition(1).map_batches(
+            single_candidates, batch_format="pandas", batch_size=None
+        ).materialize()
+        n_pairs = deduped.count()
+        if n_pairs == 0:
+            return rd.from_pandas(empty_out)
+        return _verify_candidates(
+            deduped, n_pairs, sig_ds, id_col, payload_col, batch_verify,
+            n_items, verify_mode, max_driver_pairs, payload_encode,
+        )
 
     n_parts = shuffle_partitions(est_keys=n_items * keys_per_item)
     group_mod = 4 * n_parts
@@ -445,6 +485,31 @@ def _verified_pairs(
     n_pairs = deduped.count()
     if n_pairs == 0:
         return rd.from_pandas(empty_out)
+    return _verify_candidates(
+        deduped, n_pairs, sig_ds, id_col, payload_col, batch_verify,
+        n_items, verify_mode, max_driver_pairs, payload_encode,
+    )
+
+
+def _verify_candidates(
+    deduped,
+    n_pairs: int,
+    sig_ds,
+    id_col: str,
+    payload_col: str,
+    batch_verify,
+    n_items: int,
+    verify_mode: str,
+    max_driver_pairs: int,
+    payload_encode,
+):
+    """Phase 2 of :func:`_verified_pairs`: attach payloads to the deduped
+    candidate pairs and run ``batch_verify`` — driver-collect below
+    ``max_driver_pairs``, distributed hash joins above."""
+    import ray
+    import ray.data as rd
+
+    from .util import shuffle_partitions
 
     if verify_mode == "driver" or (
         verify_mode == "auto" and n_pairs <= max_driver_pairs
@@ -460,7 +525,14 @@ def _verified_pairs(
             return df[df[id_col].isin(needed)]
 
         sub = sig_ds.map_batches(filter_needed, batch_format="pandas").to_pandas()
-        pl_map = dict(zip(sub[id_col], sub[payload_col]))
+        payloads = sub[payload_col]
+        if payload_encode is not None:
+            # pack ONCE per unique id: the per-pair gather then moves bytes
+            # refs and _unpack_payload's single-frombuffer path takes over
+            # (per-pair np.stack measured 2.1 s vs 0.05 s at 139k pairs ×
+            # 64-float payloads, round 5)
+            payloads = payload_encode(payloads)
+        pl_map = dict(zip(sub[id_col], payloads))
         vin = pd.DataFrame(
             {
                 "id_a": cand_pd["id_a"].to_numpy(),
@@ -559,6 +631,7 @@ def minhash_lsh_pairs(
     verify_mode: str = "auto",
     max_driver_pairs: int = MAX_CANDIDATE_PAIRS,
     max_bucket_ids: int = MAX_BUCKET_IDS,
+    candidate_mode: str = "auto",
 ):
     """Candidate pairs from LSH banding, verified by signature Jaccard.
 
@@ -615,7 +688,7 @@ def minhash_lsh_pairs(
         sig_ds, exploded, ["band", "band_hash"], id_col, "minhash",
         batch_verify, empty_out, n_docs, bands,
         verify_mode=verify_mode, max_driver_pairs=max_driver_pairs,
-        max_bucket_ids=max_bucket_ids,
+        max_bucket_ids=max_bucket_ids, candidate_mode=candidate_mode,
         payload_encode=lambda s: _pack_payload(s, np.int64),
     )
 
@@ -631,6 +704,7 @@ def minhash_exact_pairs(
     verify_mode: str = "auto",
     max_driver_pairs: int = MAX_CANDIDATE_PAIRS,
     max_bucket_ids: int = MAX_BUCKET_IDS,
+    candidate_mode: str = "auto",
 ):
     """MinHash-LSH candidate pruning + EXACT word-k-gram Jaccard verify.
 
@@ -741,7 +815,7 @@ def minhash_exact_pairs(
         sig_ds, exploded, ["band", "band_hash"], id_col, "grams",
         batch_verify, empty_out, n_docs, bands,
         verify_mode=verify_mode, max_driver_pairs=max_driver_pairs,
-        max_bucket_ids=max_bucket_ids,
+        max_bucket_ids=max_bucket_ids, candidate_mode=candidate_mode,
     )
 
 
@@ -798,6 +872,7 @@ def simhash_neardup_pairs(
     verify_mode: str = "auto",
     max_driver_pairs: int = MAX_CANDIDATE_PAIRS,
     max_bucket_ids: int = MAX_BUCKET_IDS,
+    candidate_mode: str = "auto",
 ):
     """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤
     ``max_hamming``.
@@ -871,7 +946,7 @@ def simhash_neardup_pairs(
         sim_ds, exploded, ["band", "band_bits"], id_col, "simhash",
         batch_verify, empty_out, n_docs, n_bands,
         verify_mode=verify_mode, max_driver_pairs=max_driver_pairs,
-        max_bucket_ids=max_bucket_ids,
+        max_bucket_ids=max_bucket_ids, candidate_mode=candidate_mode,
     )
 
 
@@ -1118,7 +1193,8 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
                             dim: int = 64, n_tables: int = 16, n_planes: int = 8,
                             verify_mode: str = "auto",
                             max_driver_pairs: int = MAX_CANDIDATE_PAIRS,
-                            max_bucket_ids: int = MAX_BUCKET_IDS):
+                            max_bucket_ids: int = MAX_BUCKET_IDS,
+                            candidate_mode: str = "auto"):
     """(id_a, id_b, cosine) pairs with cosine ≥ threshold via multi-table
     hyperplane LSH.
 
@@ -1168,6 +1244,6 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
         emb_ds, exploded, ["table", "bucket"], id_col, "embedding",
         batch_verify, empty_out, n_vecs, n_tables,
         verify_mode=verify_mode, max_driver_pairs=max_driver_pairs,
-        max_bucket_ids=max_bucket_ids,
+        max_bucket_ids=max_bucket_ids, candidate_mode=candidate_mode,
         payload_encode=lambda s: _pack_payload(s, np.float64),
     )

@@ -132,6 +132,86 @@ class TestVerifyPaths:
                 assert (le[col].to_numpy() == ee[col].to_numpy()).all(), col
 
 
+class TestCandidateRoutes:
+    """Single-task vs distributed candidate generation must be identical
+    (round-5: the LSH families' chained candidate shuffles cost ~4 s of
+    spin-up at sf0.1 for microseconds of kernel; small exploded sets route
+    through one coalesced _bucket_pair_frames task instead)."""
+
+    def test_minhash_single_equals_distributed(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import minhash_lsh_pairs
+
+        rows = _saturated_corpus()
+        s = minhash_lsh_pairs(
+            rd.from_items(rows), threshold=0.5, candidate_mode="single"
+        ).to_pandas()
+        d = minhash_lsh_pairs(
+            rd.from_items(rows), threshold=0.5, candidate_mode="distributed"
+        ).to_pandas()
+        assert len(s) > 50
+        assert _pairset(s) == _pairset(d)
+        sj = s.set_index(["id_a", "id_b"])["jaccard"].sort_index()
+        dj = d.set_index(["id_a", "id_b"])["jaccard"].sort_index()
+        assert np.allclose(sj.to_numpy(), dj.to_numpy())
+
+    def test_embedding_single_equals_distributed(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import embedding_neardup_pairs
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((5, 64))
+        rows = [
+            {"vec_id": i,
+             "embedding": (base[i % 5] + 0.01 * rng.standard_normal(64)).tolist()}
+            for i in range(40)
+        ]
+        s = embedding_neardup_pairs(
+            rd.from_items(rows), threshold=0.99, candidate_mode="single"
+        ).to_pandas()
+        d = embedding_neardup_pairs(
+            rd.from_items(rows), threshold=0.99, candidate_mode="distributed"
+        ).to_pandas()
+        assert len(s) > 0
+        assert _pairset(s) == _pairset(d)
+
+    def test_simhash_single_equals_distributed(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import simhash_neardup_pairs
+
+        rows = _saturated_corpus(n_docs=40)
+        s = simhash_neardup_pairs(
+            rd.from_items(rows), max_hamming=3, candidate_mode="single"
+        ).to_pandas()
+        d = simhash_neardup_pairs(
+            rd.from_items(rows), max_hamming=3, candidate_mode="distributed"
+        ).to_pandas()
+        assert _pairset(s) == _pairset(d)
+
+    def test_auto_routes_single_under_threshold(self):
+        """The auto estimate (n_items × keys_per_item × 40 B) must select
+        the single route for sf-scale corpora and the distributed route at
+        web scale."""
+        from libpdf_ray.ops.dedup import SINGLE_TASK_DEDUP_BYTES
+
+        assert 5_000 * 16 * 40 <= SINGLE_TASK_DEDUP_BYTES  # sf0.1 shape
+        assert 1_000_000_000 * 16 * 40 > SINGLE_TASK_DEDUP_BYTES  # 1B docs
+
+    def test_unknown_mode_raises(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import minhash_lsh_pairs
+
+        with pytest.raises(ValueError, match="candidate_mode"):
+            minhash_lsh_pairs(
+                rd.from_items(_saturated_corpus(n_docs=6)),
+                candidate_mode="bogus",
+            )
+
+
 class TestJaccardMaxDf:
     """The finite default stop-gram cutoff (round-4 verdict item 4): a hot
     shingle shared by half the corpus must not emit b²/2 pair rows under
