@@ -265,10 +265,13 @@ def _q_jaccard_pairs(sf_dir: str):
     from libpdf_ray.ops.dedup import jaccard_pairs_exact
     from libpdf_ray.ops.util import parquet_row_count
 
+    from libpdf_ray.ops.util import file_bytes
+
     path = f"{sf_dir}/documents.parquet"
     ds = _read_sized(path, columns=["doc_id", "text"])
     return jaccard_pairs_exact(ds, threshold=0.5,
-                               est_docs=parquet_row_count(path))
+                               est_docs=parquet_row_count(path),
+                               est_bytes=file_bytes(path))
 
 
 def _q_neardup_clusters(sf_dir: str):
@@ -276,10 +279,13 @@ def _q_neardup_clusters(sf_dir: str):
     from libpdf_ray.ops.graph import connected_components
     from libpdf_ray.ops.util import parquet_row_count
 
+    from libpdf_ray.ops.util import file_bytes
+
     path = f"{sf_dir}/documents.parquet"
     n_docs = parquet_row_count(path)
     ds = _read_sized(path, columns=["doc_id", "text"])
-    pairs = jaccard_pairs_exact(ds, threshold=0.5, est_docs=n_docs)
+    pairs = jaccard_pairs_exact(ds, threshold=0.5, est_docs=n_docs,
+                                est_bytes=file_bytes(path))
     return connected_components(pairs, est_nodes=n_docs)
 
 
@@ -294,8 +300,11 @@ def _q_dedup_docs(sf_dir: str):
     path = f"{sf_dir}/documents.parquet"
     n_docs = parquet_row_count(path)
     ds = _read_sized(path, columns=["doc_id", "text", "lang", "source"])
+    from libpdf_ray.ops.util import file_bytes
+
     pairs = jaccard_pairs_exact(
-        ds.select_columns(["doc_id", "text"]), threshold=0.5, est_docs=n_docs
+        ds.select_columns(["doc_id", "text"]), threshold=0.5, est_docs=n_docs,
+        est_bytes=file_bytes(path),
     )
     clusters = connected_components(pairs, est_nodes=n_docs)
     kept = dedup_keep_representatives(ds, clusters, est_keys=n_docs)

@@ -989,10 +989,75 @@ def _log_dropped_grams(sizes: np.ndarray, max_df: int | None) -> int:
     return n_drop
 
 
+def _gram_pairs(bucket: pd.DataFrame, id_col: str,
+                max_df: int | None) -> pd.DataFrame:
+    """Per-gram candidate pair rows (id_a, id_b, n_a, n_b) for every gram
+    group in ``bucket`` — one numpy shot per DISTINCT gram-frequency, the
+    jaccard analog of :func:`_bucket_pair_frames`.  Shared verbatim by the
+    distributed (per-gbucket) and single-task routes."""
+    empty = pd.DataFrame({"id_a": bucket[id_col].iloc[:0],
+                          "id_b": bucket[id_col].iloc[:0],
+                          "n_a": pd.Series([], dtype="int64"),
+                          "n_b": pd.Series([], dtype="int64")})
+    if len(bucket) < 2:
+        return empty
+    order = np.lexsort((bucket[id_col].to_numpy(),
+                        bucket["gram"].to_numpy()))
+    grams = bucket["gram"].to_numpy()[order]
+    ids = bucket[id_col].to_numpy()[order]
+    ns = bucket["n"].to_numpy()[order]
+    starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
+    sizes = np.diff(np.r_[starts, len(grams)])
+    _log_dropped_grams(sizes, max_df)
+    ia_parts, ib_parts = [], []
+    # one numpy shot per DISTINCT gram-frequency (heavy-tailed -> a
+    # handful of sizes), not per gram
+    for m in np.unique(sizes):
+        if m < 2 or (max_df is not None and m > max_df):
+            continue
+        seg_starts = starts[sizes == m]
+        ii, jj = np.triu_indices(m, k=1)
+        ia_parts.append((seg_starts[:, None] + ii[None, :]).ravel())
+        ib_parts.append((seg_starts[:, None] + jj[None, :]).ravel())
+    if not ia_parts:
+        return empty
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                         "n_a": ns[ia], "n_b": ns[ib]})
+
+
+def _finish_jaccard(bucket: pd.DataFrame, thr: int) -> pd.DataFrame:
+    """(id_a, id_b, n_a, n_b) pair rows -> (id_a, id_b, inter, uni,
+    jaccard) with the integer threshold test; shared by both routes."""
+    if len(bucket) == 0:
+        return pd.DataFrame({"id_a": bucket["id_a"],
+                             "id_b": bucket["id_b"],
+                             "inter": pd.Series([], dtype="int64"),
+                             "uni": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    agg = (
+        bucket.groupby(["id_a", "id_b"], sort=False)
+        .agg(inter=("n_a", "size"), n_a=("n_a", "first"),
+             n_b=("n_b", "first"))
+        .reset_index()
+    )
+    inter = agg["inter"].to_numpy(dtype=np.int64)
+    uni = (agg["n_a"].to_numpy(dtype=np.int64)
+           + agg["n_b"].to_numpy(dtype=np.int64) - inter)
+    keep = inter * 10000 >= thr * uni
+    return pd.DataFrame({"id_a": agg["id_a"].to_numpy()[keep],
+                         "id_b": agg["id_b"].to_numpy()[keep],
+                         "inter": inter[keep],
+                         "uni": uni[keep],
+                         "jaccard": inter[keep] / uni[keep]})
+
+
 def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
                         k: int = 3, threshold: float = 0.5,
                         max_df: int | None = DEFAULT_JACCARD_MAX_DF,
-                        est_docs: int | None = None):
+                        est_docs: int | None = None,
+                        est_bytes: int | None = None):
     """EXACT word-k-gram Jaccard for every document pair sharing ≥1 shingle.
 
     The exact companion (and recall oracle) to :func:`minhash_lsh_pairs`
@@ -1026,6 +1091,14 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
     grams are compared by 61-bit hash; a false shared-gram needs an md5
     collision (≈2⁻⁶¹ per pair·gram) — negligible below ~10⁹ distinct
     grams, and document-level jaccard shifts by at most 1/uni.
+
+    ``est_bytes`` (compressed source size, when the caller knows it)
+    small-routes BOTH shuffles into one coalesced task running the same
+    two kernels.  The estimate is explosion-aware (the window_dedup
+    lesson): the EXPLODED gram set is one 24-byte row per word, ≈8× the
+    compressed text bytes, so the comparison uses ``est_bytes × 8`` —
+    a corpus just under the raw threshold cannot funnel a multi-GiB gram
+    frame into one task.
     """
     from .util import shuffle_partitions
 
@@ -1054,6 +1127,14 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
     n_docs = est_docs if est_docs is not None else 10_000
     n_parts = shuffle_partitions(est_keys=n_docs * 64)
 
+    if est_bytes is not None and est_bytes * 8 <= SINGLE_TASK_DEDUP_BYTES:
+        def single(df: pd.DataFrame) -> pd.DataFrame:
+            return _finish_jaccard(_gram_pairs(df, id_col, max_df), thr)
+
+        return exploded.repartition(1).map_batches(
+            single, batch_format="pandas", batch_size=None
+        )
+
     # per-gram / per-pair groups are tiny (mostly 2-3 rows) — shuffling by a
     # hash BUCKET and combining each bucket with one vectorized pandas/numpy
     # pass avoids Ray's per-group map_groups dispatch (the exact_dedup_stats
@@ -1064,36 +1145,7 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
         return df
 
     def gram_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": bucket[id_col].iloc[:0],
-                              "id_b": bucket[id_col].iloc[:0],
-                              "n_a": pd.Series([], dtype="int64"),
-                              "n_b": pd.Series([], dtype="int64")})
-        if len(bucket) < 2:
-            return empty
-        order = np.lexsort((bucket[id_col].to_numpy(),
-                            bucket["gram"].to_numpy()))
-        grams = bucket["gram"].to_numpy()[order]
-        ids = bucket[id_col].to_numpy()[order]
-        ns = bucket["n"].to_numpy()[order]
-        starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
-        sizes = np.diff(np.r_[starts, len(grams)])
-        _log_dropped_grams(sizes, max_df)
-        ia_parts, ib_parts = [], []
-        # one numpy shot per DISTINCT gram-frequency (heavy-tailed → a
-        # handful of sizes), not per gram
-        for m in np.unique(sizes):
-            if m < 2 or (max_df is not None and m > max_df):
-                continue
-            seg_starts = starts[sizes == m]
-            ii, jj = np.triu_indices(m, k=1)
-            ia_parts.append((seg_starts[:, None] + ii[None, :]).ravel())
-            ib_parts.append((seg_starts[:, None] + jj[None, :]).ravel())
-        if not ia_parts:
-            return empty
-        ia = np.concatenate(ia_parts)
-        ib = np.concatenate(ib_parts)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
-                             "n_a": ns[ia], "n_b": ns[ib]})
+        return _gram_pairs(bucket, id_col, max_df)
 
     from .util import normalize_blocks
 
@@ -1116,27 +1168,7 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
         return df
 
     def finish(bucket: pd.DataFrame) -> pd.DataFrame:
-        if len(bucket) == 0:
-            return pd.DataFrame({"id_a": bucket["id_a"],
-                                 "id_b": bucket["id_b"],
-                                 "inter": pd.Series([], dtype="int64"),
-                                 "uni": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        agg = (
-            bucket.groupby(["id_a", "id_b"], sort=False)
-            .agg(inter=("n_a", "size"), n_a=("n_a", "first"),
-                 n_b=("n_b", "first"))
-            .reset_index()
-        )
-        inter = agg["inter"].to_numpy(dtype=np.int64)
-        uni = (agg["n_a"].to_numpy(dtype=np.int64)
-               + agg["n_b"].to_numpy(dtype=np.int64) - inter)
-        keep = inter * 10000 >= thr * uni
-        return pd.DataFrame({"id_a": agg["id_a"].to_numpy()[keep],
-                             "id_b": agg["id_b"].to_numpy()[keep],
-                             "inter": inter[keep],
-                             "uni": uni[keep],
-                             "jaccard": inter[keep] / uni[keep]})
+        return _finish_jaccard(bucket, thr)
 
     return (
         pair_rows.map_batches(add_pbucket, batch_format="pandas")

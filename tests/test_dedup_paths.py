@@ -191,6 +191,27 @@ class TestCandidateRoutes:
         ).to_pandas()
         assert _pairset(s) == _pairset(d)
 
+    def test_jaccard_single_equals_distributed(self, ray_session):
+        """jaccard_pairs_exact's est_bytes small route (one coalesced task)
+        must equal the two-shuffle plan bit-for-bit, inter/uni included."""
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import jaccard_pairs_exact
+
+        rows = _saturated_corpus()
+        s = jaccard_pairs_exact(
+            rd.from_items(rows), threshold=0.5, est_docs=60, est_bytes=1
+        ).to_pandas()
+        d = jaccard_pairs_exact(
+            rd.from_items(rows), threshold=0.5, est_docs=60, est_bytes=None
+        ).to_pandas()
+        assert len(s) > 50
+        assert _pairset(s) == _pairset(d)
+        se = s.set_index(["id_a", "id_b"]).sort_index()
+        de = d.set_index(["id_a", "id_b"]).sort_index()
+        for col in ("inter", "uni", "jaccard"):
+            assert (se[col].to_numpy() == de[col].to_numpy()).all(), col
+
     def test_auto_routes_single_under_threshold(self):
         """The auto estimate (n_items × keys_per_item × 40 B) must select
         the single route for sf-scale corpora and the distributed route at
