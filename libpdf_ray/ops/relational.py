@@ -635,6 +635,24 @@ def q_filter_topk(sf_dir: str):
     )
 
 
+def _cogrouped(tagged, merge_bucket, num_buckets: int,
+               est_bytes: int | None = None):
+    """Tagged-union co-group: ``groupby("bucket").map_groups(merge_bucket)``
+    with the `_bucketed_groups` small route.  Join keys are bucket-disjoint
+    (``bucket = key % B``), so running ``merge_bucket`` over the WHOLE
+    tagged union in one coalesced task is identical below
+    :data:`SINGLE_TASK_GROUP_BYTES` — and skips the hash shuffle's fixed
+    aggregator spin-up (~1.5 s/plan).  Route equality is pinned in
+    tests/test_ops.py::TestCogroupRoutes."""
+    if est_bytes is not None and est_bytes <= SINGLE_TASK_GROUP_BYTES:
+        return tagged.repartition(1).map_batches(
+            merge_bucket, batch_format="pandas", batch_size=None
+        )
+    return tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+
 def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
     """Large⋈large hash join: lineitem ⋈ orders on orderkey, as ONE explicit
     hash-partitioned shuffle.
@@ -652,11 +670,10 @@ def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
 
     Skewed keys would be salted into sub-buckets here; orderkey is uniform
     so B=8 plain buckets suffice."""
+    est_bytes = (file_bytes(f"{sf_dir}/lineitem.parquet")
+                 + file_bytes(f"{sf_dir}/orders.parquet"))
     if num_buckets is None:
-        num_buckets = shuffle_partitions(
-            est_bytes=file_bytes(f"{sf_dir}/lineitem.parquet")
-            + file_bytes(f"{sf_dir}/orders.parquet")
-        )
+        num_buckets = shuffle_partitions(est_bytes=est_bytes)
     li = read_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -705,9 +722,8 @@ def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
         m = l.merge(r, on="key", how="inner", suffixes=("_x", ""))
         return m.groupby("o_orderpriority", as_index=False)[["rev_i", "n"]].sum()
 
-    partials = tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
-        merge_bucket, batch_format="pandas"
-    )
+    partials = _cogrouped(tagged, merge_bucket, num_buckets,
+                          est_bytes=est_bytes)
 
     def merge_partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_orderpriority", as_index=False)[["rev_i", "n"]].sum()
@@ -749,10 +765,9 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         raise ValueError("segment key set too large to broadcast — use the "
                          "bucketed semi-join (q_priority_revenue pattern)")
     seg_keys = frozenset(cust.column("c_custkey").to_pylist())
-    num_buckets = shuffle_partitions(
-        est_bytes=file_bytes(f"{sf_dir}/lineitem.parquet")
-        + file_bytes(f"{sf_dir}/orders.parquet")
-    )
+    est_bytes = (file_bytes(f"{sf_dir}/lineitem.parquet")
+                 + file_bytes(f"{sf_dir}/orders.parquet"))
+    num_buckets = shuffle_partitions(est_bytes=est_bytes)
 
     orders = read_sized(
         f"{sf_dir}/orders.parquet",
@@ -807,9 +822,8 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             ["rev_i", "o_orderdate", "key"], ascending=[False, True, True]
         ).head(10)
 
-    partials = tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
-        merge_bucket, batch_format="pandas"
-    )
+    partials = _cogrouped(tagged, merge_bucket, num_buckets,
+                          est_bytes=est_bytes)
     top = topk(partials, ["rev_i", "o_orderdate", "key"],
                descending=[True, False, False], k=10)
 
@@ -1298,10 +1312,9 @@ def q_customer_order_counts(sf_dir: str, since: str = "1998-01-01"):
     each bucket emits its customers' final rows directly — left rows
     without a match get 0 via the outer merge, and no second shuffle or
     broadcast exists at any size."""
-    num_buckets = shuffle_partitions(
-        est_bytes=file_bytes(f"{sf_dir}/customer.parquet")
-        + file_bytes(f"{sf_dir}/orders.parquet")
-    )
+    est_bytes = (file_bytes(f"{sf_dir}/customer.parquet")
+                 + file_bytes(f"{sf_dir}/orders.parquet"))
+    num_buckets = shuffle_partitions(est_bytes=est_bytes)
     orders = read_sized(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_totalprice", "o_orderdate"],
@@ -1361,9 +1374,7 @@ def q_customer_order_counts(sf_dir: str, since: str = "1998-01-01"):
             }
         )
 
-    return tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
-        merge_bucket, batch_format="pandas"
-    )
+    return _cogrouped(tagged, merge_bucket, num_buckets, est_bytes=est_bytes)
 
 
 def q_value_histogram(sf_dir: str, bucket_cents: int = 500):
@@ -1415,9 +1426,8 @@ def q_user_activity_outer(sf_dir: str, threshold: float = 100.0):
     of a single hash shuffle, and each bucket emits final rows via an
     outer pandas merge — no broadcast, no second shuffle, no driver
     collect at any corpus size."""
-    num_buckets = shuffle_partitions(
-        est_bytes=file_bytes(f"{sf_dir}/events.parquet")
-    )
+    est_bytes = file_bytes(f"{sf_dir}/events.parquet")
+    num_buckets = shuffle_partitions(est_bytes=est_bytes)
     ds = read_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
     )
@@ -1467,9 +1477,7 @@ def q_user_activity_outer(sf_dir: str, threshold: float = 100.0):
             }
         )
 
-    return tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
-        merge_bucket, batch_format="pandas"
-    )
+    return _cogrouped(tagged, merge_bucket, num_buckets, est_bytes=est_bytes)
 
 
 def q_discount_tax_stats(sf_dir: str):

@@ -569,3 +569,41 @@ class TestConnectedComponentsRoutes:
         # representatives are component minima
         assert (small.groupby("cluster_id")["doc_id"].min().to_numpy()
                 == small["cluster_id"].unique()).all()
+
+
+class TestCogroupRoutes:
+    """The tagged-union co-group queries (priority_revenue,
+    shipping_priority, customer_order_counts, user_activity_outer) must
+    return identical frames on the single-task route (default at test
+    scale) and the distributed bucket shuffle (forced by zeroing the
+    threshold) — keys are bucket-disjoint, so merge_bucket over the whole
+    union is the same computation."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _canon(df):
+        return (
+            df[sorted(df.columns)]
+            .sort_values(by=sorted(df.columns))
+            .reset_index(drop=True)
+        )
+
+    @pytest.mark.parametrize(
+        "qname",
+        ["q_priority_revenue", "q_shipping_priority",
+         "q_customer_order_counts", "q_user_activity_outer"],
+    )
+    def test_single_equals_distributed(self, ray_session, qname):
+        import libpdf_ray.ops.relational as R
+
+        q = getattr(R, qname)
+        single = self._canon(q(self.SF).to_pandas())
+        orig = R.SINGLE_TASK_GROUP_BYTES
+        try:
+            R.SINGLE_TASK_GROUP_BYTES = 0
+            dist = self._canon(q(self.SF).to_pandas())
+        finally:
+            R.SINGLE_TASK_GROUP_BYTES = orig
+        assert len(single) > 0
+        pd.testing.assert_frame_equal(single, dist)
