@@ -627,6 +627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty": Co.q_doc_novelty,
         "chunk_docs": Co.q_chunk_docs,
         "mixture_sample": Co.q_mixture_sample,
+        "group_topk": Co.q_group_topk,
+        "user_anomalies": R.q_user_anomalies,
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
         # relational operator suite (SQL-checked)
@@ -1764,6 +1766,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.source, CAST(r.doc_id AS BIGINT) AS doc_id
             FROM r JOIN k ON r.source = k.source
             WHERE r.rn <= k.k_src
+        """,
+        "group_topk": """
+            -- grouped window top-k: 3 longest docs per (lang, source),
+            -- ties by doc_id — identical ordering rule as the engine
+            SELECT lang, source, CAST(rn AS BIGINT) AS rank,
+                   doc_id, n_chars
+            FROM (
+                SELECT lang, source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            ) t WHERE rn <= 3
+        """,
+        "user_anomalies": """
+            -- per-user 2-sigma outlier counts in exact integers:
+            -- |x - mean| > 2*stddev  <=>  (n*x - S)^2 > 4*(n*Q - S^2)
+            WITH r AS (
+                SELECT user_id, CAST(round(value*100) AS BIGINT) AS x
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                       SUM(x) AS sx, SUM(x*x) AS q
+                FROM r GROUP BY 1
+            )
+            SELECT s.user_id, s.n AS n_events,
+                   CAST(SUM(CASE WHEN (s.n*r.x - s.sx)*(s.n*r.x - s.sx)
+                                      > 4*(s.n*s.q - s.sx*s.sx)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+            FROM r JOIN s USING (user_id)
+            GROUP BY 1, 2
         """,
         "chunk_docs": """
             -- fixed-size training chunks with overlap: k=64 tokens at

@@ -774,3 +774,47 @@ def q_mixture_sample(sf_dir: str):
     return picked.map_batches(
         lambda df: df[["source", "doc_id"]], batch_format="pandas"
     )
+
+
+def q_group_topk(sf_dir: str, k: int = 3):
+    """Top-``k`` documents by length per (lang, source) stratum with a
+    dense rank — the grouped-window ``row_number() <= k`` shape (reference
+    analog: per-page "largest regions" selection in the table/figure
+    filters; SQL: row_number() OVER (PARTITION BY lang, source ORDER BY
+    n_chars DESC, doc_id)).
+
+    Scale shape: per-batch partial top-k per group (one vectorized
+    sort + groupby.head, no per-group dispatch) collapses every block to
+    ≤ k rows per stratum it touches; the associative tree merge re-selects
+    — so the exchange carries ≤ k·n_strata rows at ANY corpus size, and
+    n_strata is domain-bounded (languages × sources vocabularies), not
+    corpus-bounded.  Ties break by doc_id for bit-exact SQL agreement."""
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_sized(path, columns=["doc_id", "lang", "source", "n_chars"])
+
+    def reduce_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["lang", "source", "n_chars", "doc_id"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby(["lang", "source"], as_index=False, sort=False).head(k)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        top = reduce_top(df)
+        top = top.reset_index(drop=True)
+        top["rank"] = top.groupby(["lang", "source"], sort=False).cumcount() + 1
+        top["rank"] = top["rank"].astype("int64")
+        return top[["lang", "source", "rank", "doc_id", "n_chars"]]
+
+    return combine_partials(
+        docs.map_batches(reduce_top, batch_format="pandas"),
+        finalize,
+        ["lang", "source"],
+        # stratum count is the product of two vocabulary-bounded domains
+        # (the hourly-bucket precedent in ops/relational.py): 1024 covers
+        # any realistic lang x source grid and stays far under the
+        # single-task combine limit
+        est_keys=1024,
+        merge_fn=reduce_top,
+    )

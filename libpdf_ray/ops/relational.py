@@ -1859,3 +1859,60 @@ def q_order_percentile_rank(sf_dir: str):
         )
 
     return ds.map_batches(rank, batch_format="pandas")
+
+
+def q_user_anomalies(sf_dir: str):
+    """Per-user 2σ outlier counts over event values — the anomaly-flagging
+    window shape (SQL: AVG/STDDEV OVER (PARTITION BY user_id)) — decided in
+    EXACT integer arithmetic so the engine and any SQL oracle agree at the
+    boundary bit-for-bit:
+
+        |x − μ| > 2σ  ⇔  (n·x − S)² > 4·(n·Q − S²)
+
+    with x the value in cents, S = Σx, Q = Σx² per user (all int64: value
+    ≤ ~$600 → x ≤ 6·10⁴, n per user ≪ 10⁶ keeps every product < 2⁶³).
+
+    Scale shape: ONE hash shuffle of the pruned (user_id, cents) pairs via
+    the `_bucketed_groups` small route; each bucket computes per-user
+    (n, S, Q) AND counts that user's outliers in one vectorized pass —
+    no second pass over the corpus, no broadcast of per-user stats."""
+    est_bytes = file_bytes(f"{sf_dir}/events.parquet")
+    n_parts = shuffle_partitions(est_bytes=est_bytes)
+    ds = read_sized(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"),
+             "x": _cents(df["value"])}
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        stats = g.groupby("user_id", as_index=False).agg(
+            n_events=("x", "size"), s=("x", "sum")
+        )
+        q = g.assign(x2=g["x"].to_numpy(dtype=np.int64) ** 2).groupby(
+            "user_id", as_index=False
+        )["x2"].sum()
+        stats = stats.merge(q, on="user_id")
+        m = g.merge(stats, on="user_id", how="left")
+        n = m["n_events"].to_numpy(dtype=np.int64)
+        s = m["s"].to_numpy(dtype=np.int64)
+        qq = m["x2"].to_numpy(dtype=np.int64)
+        x = m["x"].to_numpy(dtype=np.int64)
+        dev = n * x - s
+        hit = (dev * dev > 4 * (n * qq - s * s)).astype("int64")
+        out = (
+            pd.DataFrame({"user_id": m["user_id"], "hit": hit})
+            .groupby("user_id", as_index=False)["hit"].sum()
+            .merge(stats[["user_id", "n_events"]], on="user_id")
+        )
+        return pd.DataFrame(
+            {"user_id": out["user_id"].astype("int64"),
+             "n_events": out["n_events"].astype("int64"),
+             "n_anomalies": out["hit"].astype("int64")}
+        )
+
+    return _bucketed_groups(
+        ds.map_batches(to_cents, batch_format="pandas"),
+        "user_id", n_parts, kernel, est_bytes=est_bytes,
+    )

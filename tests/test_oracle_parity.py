@@ -93,6 +93,9 @@ CHECKED = [
     # round-5: HTML main-content extraction (renderer-as-oracle)
     "html_main_text",
     "html_block_stats",
+    # round-5 late: grouped window top-k + integer-exact anomaly counts
+    "group_topk",
+    "user_anomalies",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
