@@ -628,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": Co.q_chunk_docs,
         "mixture_sample": Co.q_mixture_sample,
         "group_topk": Co.q_group_topk,
+        "ngram_topk": Co.q_ngram_topk,
         "user_anomalies": R.q_user_anomalies,
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
@@ -1766,6 +1767,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.source, CAST(r.doc_id AS BIGINT) AS doc_id
             FROM r JOIN k ON r.source = k.source
             WHERE r.rn <= k.k_src
+        """,
+        "ngram_topk": """
+            -- top-50 corpus bigrams by frequency (same tokenizer as
+            -- vocab_stats; 1-indexed array windows)
+            WITH t AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS w
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+                FROM t, unnest(range(1, len(w))) AS r(i)
+                WHERE len(w) >= 2
+            )
+            SELECT gram, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM b GROUP BY 1 ORDER BY tf DESC, gram LIMIT 50
         """,
         "group_topk": """
             -- grouped window top-k: 3 longest docs per (lang, source),

@@ -818,3 +818,55 @@ def q_group_topk(sf_dir: str, k: int = 3):
         est_keys=1024,
         merge_fn=reduce_top,
     )
+
+
+def ngram_stats(docs, est_docs: int, n: int = 2, k: int = 50):
+    """Top-``k`` corpus word n-grams by total frequency — the n-gram LM /
+    contamination-analysis companion to :func:`vocab_stats` (same
+    DuckDB-parity tokenizer, same scale shape: per-batch (gram, tf, df)
+    partials are disjoint-correct because each document lives in exactly
+    one batch, then one cardinality-routed combine and a shuffle-free
+    tree top-k; the gram vocabulary never transits the driver)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        toks = tokenize_series(df["text"])
+        grams_per_doc = toks.map(
+            lambda ts: [" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+        )
+        counts = grams_per_doc.str.len().to_numpy(dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({"gram": [], "tf": [], "df": []}).astype(
+                {"gram": object, "tf": "int64", "df": "int64"}
+            )
+        ex = pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), counts),
+                "gram": np.fromiter(
+                    chain.from_iterable(grams_per_doc), dtype=object, count=total
+                ),
+            }
+        )
+        g = ex.groupby("gram", as_index=False).agg(
+            tf=("doc_id", "size"), df=("doc_id", "nunique")
+        )
+        return g.astype({"tf": "int64", "df": "int64"})
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("gram", as_index=False).sum()
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    # n-gram cardinality grows faster than the unigram vocabulary: ~64 new
+    # grams per doc routes web-scale corpora onto the bucketed combine
+    agg = combine_partials(
+        partials, red, ["gram"], est_keys=max(64, est_docs * 64), merge_fn=red
+    )
+    return topk(agg, ["tf", "gram"], [True, False], k)
+
+
+def q_ngram_topk(sf_dir: str):
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_sized(path, columns=["doc_id", "text"])
+    return ngram_stats(docs, est_docs=parquet_row_count(path))

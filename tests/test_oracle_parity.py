@@ -96,6 +96,7 @@ CHECKED = [
     # round-5 late: grouped window top-k + integer-exact anomaly counts
     "group_topk",
     "user_anomalies",
+    "ngram_topk",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
