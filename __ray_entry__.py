@@ -328,7 +328,7 @@ def _q_knn_ivf(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
 
-    from libpdf_ray.ops.similarity import ivf_fit_centroids, knn_ivf
+    from libpdf_ray.ops.similarity import ivf_centroids_for, knn_ivf
 
     src = f"{sf_dir}/embeddings.parquet"
     t = pq.read_table(src, columns=["vec_id", "embedding"])
@@ -336,8 +336,7 @@ def _q_knn_ivf(sf_dir: str):
     mat = np.stack(
         [np.asarray(e, dtype=np.float64) for e in t.column("embedding").to_pylist()[:8]]
     )
-    ds = _read_sized(src, columns=["vec_id", "embedding"])
-    centroids = ivf_fit_centroids(ds, n_cells=16)
+    centroids = ivf_centroids_for(src, n_cells=16)
     return knn_ivf(src, {"ids": ids, "matrix": mat}, centroids, k=5, n_probe=4)
 
 
@@ -348,7 +347,7 @@ def _q_knn_ivf_exact(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
 
-    from libpdf_ray.ops.similarity import ivf_fit_centroids, knn_ivf
+    from libpdf_ray.ops.similarity import ivf_centroids_for, knn_ivf
 
     src = f"{sf_dir}/embeddings.parquet"
     t = pq.read_table(src, columns=["vec_id", "embedding"])
@@ -357,8 +356,7 @@ def _q_knn_ivf_exact(sf_dir: str):
     mat = np.stack(
         [np.asarray(t.column("embedding")[i].as_py(), dtype=np.float64) for i in mask]
     )
-    ds = _read_sized(src, columns=["vec_id", "embedding"])
-    centroids = ivf_fit_centroids(ds, n_cells=16)
+    centroids = ivf_centroids_for(src, n_cells=16)
     return knn_ivf(src, {"ids": ids, "matrix": mat}, centroids, k=5,
                    n_probe=len(centroids))
 
@@ -370,14 +368,13 @@ def _q_knn_ivf_partitioned(sf_dir: str):
     import pyarrow.parquet as pq
 
     from libpdf_ray.ops.similarity import (
-        ivf_fit_centroids,
+        ivf_centroids_for,
         ivf_index_for,
         knn_ivf_partitioned,
     )
 
     src = f"{sf_dir}/embeddings.parquet"
-    ds = _read_sized(src, columns=["vec_id", "embedding"])
-    centroids = ivf_fit_centroids(ds, n_cells=16)
+    centroids = ivf_centroids_for(src, n_cells=16)
     index_dir = ivf_index_for(src, centroids)
     t = pq.read_table(src, columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()[:8]

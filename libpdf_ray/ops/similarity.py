@@ -251,6 +251,38 @@ def _is_ivf_index_dir(path: str) -> bool:
     )
 
 
+def ivf_centroids_for(src_path: str, n_cells: int = 16,
+                      sample_rows: int = 2048, iters: int = 8,
+                      seed: int = 42, cache_root: str = "/tmp") -> np.ndarray:
+    """Fit-or-reuse coarse-quantizer centroids for a parquet source.
+
+    Same amortization as :func:`ivf_index_for`: the fit is deterministic
+    given (source bytes, params), so repeated query sets over one corpus
+    pay the sample scan once — the cached ``.npy`` is keyed by (abspath,
+    mtime, size, params) and published with one atomic rename."""
+    import hashlib
+    import os
+
+    from .util import read_sized
+
+    st = os.stat(src_path)
+    key = hashlib.md5(
+        f"{os.path.abspath(src_path)}:{st.st_mtime_ns}:{st.st_size}"
+        f":c{n_cells}:s{sample_rows}:i{iters}:r{seed}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(cache_root, f"libpdf_ray_ivfc_{key}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    ds = read_sized(src_path, columns=["embedding"])
+    centroids = ivf_fit_centroids(
+        ds, n_cells=n_cells, sample_rows=sample_rows, iters=iters, seed=seed
+    )
+    tmp = f"{path}.tmp-{os.getpid()}.npy"  # np.save appends .npy otherwise
+    np.save(tmp, centroids)
+    os.replace(tmp, path)  # atomic; concurrent fitters write identical bytes
+    return centroids
+
+
 def ivf_index_for(src_path: str, centroids: np.ndarray,
                   id_col: str = "vec_id", columns: list | None = None,
                   cache_root: str = "/tmp") -> str:
