@@ -1809,9 +1809,13 @@ def oracle_sql() -> dict[str, str]:
                        SUM(x) AS sx, SUM(x*x) AS q
                 FROM r GROUP BY 1
             )
+            -- products in HUGEINT (int128): exact at any per-user
+            -- volume, mirroring the engine's python-int escalation
             SELECT s.user_id, s.n AS n_events,
-                   CAST(SUM(CASE WHEN (s.n*r.x - s.sx)*(s.n*r.x - s.sx)
-                                      > 4*(s.n*s.q - s.sx*s.sx)
+                   CAST(SUM(CASE WHEN
+                        (CAST(s.n AS HUGEINT)*r.x - s.sx)
+                          * (CAST(s.n AS HUGEINT)*r.x - s.sx)
+                        > 4*(CAST(s.n AS HUGEINT)*s.q - CAST(s.sx AS HUGEINT)*s.sx)
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
             FROM r JOIN s USING (user_id)
             GROUP BY 1, 2

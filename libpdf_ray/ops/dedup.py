@@ -413,10 +413,40 @@ def _verified_pairs(
     # kernel (_bucket_pair_frames + drop_duplicates) in one coalesced
     # task instead.  Route-equality is pinned in tests/test_dedup_paths.py.
     est_exploded_bytes = n_items * keys_per_item * 40
-    if candidate_mode == "single" or (
-        candidate_mode == "auto"
-        and est_exploded_bytes <= SINGLE_TASK_DEDUP_BYTES
-    ):
+    take_single = candidate_mode == "single"
+    if candidate_mode == "auto" and est_exploded_bytes <= SINGLE_TASK_DEDUP_BYTES:
+        # the INPUT gate alone is not enough: a duplication-saturated
+        # corpus under the byte threshold can still emit a quadratic pair
+        # OUTPUT (a 2000-doc near-identical cluster is 2M pair rows per
+        # band) that one task would materialize whole where the
+        # distributed route spreads it across gbuckets.  The exploded set
+        # is bounded by the gate, so count the EXACT pairs the kernel
+        # would emit (one cheap scalar task, same group-size/star rules as
+        # _bucket_pair_frames) and only coalesce when that output is also
+        # bounded.
+        exploded = exploded.materialize()
+
+        def exact_pair_count(df: pd.DataFrame) -> pd.DataFrame:
+            sizes = (
+                df.drop_duplicates([*bucket_keys, id_col])
+                .groupby(bucket_keys, sort=False)
+                .size()
+                .to_numpy(dtype=np.int64)
+            )
+            pairs = np.where(
+                sizes > max_bucket_ids, sizes - 1, sizes * (sizes - 1) // 2
+            ).sum()
+            return pd.DataFrame({"n": [int(pairs)]})
+
+        n_cand = (
+            exploded.repartition(1)
+            .map_batches(exact_pair_count, batch_format="pandas",
+                         batch_size=None)
+            .to_pandas()["n"][0]
+        )
+        take_single = n_cand <= max_driver_pairs
+
+    if take_single:
         def single_candidates(df: pd.DataFrame) -> pd.DataFrame:
             return _bucket_pair_frames(
                 df, bucket_keys, id_col, max_ids=max_bucket_ids

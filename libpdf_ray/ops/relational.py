@@ -635,20 +635,31 @@ def q_filter_topk(sf_dir: str):
     )
 
 
-def _cogrouped(tagged, merge_bucket, num_buckets: int,
+def _cogrouped(tagged, key_col: str, merge_bucket,
+               num_buckets: int | None = None,
                est_bytes: int | None = None):
-    """Tagged-union co-group: ``groupby("bucket").map_groups(merge_bucket)``
-    with the `_bucketed_groups` small route.  Join keys are bucket-disjoint
-    (``bucket = key % B``), so running ``merge_bucket`` over the WHOLE
-    tagged union in one coalesced task is identical below
-    :data:`SINGLE_TASK_GROUP_BYTES` — and skips the hash shuffle's fixed
-    aggregator spin-up (~1.5 s/plan).  Route equality is pinned in
+    """Tagged-union co-group: assign ``bucket = key % B`` and
+    ``groupby("bucket").map_groups(merge_bucket)`` — with the
+    `_bucketed_groups` small route.  Join keys are bucket-disjoint, so
+    running ``merge_bucket`` over the WHOLE tagged union in one coalesced
+    task is identical below :data:`SINGLE_TASK_GROUP_BYTES` — and skips
+    both the per-row bucket column and the hash shuffle's fixed
+    aggregator spin-up (~1.5 s/plan).  An EXPLICIT ``num_buckets`` forces
+    the distributed plan (the public plan-shape knob must not be silently
+    ignored).  Route equality is pinned in
     tests/test_ops.py::TestCogroupRoutes."""
-    if est_bytes is not None and est_bytes <= SINGLE_TASK_GROUP_BYTES:
+    if (num_buckets is None and est_bytes is not None
+            and est_bytes <= SINGLE_TASK_GROUP_BYTES):
         return tagged.repartition(1).map_batches(
             merge_bucket, batch_format="pandas", batch_size=None
         )
-    return tagged.groupby("bucket", num_partitions=num_buckets).map_groups(
+    nb = (num_buckets if num_buckets is not None
+          else shuffle_partitions(est_bytes=est_bytes))
+    bucketed = tagged.map_batches(
+        lambda df: df.assign(bucket=(df[key_col] % nb).astype("int64")),
+        batch_format="pandas",
+    )
+    return bucketed.groupby("bucket", num_partitions=nb).map_groups(
         merge_bucket, batch_format="pandas"
     )
 
@@ -672,8 +683,6 @@ def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
     so B=8 plain buckets suffice."""
     est_bytes = (file_bytes(f"{sf_dir}/lineitem.parquet")
                  + file_bytes(f"{sf_dir}/orders.parquet"))
-    if num_buckets is None:
-        num_buckets = shuffle_partitions(est_bytes=est_bytes)
     li = read_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -711,10 +720,7 @@ def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
         )
 
     right = orders.map_batches(tag_right, batch_format="pandas")
-    tagged = left.union(right).map_batches(
-        lambda df: df.assign(bucket=(df["key"] % num_buckets).astype("int64")),
-        batch_format="pandas",
-    )
+    tagged = left.union(right)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["side"] == 0]
@@ -722,8 +728,8 @@ def q_priority_revenue(sf_dir: str, num_buckets: int | None = None):
         m = l.merge(r, on="key", how="inner", suffixes=("_x", ""))
         return m.groupby("o_orderpriority", as_index=False)[["rev_i", "n"]].sum()
 
-    partials = _cogrouped(tagged, merge_bucket, num_buckets,
-                          est_bytes=est_bytes)
+    partials = _cogrouped(tagged, "key", merge_bucket,
+                          num_buckets=num_buckets, est_bytes=est_bytes)
 
     def merge_partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_orderpriority", as_index=False)[["rev_i", "n"]].sum()
@@ -767,7 +773,6 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     seg_keys = frozenset(cust.column("c_custkey").to_pylist())
     est_bytes = (file_bytes(f"{sf_dir}/lineitem.parquet")
                  + file_bytes(f"{sf_dir}/orders.parquet"))
-    num_buckets = shuffle_partitions(est_bytes=est_bytes)
 
     orders = read_sized(
         f"{sf_dir}/orders.parquet",
@@ -803,13 +808,8 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         agg["side"] = 0
         return agg[["key", "rev_i", "o_orderdate", "side"]]
 
-    tagged = (
-        li.map_batches(line_side, batch_format="pandas")
-        .union(orders.map_batches(order_side, batch_format="pandas"))
-        .map_batches(
-            lambda df: df.assign(bucket=(df["key"] % num_buckets).astype("int64")),
-            batch_format="pandas",
-        )
+    tagged = li.map_batches(line_side, batch_format="pandas").union(
+        orders.map_batches(order_side, batch_format="pandas")
     )
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -822,8 +822,7 @@ def q_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             ["rev_i", "o_orderdate", "key"], ascending=[False, True, True]
         ).head(10)
 
-    partials = _cogrouped(tagged, merge_bucket, num_buckets,
-                          est_bytes=est_bytes)
+    partials = _cogrouped(tagged, "key", merge_bucket, est_bytes=est_bytes)
     top = topk(partials, ["rev_i", "o_orderdate", "key"],
                descending=[True, False, False], k=10)
 
@@ -1314,7 +1313,6 @@ def q_customer_order_counts(sf_dir: str, since: str = "1998-01-01"):
     broadcast exists at any size."""
     est_bytes = (file_bytes(f"{sf_dir}/customer.parquet")
                  + file_bytes(f"{sf_dir}/orders.parquet"))
-    num_buckets = shuffle_partitions(est_bytes=est_bytes)
     orders = read_sized(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_totalprice", "o_orderdate"],
@@ -1352,10 +1350,7 @@ def q_customer_order_counts(sf_dir: str, since: str = "1998-01-01"):
         )
 
     right = customer.map_batches(tag_right, batch_format="pandas")
-    tagged = left.union(right).map_batches(
-        lambda df: df.assign(bucket=(df["key"] % num_buckets).astype("int64")),
-        batch_format="pandas",
-    )
+    tagged = left.union(right)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         facts = (
@@ -1374,7 +1369,7 @@ def q_customer_order_counts(sf_dir: str, since: str = "1998-01-01"):
             }
         )
 
-    return _cogrouped(tagged, merge_bucket, num_buckets, est_bytes=est_bytes)
+    return _cogrouped(tagged, "key", merge_bucket, est_bytes=est_bytes)
 
 
 def q_value_histogram(sf_dir: str, bucket_cents: int = 500):
@@ -1427,7 +1422,6 @@ def q_user_activity_outer(sf_dir: str, threshold: float = 100.0):
     outer pandas merge — no broadcast, no second shuffle, no driver
     collect at any corpus size."""
     est_bytes = file_bytes(f"{sf_dir}/events.parquet")
-    num_buckets = shuffle_partitions(est_bytes=est_bytes)
     ds = read_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
     )
@@ -1448,12 +1442,7 @@ def q_user_activity_outer(sf_dir: str, threshold: float = 100.0):
             frames.append(g)
         return pd.concat(frames, ignore_index=True)
 
-    tagged = ds.map_batches(partial, batch_format="pandas").map_batches(
-        lambda df: df.assign(
-            bucket=(df["user_id"] % num_buckets).astype("int64")
-        ),
-        batch_format="pandas",
-    )
+    tagged = ds.map_batches(partial, batch_format="pandas")
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         a = (
@@ -1477,7 +1466,7 @@ def q_user_activity_outer(sf_dir: str, threshold: float = 100.0):
             }
         )
 
-    return _cogrouped(tagged, merge_bucket, num_buckets, est_bytes=est_bytes)
+    return _cogrouped(tagged, "user_id", merge_bucket, est_bytes=est_bytes)
 
 
 def q_discount_tax_stats(sf_dir: str):
@@ -1869,8 +1858,13 @@ def q_user_anomalies(sf_dir: str):
 
         |x − μ| > 2σ  ⇔  (n·x − S)² > 4·(n·Q − S²)
 
-    with x the value in cents, S = Σx, Q = Σx² per user (all int64: value
-    ≤ ~$600 → x ≤ 6·10⁴, n per user ≪ 10⁶ keeps every product < 2⁶³).
+    with x the value in cents, S = Σx, Q = Σx² per user.  The products
+    reach n²·x² — int64-safe only while max(n)·max(|x|) < 2³⁰·√2 ≈ 1.5e9
+    (e.g. 25k events/user at $600) — so the kernel checks that bound per
+    bucket and escalates the whole bucket to Python-int (arbitrary
+    precision) arithmetic when it would overflow; the oracle does the
+    same products in HUGEINT (int128).  Both sides are exact at any
+    per-user volume, never silently wrapped.
 
     Scale shape: ONE hash shuffle of the pruned (user_id, cents) pairs via
     the `_bucketed_groups` small route; each bucket computes per-user
@@ -1886,33 +1880,47 @@ def q_user_anomalies(sf_dir: str):
              "x": _cents(df["value"])}
         )
 
-    def kernel(g: pd.DataFrame) -> pd.DataFrame:
-        stats = g.groupby("user_id", as_index=False).agg(
-            n_events=("x", "size"), s=("x", "sum")
-        )
-        q = g.assign(x2=g["x"].to_numpy(dtype=np.int64) ** 2).groupby(
-            "user_id", as_index=False
-        )["x2"].sum()
-        stats = stats.merge(q, on="user_id")
-        m = g.merge(stats, on="user_id", how="left")
-        n = m["n_events"].to_numpy(dtype=np.int64)
-        s = m["s"].to_numpy(dtype=np.int64)
-        qq = m["x2"].to_numpy(dtype=np.int64)
-        x = m["x"].to_numpy(dtype=np.int64)
-        dev = n * x - s
-        hit = (dev * dev > 4 * (n * qq - s * s)).astype("int64")
-        out = (
-            pd.DataFrame({"user_id": m["user_id"], "hit": hit})
-            .groupby("user_id", as_index=False)["hit"].sum()
-            .merge(stats[["user_id", "n_events"]], on="user_id")
-        )
-        return pd.DataFrame(
-            {"user_id": out["user_id"].astype("int64"),
-             "n_events": out["n_events"].astype("int64"),
-             "n_anomalies": out["hit"].astype("int64")}
-        )
-
     return _bucketed_groups(
         ds.map_batches(to_cents, batch_format="pandas"),
-        "user_id", n_parts, kernel, est_bytes=est_bytes,
+        "user_id", n_parts, _anomaly_counts, est_bytes=est_bytes,
+    )
+
+
+def _anomaly_counts(g: pd.DataFrame) -> pd.DataFrame:
+    """Bucket kernel for :func:`q_user_anomalies`: per-user (n, S, Q) and
+    outlier count in one vectorized pass, with the Python-int escalation
+    described there (exactness pinned in tests/test_ops.py)."""
+    x = g["x"].to_numpy(dtype=np.int64)
+    gb = g.groupby("user_id", sort=False)
+    n = gb["x"].transform("size").to_numpy(dtype=np.int64)
+    s = gb["x"].transform("sum").to_numpy(dtype=np.int64)
+    q = (
+        g.assign(x2=x * x).groupby("user_id", sort=False)["x2"]
+        .transform("sum").to_numpy(dtype=np.int64)
+    )
+    # int64 is safe while every product stays under 2^63:
+    # |n·x − S| ≤ 2·max(n)·max|x| and 4·n·Q ≤ 4·(max(n)·max|x|)² —
+    # both hold when max(n)·max|x| ≤ 1.5e9.  Above that, redo the
+    # bucket in Python ints (exact, rare: needs ~10^9 cent·events
+    # concentrated in one user).
+    if len(x) and int(n.max()) * int(np.abs(x).max() or 1) > 1_500_000_000:
+        hit = np.fromiter(
+            (
+                (int(ni) * int(xi) - int(si)) ** 2
+                > 4 * (int(ni) * int(qi) - int(si) ** 2)
+                for ni, xi, si, qi in zip(n, x, s, q)
+            ),
+            dtype=np.int64, count=len(x),
+        )
+    else:
+        dev = n * x - s
+        hit = (dev * dev > 4 * (n * q - s * s)).astype("int64")
+    out = (
+        pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                      "n_events": n, "hit": hit})
+        .groupby("user_id", as_index=False)
+        .agg(n_events=("n_events", "first"), n_anomalies=("hit", "sum"))
+    )
+    return out.astype(
+        {"user_id": "int64", "n_events": "int64", "n_anomalies": "int64"}
     )

@@ -272,7 +272,19 @@ def ivf_centroids_for(src_path: str, n_cells: int = 16,
     ).hexdigest()[:12]
     path = os.path.join(cache_root, f"libpdf_ray_ivfc_{key}.npy")
     if os.path.exists(path):
-        return np.load(path)
+        try:
+            cached = np.load(path)  # allow_pickle=False: no code execution
+        except Exception:
+            cached = None  # truncated/planted file: refit and overwrite
+        # shape/dtype sanity — /tmp is shared, never trust blindly
+        if (
+            cached is not None
+            and cached.ndim == 2
+            and 1 <= cached.shape[0] <= n_cells
+            and cached.dtype == np.float64
+            and np.isfinite(cached).all()
+        ):
+            return cached
     ds = read_sized(src_path, columns=["embedding"])
     centroids = ivf_fit_centroids(
         ds, n_cells=n_cells, sample_rows=sample_rows, iters=iters, seed=seed

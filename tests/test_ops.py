@@ -607,3 +607,58 @@ class TestCogroupRoutes:
             R.SINGLE_TASK_GROUP_BYTES = orig
         assert len(single) > 0
         pd.testing.assert_frame_equal(single, dist)
+
+
+class TestAnomalyKernel:
+    """q_user_anomalies' integer identity must stay EXACT when the int64
+    products would overflow (n·x ~ 10^9+): the kernel escalates the bucket
+    to Python-int arithmetic instead of silently wrapping."""
+
+    def test_escalation_matches_exact_python(self):
+        import numpy as np
+        import pandas as pd
+
+        from libpdf_ray.ops.relational import _anomaly_counts
+
+        # 60k events at x=56000 cents + 10 clear outliers at 0: the fast
+        # path's n*Q product exceeds 2^63 (wraps to "0 anomalies"); exact
+        # math flags the 10 zeros
+        g = pd.DataFrame(
+            {"user_id": [1] * 60010, "x": [56000] * 60000 + [0] * 10}
+        )
+        out = _anomaly_counts(g)
+        assert out.loc[0, "n_anomalies"] == 10
+        assert out.loc[0, "n_events"] == 60010
+
+    def test_fast_path_small_bucket(self):
+        import pandas as pd
+
+        from libpdf_ray.ops.relational import _anomaly_counts
+
+        g = pd.DataFrame(
+            {"user_id": [1] * 99 + [2] * 50,
+             "x": [100] * 98 + [10_000] + [50] * 50}
+        )
+        out = _anomaly_counts(g).set_index("user_id")
+        assert out.loc[1, "n_anomalies"] == 1  # the 10k spike
+        assert out.loc[2, "n_anomalies"] == 0  # constant series
+
+
+class TestCentroidCache:
+    def test_planted_garbage_is_refit(self, ray_session, tmp_path):
+        import numpy as np
+
+        from libpdf_ray.ops.similarity import ivf_centroids_for
+
+        src = "/root/testdata/sf0.001/embeddings.parquet"
+        good = ivf_centroids_for(src, n_cells=8, cache_root=str(tmp_path))
+        assert good.ndim == 2 and good.dtype == np.float64
+        # corrupt the cache file: the next call must refit, not crash or
+        # return garbage
+        import glob
+
+        (cache,) = glob.glob(str(tmp_path / "libpdf_ray_ivfc_*.npy"))
+        with open(cache, "wb") as fh:
+            fh.write(b"not a npy file")
+        again = ivf_centroids_for(src, n_cells=8, cache_root=str(tmp_path))
+        assert np.array_equal(good, again)
