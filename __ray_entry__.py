@@ -626,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": Co.q_mixture_sample,
         "group_topk": Co.q_group_topk,
         "ngram_topk": Co.q_ngram_topk,
+        "pack_sequences": Co.q_pack_sequences,
         "user_anomalies": R.q_user_anomalies,
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
@@ -1782,6 +1783,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, CAST(count(*) AS BIGINT) AS tf,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
             FROM b GROUP BY 1 ORDER BY tf DESC, gram LIMIT 50
+        """,
+        "pack_sequences": """
+            -- sequence packing: docs concatenated in doc_id order, cut
+            -- into 4096-char bins; a doc belongs to its START offset's
+            -- bin (engine: distributed two-pass ordered prefix-scan)
+            WITH c AS (
+                SELECT doc_id, n_chars,
+                       sum(n_chars) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW
+                       ) - n_chars AS start_off
+                FROM documents
+            )
+            SELECT CAST(start_off // 4096 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM c GROUP BY 1 ORDER BY bin
         """,
         "group_topk": """
             -- grouped window top-k: 3 longest docs per (lang, source),

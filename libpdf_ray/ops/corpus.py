@@ -870,3 +870,137 @@ def q_ngram_topk(sf_dir: str):
     path = f"{sf_dir}/documents.parquet"
     docs = read_sized(path, columns=["doc_id", "text"])
     return ngram_stats(docs, est_docs=parquet_row_count(path))
+
+
+#: chars per packed training sequence for :func:`q_pack_sequences` — a
+#: literal shared verbatim with the SQL oracle
+PACK_BUDGET = 4096
+#: docs per order-preserving scan bucket (``doc_id // width``); bounds the
+#: rows any single phase-2 group holds AND the size of the driver-held
+#: bucket-total frame (``~max_doc_id / width`` rows — at 10^12 docs that is
+#: ~15M tiny rows; beyond that the same construction nests one more level:
+#: buckets of buckets, same two-pass scan per level)
+PACK_BUCKET_WIDTH = 65_536
+
+
+def q_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
+                     bucket_width: int = PACK_BUCKET_WIDTH):
+    """Sequence packing — the make-training-batches step of an LLM data
+    pipeline: concatenate all documents in ``doc_id`` order into one
+    virtual character stream, cut the stream into fixed ``budget``-char
+    bins, and assign each document to the bin where it STARTS (documents
+    may straddle a boundary; their bin is their start offset's bin).
+
+    Output (bin, n_docs, total_chars, first_doc, last_doc) per bin —
+    bit-identical to the SQL window ``sum(n_chars) OVER (ORDER BY
+    doc_id) - n_chars`` cumsum in exact integer arithmetic.
+
+    Distributed shape — a GLOBAL ORDERED PREFIX-SCAN in two passes (the
+    textbook scan, expressed in Ray Data):
+
+    1. order-preserving coarse buckets ``doc_id // bucket_width``;
+       per-batch partial sums → tiny per-bucket totals → the DRIVER
+       prefix-sums the (sorted) bucket totals into exclusive bucket
+       offsets and broadcasts two numpy arrays via ``ray.put``.
+    2. one hash shuffle groups rows by bucket
+       (:func:`~.relational._bucketed_groups` — key-disjoint, single
+       vectorized kernel per bucket batch): within each bucket sort by
+       ``doc_id``, local cumsum + broadcast bucket offset = the exact
+       global start offset of every document; bin ids follow by integer
+       division, and only per-(bucket, bin) AGGREGATE rows leave the
+       kernel.
+    3. bins straddling a bucket boundary merge in a small bin-keyed
+       combine (sum/sum/min/max — associative).
+
+    Document bodies never move: the scan reads two int64 columns, the
+    shuffle carries 24 B/row, and the driver holds one row per bucket.
+    """
+    import ray
+
+    from .relational import _bucketed_groups
+    from .util import shuffle_partitions
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_sized(path, columns=["doc_id", "n_chars"])
+    n_rows = parquet_row_count(path)
+    width = int(bucket_width)
+
+    # ---- pass 1: per-bucket char totals → driver prefix → broadcast
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["doc_id"].to_numpy(dtype=np.int64) // width
+        g = pd.DataFrame(
+            {"pb": b, "s": df["n_chars"].to_numpy(dtype=np.int64)}
+        )
+        return g.groupby("pb", as_index=False, sort=False)["s"].sum()
+
+    def sum_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("pb", as_index=False, sort=False)["s"].sum()
+
+    n_buckets = max(1, n_rows // width + 1)
+    totals = combine_partials(
+        docs.map_batches(sum_partial, batch_format="pandas"),
+        sum_merge, ["pb"], est_keys=n_buckets, merge_fn=sum_merge,
+    ).to_pandas()  # one row per NON-EMPTY bucket (bounded, see width doc)
+    totals = totals.sort_values("pb")
+    bids = totals["pb"].to_numpy(dtype=np.int64)
+    sums = totals["s"].to_numpy(dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(sums)[:-1])).astype(np.int64)
+    bcast = ray.put((bids, offs))
+    est_bins = int(sums.sum()) // budget + 1
+
+    # ---- pass 2: within-bucket ordered cumsum + offset → bin partials
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            pb=df["doc_id"].to_numpy(dtype=np.int64) // width
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        b_ids, b_offs = ray.get(bcast)
+        g = g.sort_values(["pb", "doc_id"], kind="mergesort")
+        nc = g["n_chars"].to_numpy(dtype=np.int64)
+        cum = g.groupby("pb", sort=False)["n_chars"].cumsum().to_numpy(
+            dtype=np.int64
+        )
+        base = b_offs[np.searchsorted(b_ids, g["pb"].to_numpy(np.int64))]
+        start = base + cum - nc
+        rows = pd.DataFrame(
+            {
+                "bin": start // budget,
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "n_chars": nc,
+            }
+        )
+        out = rows.groupby("bin", as_index=False, sort=False).agg(
+            n_docs=("doc_id", "size"),
+            total_chars=("n_chars", "sum"),
+            first_doc=("doc_id", "min"),
+            last_doc=("doc_id", "max"),
+        )
+        return out.astype(
+            {"n_docs": "int64", "total_chars": "int64",
+             "first_doc": "int64", "last_doc": "int64"}
+        )
+
+    pairs = docs.map_batches(add_pb, batch_format="pandas")
+    n_parts = shuffle_partitions(est_keys=n_buckets, est_bytes=n_rows * 24)
+    per_bucket = _bucketed_groups(
+        pairs, "pb", n_parts, kernel, est_bytes=n_rows * 24
+    )
+
+    # ---- pass 3: merge straddling bins (associative min/max/sum)
+    def bin_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bin", as_index=False, sort=False).agg(
+            n_docs=("n_docs", "sum"),
+            total_chars=("total_chars", "sum"),
+            first_doc=("first_doc", "min"),
+            last_doc=("last_doc", "max"),
+        )
+        return out.astype(
+            {"n_docs": "int64", "total_chars": "int64",
+             "first_doc": "int64", "last_doc": "int64"}
+        ).sort_values("bin")
+
+    return combine_partials(
+        per_bucket, bin_merge, ["bin"],
+        est_keys=est_bins, merge_fn=bin_merge,
+    )

@@ -306,3 +306,84 @@ class TestSampleOverlapAntiJoin:
         )
         assert len(fast) > 0  # fixture keeps the query non-degenerate
         pd.testing.assert_frame_equal(fast, slow)
+
+
+class TestPackSequences:
+    """q_pack_sequences: the distributed ordered prefix-scan must agree
+    with a single-pass numpy reference, on BOTH plan routes, including
+    sparse doc_ids and bins that straddle bucket boundaries."""
+
+    @staticmethod
+    def _write_docs(tmp_path, doc_ids, n_chars):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    @staticmethod
+    def _reference(doc_ids, n_chars, budget):
+        order = np.argsort(doc_ids, kind="stable")
+        ids = np.asarray(doc_ids)[order]
+        nc = np.asarray(n_chars)[order]
+        start = np.concatenate(([0], np.cumsum(nc)[:-1]))
+        bins = start // budget
+        rows = {}
+        for b, d, c in zip(bins, ids, nc):
+            r = rows.setdefault(int(b), [0, 0, int(d), int(d)])
+            r[0] += 1
+            r[1] += int(c)
+            r[2] = min(r[2], int(d))
+            r[3] = max(r[3], int(d))
+        return pd.DataFrame(
+            [
+                {"bin": b, "n_docs": v[0], "total_chars": v[1],
+                 "first_doc": v[2], "last_doc": v[3]}
+                for b, v in sorted(rows.items())
+            ]
+        )
+
+    def test_multi_bucket_distributed_route(self, ray_session, tmp_path,
+                                            monkeypatch):
+        import libpdf_ray.ops.relational as R
+        from libpdf_ray.ops.corpus import q_pack_sequences
+
+        # force the bucket shuffle (not the single coalesced task)
+        monkeypatch.setattr(R, "SINGLE_TASK_GROUP_BYTES", 0)
+        rng = np.random.RandomState(11)
+        # SPARSE ids: gaps + a huge outlier id → empty coarse buckets
+        doc_ids = np.unique(rng.randint(0, 5000, size=400))
+        doc_ids[-1] = 10_000_000
+        n_chars = rng.randint(0, 900, size=len(doc_ids))
+        sf = self._write_docs(tmp_path, doc_ids, n_chars)
+        # width 64 → many buckets; budget 1000 → bins straddle buckets
+        got = (
+            q_pack_sequences(sf, budget=1000, bucket_width=64)
+            .to_pandas()
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        exp = self._reference(doc_ids, n_chars, 1000)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_single_task_route_identical(self, ray_session, tmp_path):
+        from libpdf_ray.ops.corpus import q_pack_sequences
+
+        rng = np.random.RandomState(12)
+        doc_ids = np.arange(300)
+        n_chars = rng.randint(1, 500, size=300)
+        sf = self._write_docs(tmp_path, doc_ids, n_chars)
+        got = (
+            q_pack_sequences(sf, budget=2048, bucket_width=50)
+            .to_pandas()
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        exp = self._reference(doc_ids, n_chars, 2048)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)

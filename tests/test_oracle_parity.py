@@ -97,6 +97,7 @@ CHECKED = [
     "group_topk",
     "user_anomalies",
     "ngram_topk",
+    "pack_sequences",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
