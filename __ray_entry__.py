@@ -589,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from libpdf_ray.ops import corpus as Co
     from libpdf_ray.ops import relational as R
     from libpdf_ray.ops import search as S
+    from libpdf_ray.ops import text as T
     from libpdf_ray.ops.util import tune_data_context
 
     tune_data_context()
@@ -627,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": Co.q_group_topk,
         "ngram_topk": Co.q_ngram_topk,
         "pack_sequences": Co.q_pack_sequences,
+        "pii_scrub": T.q_pii_scrub,
         "user_anomalies": R.q_user_anomalies,
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
@@ -1803,6 +1805,42 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc,
                    max(doc_id) AS last_doc
             FROM c GROUP BY 1 ORDER BY bin
+        """,
+        "pii_scrub": """
+            -- sequential PII redaction (email -> ipv4 -> phone), counts
+            -- per step + md5 of the fully scrubbed text; the step order
+            -- and pattern literals mirror ops/text.py PII_STEPS exactly
+            WITH s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                       )) AS n_email,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t
+                FROM documents
+            ), s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                       )) AS n_ipv4,
+                       regexp_replace(t,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id, n_email, n_ipv4,
+                       len(regexp_extract_all(t,
+                           '\\+?\\d[\\d\\- ]{7,}\\d')) AS n_phone,
+                       regexp_replace(t, '\\+?\\d[\\d\\- ]{7,}\\d',
+                           '<PHONE>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   md5(t) AS scrub_md5
+            FROM s3
         """,
         "group_topk": """
             -- grouped window top-k: 3 longest docs per (lang, source),

@@ -155,3 +155,56 @@ def add_fingerprint(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame
     # store as string: uint64 does not round-trip pandas→Arrow cleanly
     batch["fingerprint"] = batch["fingerprint"].map(lambda v: f"{v:016x}")
     return batch
+
+
+# ---- PII scrubbing ------------------------------------------------------
+# Redaction patterns chosen to parse IDENTICALLY under Python re and RE2
+# (DuckDB's regexp engine): plain character classes and counted repeats,
+# no backreferences / lookaround, ASCII classes only (the corpus is ASCII
+# — pinned by test_documents_ascii_precondition).  The literals are shared
+# verbatim with the SQL oracle.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+#: scrub order matters (an email eats its digits before the phone pass);
+#: fixed here and mirrored step-for-step in the oracle's CTE chain
+PII_STEPS = (
+    ("email", PII_EMAIL, "<EMAIL>"),
+    ("ipv4", PII_IPV4, "<IP>"),
+    ("phone", PII_PHONE, "<PHONE>"),
+)
+_PII_COMPILED = [(n, re.compile(p), r) for n, p, r in PII_STEPS]
+
+
+def scrub_pii(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-document PII redaction — the privacy-scrub step of a
+    training-data pipeline.  Sequentially counts and replaces emails,
+    IPv4 addresses, and phone-like digit runs (vectorized pandas str
+    kernels over compiled patterns), then emits the md5 of the fully
+    scrubbed text so engine and SQL oracle agree on the REPLACEMENT
+    semantics character-for-character, not just on match counts.
+
+    Output: (doc_id, n_email, n_ipv4, n_phone, scrub_md5).  Stateless,
+    embarrassingly parallel, no shuffle; documents leave the stage as a
+    32-hex digest."""
+    import hashlib
+
+    t = batch[text_col].fillna("")
+    out = {"doc_id": batch["doc_id"].astype("int64")}
+    for name, pat, repl in _PII_COMPILED:
+        out[f"n_{name}"] = t.str.count(pat).astype("int64")
+        t = t.str.replace(pat, repl, regex=True)
+    out["scrub_md5"] = [
+        hashlib.md5(s.encode("utf-8")).hexdigest() for s in t
+    ]
+    return pd.DataFrame(out)
+
+
+def q_pii_scrub(sf_dir: str):
+    from .util import read_sized
+
+    ds = read_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(scrub_pii, batch_format="pandas")

@@ -662,3 +662,57 @@ class TestCentroidCache:
             fh.write(b"not a npy file")
         again = ivf_centroids_for(src, n_cells=8, cache_root=str(tmp_path))
         assert np.array_equal(good, again)
+
+
+class TestPiiScrub:
+    """scrub_pii: redaction semantics on PLANTED PII (the shipped corpus
+    is digit-free, so the registry's oracle check pins the identity path;
+    these pin the actual replacements, python-re == DuckDB-RE2)."""
+
+    PLANTED = [
+        "contact bob.smith+spam@example-mail.co.uk for details",
+        "server at 192.168.001.1 rebooted, backup 10.0.0.255 ok",
+        "call +1 555-867-5309 or 020 7946 0958 now",
+        "mixed: a@b.io then 8.8.8.8 then 0123456789",
+        "no pii here at all",
+        "",
+    ]
+
+    def _frame(self):
+        return pd.DataFrame(
+            {"doc_id": np.arange(len(self.PLANTED), dtype=np.int64),
+             "text": self.PLANTED}
+        )
+
+    def test_counts_and_replacements(self):
+        from libpdf_ray.ops.text import scrub_pii
+
+        out = scrub_pii(self._frame())
+        assert out["n_email"].tolist() == [1, 0, 0, 1, 0, 0]
+        assert out["n_ipv4"].tolist() == [0, 2, 0, 1, 0, 0]
+        # row 2 has two phone-like runs; row 3's digit run is phone-shaped
+        assert out["n_phone"].tolist() == [0, 0, 2, 1, 0, 0]
+
+    def test_matches_duckdb_oracle_on_planted_pii(self, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entrymod
+        from libpdf_ray.ops.text import scrub_pii
+
+        df = self._frame()
+        pq.write_table(pa.Table.from_pandas(df),
+                       str(tmp_path / "documents.parquet"))
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        exp = con.sql(entrymod.oracle_sql()["pii_scrub"]).df()
+        got = scrub_pii(df)
+        exp = exp.sort_values("doc_id").reset_index(drop=True)
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, exp[got.columns], check_dtype=False
+        )

@@ -98,6 +98,7 @@ CHECKED = [
     "user_anomalies",
     "ngram_topk",
     "pack_sequences",
+    "pii_scrub",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
