@@ -632,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_anomalies": R.q_user_anomalies,
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
+        "tfidf_topk": S.q_tfidf_topk,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -1992,5 +1993,40 @@ def oracle_sql() -> dict[str, str]:
                    STRING_AGG(CAST(doc_id AS VARCHAR), ','
                        ORDER BY doc_id) AS postings
             FROM tok WHERE term <> '' GROUP BY term
+        """,
+        "tfidf_topk": """
+            -- per-document top-3 TF-IDF keywords with the integer-exact
+            -- idf (N * 1000000) // df (same scale constant as
+            -- ops/search.py TFIDF_IDF_SCALE); ties by term ASC — a total
+            -- order, so ranks are deterministic
+            WITH tok AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2
+            ),
+            dfs AS (
+                SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok GROUP BY 1
+            ),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
+                       tf.tf * ((n.n * 1000000) // dfs.df) AS score
+                FROM tf JOIN dfs USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
+                   CAST(score AS BIGINT) AS score
+            FROM ranked WHERE rank <= 3
         """,
     }

@@ -228,3 +228,177 @@ def q_posting_lists(sf_dir: str):
     docs = read_sized(path, columns=["doc_id", "text"])
     # ~16 distinct (term, doc) pairs per doc routes big corpora bucketed
     return posting_lists(docs, est_terms=max(64, parquet_row_count(path) * 16))
+
+
+# ---- TF-IDF keyword extraction ------------------------------------------
+#: integer idf scale: idf_scaled = (N_docs * SCALE) // df — exact in int64
+#: up to N·SCALE ≈ 9·10^18 (at 10^12 docs shrink SCALE or move the oracle
+#: to HUGEINT; the ordering is unchanged for any fixed scale)
+TFIDF_IDF_SCALE = 1_000_000
+
+
+def _corpus_df(docs, est_docs: int):
+    """Full corpus document-frequency table (term, df) — the vocab_stats
+    partial/combine WITHOUT the top-k cut (keyword extraction needs every
+    term's df, not just the head)."""
+    from .corpus import _explode_tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(df)
+        if not len(ex):
+            return pd.DataFrame({"term": [], "df": []}).astype(
+                {"term": object, "df": "int64"}
+            )
+        g = ex.groupby("term", as_index=False).agg(df=("doc_id", "nunique"))
+        return g.astype({"df": "int64"})
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", as_index=False)["df"].sum()
+
+    return combine_partials(
+        docs.map_batches(partial, batch_format="pandas"),
+        red, ["term"], est_keys=max(64, est_docs * 16), merge_fn=red,
+    )
+
+
+def _rank_topk(scored: pd.DataFrame, k: int) -> pd.DataFrame:
+    """(doc_id, term, tf, df, score) → per-doc top-k with 1-based rank,
+    ordered by score DESC then term ASC (a total order: terms are
+    distinct within a document)."""
+    scored = scored.sort_values(
+        ["doc_id", "score", "term"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    rank = scored.groupby("doc_id", sort=False).cumcount() + 1
+    out = scored[rank <= k].assign(rank=rank[rank <= k])
+    return out[["doc_id", "rank", "term", "tf", "df", "score"]].astype(
+        {"doc_id": "int64", "rank": "int64", "tf": "int64",
+         "df": "int64", "score": "int64"}
+    )
+
+
+def tfidf_topk(docs, n_docs: int, est_docs: int, k: int = 3,
+               vocab_limit: int | None = None):
+    """Per-document keyword extraction: each document's top-``k`` terms by
+    TF-IDF with the integer-exact idf ``(N · SCALE) // df`` (score =
+    tf · idf_scaled; ties broken by term — engine and SQL oracle agree
+    bit-for-bit, no float log).
+
+    Scale shape — a feature-weighting join, routed by vocabulary size:
+
+    - vocabulary ≤ :data:`~.util.BROADCAST_LOOKUP_ROW_LIMIT`: the corpus
+      DF table (one vocab_stats-shaped pass) is broadcast once via
+      ``ray.put`` as two sorted numpy arrays; a SECOND corpus pass
+      computes per-doc term counts, maps df by ``np.searchsorted``,
+      scores, and takes the per-doc top-k BATCH-LOCALLY (a document
+      never spans blocks) — zero data shuffles.
+    - larger vocabularies: no driver materialization — the exploded
+      (doc_id, term, tf) pairs and the DF table meet in ONE term-hashed
+      tagged-union co-group (`_cogrouped`), and the scored pairs regroup
+      by doc for the top-k in a second bucketed pass.  Only scalar
+      (id, term, int) rows transit either shuffle.
+
+    Route equality is pinned in tests/test_search.py.
+
+    ``vocab_limit`` overrides the broadcast threshold (tests force the
+    distributed route on small corpora with ``vocab_limit=0``)."""
+    import ray
+
+    from .corpus import _explode_tokens
+    from .util import BROADCAST_LOOKUP_ROW_LIMIT
+
+    if vocab_limit is None:
+        vocab_limit = BROADCAST_LOOKUP_ROW_LIMIT
+
+    # the DF table is consumed twice (count for routing, then either the
+    # driver collect or the join side) — materialize the compacted vocab
+    # once; it is orders of magnitude smaller than the corpus
+    df_tbl = _corpus_df(docs, est_docs).materialize()
+    n_terms = df_tbl.count()
+
+    def tf_frame(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(df)
+        if not len(ex):
+            return pd.DataFrame({"doc_id": [], "term": [], "tf": []}).astype(
+                {"doc_id": "int64", "term": object, "tf": "int64"}
+            )
+        g = ex.groupby(["doc_id", "term"], as_index=False, sort=False).agg(
+            tf=("term", "size")
+        )
+        return g.astype({"doc_id": "int64", "tf": "int64"})
+
+    if n_terms <= vocab_limit:
+        vocab = df_tbl.to_pandas().sort_values("term")
+        bcast = ray.put(
+            (vocab["term"].to_numpy(dtype=object),
+             vocab["df"].to_numpy(dtype=np.int64))
+        )
+
+        def score_local(df: pd.DataFrame) -> pd.DataFrame:
+            tf = tf_frame(df)
+            if not len(tf):
+                return _rank_topk(tf.assign(df=[], score=[]), k)
+            terms, dfs = ray.get(bcast)
+            idx = np.searchsorted(terms, tf["term"].to_numpy())
+            dfv = dfs[idx]
+            idf = (np.int64(n_docs) * np.int64(TFIDF_IDF_SCALE)) // dfv
+            return _rank_topk(
+                tf.assign(df=dfv, score=tf["tf"].to_numpy() * idf), k
+            )
+
+        return docs.map_batches(score_local, batch_format="pandas")
+
+    # large-vocab route: term-hashed co-group join, then doc-keyed top-k
+    from .relational import _bucketed_groups, _cogrouped
+    from .util import shuffle_partitions
+
+    def hash_terms(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _th=pd.util.hash_pandas_object(
+                df["term"], index=False
+            ).astype("int64").abs()
+        )
+
+    left = df_tbl.map_batches(hash_terms, batch_format="pandas").map_batches(
+        lambda d: d.assign(doc_id=np.int64(-1), tf=np.int64(0)),
+        batch_format="pandas",
+    )
+    right = docs.map_batches(tf_frame, batch_format="pandas").map_batches(
+        lambda d: hash_terms(d).assign(df=np.int64(0)),
+        batch_format="pandas",
+    )
+    cols = ["doc_id", "term", "tf", "df", "_th"]
+    tagged = left.select_columns(cols).union(right.select_columns(cols))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dfs = g[g["doc_id"] < 0][["term", "df"]]
+        tfs = g[g["doc_id"] >= 0][["doc_id", "term", "tf"]]
+        m = tfs.merge(dfs, on="term", how="inner")
+        idf = (np.int64(n_docs) * np.int64(TFIDF_IDF_SCALE)) // \
+            m["df"].to_numpy(dtype=np.int64)
+        return m.assign(score=m["tf"].to_numpy() * idf)
+
+    scored = _cogrouped(
+        tagged.map_batches(
+            lambda d: d.rename(columns={"_th": "key"}), batch_format="pandas"
+        ),
+        "key",
+        lambda g: merge_bucket(g.drop(columns=["key"])),
+        num_buckets=shuffle_partitions(est_keys=n_terms),
+    )
+
+    return _bucketed_groups(
+        scored, "doc_id",
+        shuffle_partitions(est_keys=est_docs),
+        lambda g: _rank_topk(g, k),
+    )
+
+
+def q_tfidf_topk(sf_dir: str):
+    from .util import parquet_row_count
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_sized(path, columns=["doc_id", "text"])
+    n = parquet_row_count(path)
+    return tfidf_topk(docs, n_docs=n, est_docs=n)

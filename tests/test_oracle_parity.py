@@ -99,6 +99,7 @@ CHECKED = [
     "ngram_topk",
     "pack_sequences",
     "pii_scrub",
+    "tfidf_topk",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by

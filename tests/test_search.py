@@ -182,3 +182,79 @@ def test_source_sample_block_invariance(ray_session, tmp_path):
         terms=["x"], k=5,
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert one.equals(many)
+
+
+def test_tfidf_topk_semantics_and_routes(ray_session, tiny_docs_dir):
+    """tfidf_topk: (a) broadcast route matches a single-process numpy
+    reference of the integer idf formula, (b) the distributed co-group
+    route (forced with vocab_limit=0) is bit-identical, (c) block count
+    does not change the answer."""
+    import re
+
+    import ray.data as rd
+
+    from libpdf_ray.ops.search import TFIDF_IDF_SCALE, tfidf_topk
+    from libpdf_ray.ops.util import read_sized
+
+    path = f"{tiny_docs_dir}/documents.parquet"
+    src = pd.read_parquet(path)
+    n_docs = len(src)
+
+    # single-process reference
+    rows = []
+    df_count: dict = {}
+    per_doc: list = []
+    for _, r in src.iterrows():
+        toks = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        tf: dict = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        per_doc.append((int(r["doc_id"]), tf))
+        for t in tf:
+            df_count[t] = df_count.get(t, 0) + 1
+    for doc_id, tf in per_doc:
+        scored = sorted(
+            (
+                (
+                    -(tf[t] * ((n_docs * TFIDF_IDF_SCALE) // df_count[t])),
+                    t,
+                )
+                for t in tf
+            )
+        )
+        for rank, (neg, t) in enumerate(scored[:3], start=1):
+            rows.append(
+                (doc_id, rank, t, tf[t], df_count[t], -neg)
+            )
+    ref = pd.DataFrame(
+        rows, columns=["doc_id", "rank", "term", "tf", "df", "score"]
+    ).sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    def run(**kw):
+        docs = read_sized(path, columns=["doc_id", "text"])
+        return (
+            tfidf_topk(docs, n_docs=n_docs, est_docs=n_docs, **kw)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    broadcast = run()
+    assert broadcast.equals(ref)
+
+    distributed = run(vocab_limit=0)
+    assert distributed.equals(ref)
+
+    # block-count invariance on the broadcast route
+    many = (
+        tfidf_topk(
+            rd.read_parquet(path).repartition(6)
+            .map_batches(lambda d: d[["doc_id", "text"]],
+                         batch_format="pandas"),
+            n_docs=n_docs, est_docs=n_docs,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert many.equals(ref)
