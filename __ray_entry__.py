@@ -633,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": S.q_bm25_search,
         "posting_lists": S.q_posting_lists,
         "tfidf_topk": S.q_tfidf_topk,
+        "text_normalize": T.q_text_normalize,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -2028,5 +2029,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df,
                    CAST(score AS BIGINT) AS score
             FROM ranked WHERE rank <= 3
+        """,
+        "text_normalize": """
+            -- canonical normalization: NFC, whitespace-run collapse,
+            -- edge trim — DuckDB's nfc_normalize/regexp_replace ride the
+            -- same utf8proc/RE2 the engine's Arrow kernels use, so the
+            -- md5 pins replacement semantics character-for-character
+            WITH n AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(nfc_normalize(text),
+                            '[ \\t\\n\\r\\f]+', ' ', 'g'), ' ') AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(t) AS BIGINT) AS norm_len,
+                   CAST(t <> text AS BIGINT) AS changed,
+                   md5(t) AS norm_md5
+            FROM n
         """,
     }

@@ -208,3 +208,69 @@ def q_pii_scrub(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(scrub_pii, batch_format="pandas")
+
+
+# ---- text normalization --------------------------------------------------
+
+
+def normalize_text(batch, text_col: str = "text"):
+    """Canonical text normalization — the first stage of any dedup /
+    tokenize pipeline: Unicode NFC, whitespace-run collapse to a single
+    space, edge trim.  Fully Arrow-native (``utf8_normalize`` /
+    ``replace_substring_regex`` / ``utf8_trim`` are zero-copy-in,
+    vectorized utf8proc+RE2 kernels — the same libraries DuckDB uses, so
+    the md5 pin checks the transform character-for-character).  The
+    whitespace class is spelled ASCII-explicit (``[ \\t\\n\\r\\f]``)
+    because RE2's ``\\s`` and Python's differ on Unicode spaces.
+
+    NFC caveat (measured, pinned in TestTextNormalize): pyarrow 16's
+    ``utf8_normalize(form="NFC")`` does NOT compose combining sequences
+    (it leaves ``e + U+0301`` as two codepoints, where DuckDB/unicodedata
+    compose to ``é``) — so composition runs through ``unicodedata`` on
+    the NON-ASCII rows only.  ASCII strings are NFC fixed points, so the
+    dominant path stays a zero-copy vectorized mask check.
+
+    Output: (doc_id, norm_len, changed, norm_md5) — documents leave the
+    stage as a 32-hex digest + codepoint length; stateless, no shuffle."""
+    import hashlib
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    orig = pc.fill_null(batch.column(text_col), "")
+    ascii_mask = pc.string_is_ascii(orig).to_numpy(zero_copy_only=False)
+    if ascii_mask.all():
+        t = orig
+    else:
+        t = pa.array(
+            [
+                v if is_a else unicodedata.normalize("NFC", v)
+                for v, is_a in zip(orig.to_pylist(), ascii_mask)
+            ],
+            pa.string(),
+        )
+    t = pc.replace_substring_regex(
+        t, pattern="[ \t\n\r\f]+", replacement=" "
+    )
+    t = pc.utf8_trim(t, characters=" ")
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    md5s = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t.to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "norm_len": pc.cast(pc.utf8_length(t), pa.int64()),
+            "changed": pc.cast(pc.not_equal(t, orig), pa.int64()),
+            "norm_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
+def q_text_normalize(sf_dir: str):
+    from .util import read_sized
+
+    ds = read_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(normalize_text, batch_format="pyarrow")

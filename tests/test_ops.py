@@ -716,3 +716,74 @@ class TestPiiScrub:
         pd.testing.assert_frame_equal(
             got, exp[got.columns], check_dtype=False
         )
+
+
+class TestTextNormalize:
+    """normalize_text: NFC + whitespace-collapse + trim on PLANTED unicode
+    (the shipped corpus is ASCII single-spaced, so the registry oracle
+    pins the identity path; these pin the actual transforms,
+    Arrow-utf8proc/RE2 == DuckDB-utf8proc/RE2)."""
+
+    PLANTED = [
+        "Cafe\u0301 au lait",   # combining acute -> precomposed \u00e9
+        "  leading and   inner\truns\n\nand trailing  ",
+        "\ufb01ne \ufb02ow",   # fi/fl ligatures: NFC keeps them
+        "already clean ascii",
+        "",
+        "A\u030aring and\u2028line sep stays",  # U+2028 NOT in the class
+    ]
+
+    def _table(self):
+        import pyarrow as pa
+
+        return pa.table(
+            {"doc_id": pa.array(range(len(self.PLANTED)), pa.int64()),
+             "text": pa.array(self.PLANTED, pa.string())}
+        )
+
+    def test_transforms(self):
+        import hashlib
+        import unicodedata
+
+        from libpdf_ray.ops.text import normalize_text
+
+        out = normalize_text(self._table()).to_pandas()
+        # rows 0 and 5 change by NFC composition, row 1 by whitespace;
+        # the ligatures and clean ascii are fixed points
+        assert out["changed"].tolist() == [1, 1, 0, 0, 0, 1]
+        expected = [
+            unicodedata.normalize("NFC", "Cafe\u0301 au lait"),
+            "leading and inner runs and trailing",
+            "\ufb01ne \ufb02ow",
+            "already clean ascii",
+            "",
+            unicodedata.normalize(
+                "NFC", "A\u030aring and\u2028line sep stays"
+            ),
+        ]
+        assert out["norm_len"].tolist() == [len(s) for s in expected]
+        assert out["norm_md5"].tolist() == [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in expected
+        ]
+
+    def test_matches_duckdb_oracle_on_planted_unicode(self, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entrymod
+        from libpdf_ray.ops.text import normalize_text
+
+        tbl = self._table()
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        exp = con.sql(entrymod.oracle_sql()["text_normalize"]).df()
+        got = normalize_text(tbl).to_pandas()
+        exp = exp.sort_values("doc_id").reset_index(drop=True)
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, exp[got.columns], check_dtype=False
+        )

@@ -100,6 +100,7 @@ CHECKED = [
     "pack_sequences",
     "pii_scrub",
     "tfidf_topk",
+    "text_normalize",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
