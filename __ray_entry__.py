@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_lists": S.q_posting_lists,
         "tfidf_topk": S.q_tfidf_topk,
         "text_normalize": T.q_text_normalize,
+        "sentence_stats": T.q_sentence_stats,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -2046,5 +2047,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t <> text AS BIGINT) AS changed,
                    md5(t) AS norm_md5
             FROM n
+        """,
+        "sentence_stats": """
+            -- per-doc sentence metrics: split on terminal-punctuation
+            -- runs, drop empty segments, count non-whitespace word runs;
+            -- mean is the integer-exact (sum*100)//n.  Docs with no
+            -- sentence emit no row (engine parity).
+            WITH segs AS (
+                SELECT doc_id, trim(unnest(regexp_split_to_array(
+                    text, '[.!?]+')), ' ') AS seg
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(
+                           seg, '[ \\t\\n\\r\\f]+'), x -> x <> ''))
+                           AS n_words
+                FROM segs WHERE seg <> ''
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sentences,
+                   CAST(SUM(n_words) AS BIGINT) AS n_words,
+                   CAST((SUM(n_words) * 100) // COUNT(*) AS BIGINT)
+                       AS mean_words_x100,
+                   CAST(MAX(n_words) AS BIGINT) AS max_sentence_words
+            FROM w GROUP BY doc_id
         """,
     }

@@ -274,3 +274,71 @@ def q_text_normalize(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(normalize_text, batch_format="pyarrow")
+
+
+# ---- sentence statistics -------------------------------------------------
+
+#: sentence boundary = any run of terminal punctuation; shared verbatim
+#: with the SQL oracle's regexp_split_to_array
+SENTENCE_SPLIT = re.compile(r"[.!?]+")
+#: a "word" inside a sentence = a run of non-whitespace (ASCII class, RE2
+#: and Python agree; the corpus is ASCII — see scrub_pii's note)
+WORD_RUN = r"[^ \t\n\r\f]+"
+
+
+def sentence_stats(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-document sentence segmentation metrics — the Gopher-rule
+    quality signals (mean/max words per sentence) that
+    :func:`add_text_stats`'s flat counters can't see.
+
+    Split on terminal-punctuation runs, drop empty segments (leading /
+    trailing / consecutive terminators), count word runs per sentence.
+    ``mean_words_x100`` is the integer-exact ``(Σwords · 100) // n`` so
+    the oracle compares without a float tolerance.  Documents with no
+    sentence (empty text) emit no row — same as the SQL GROUP BY.
+
+    Stateless per-batch map: one explode + two vectorized str kernels;
+    nothing shuffles, only the 5-int summary row leaves the stage."""
+    from itertools import chain
+
+    t = batch[text_col].fillna("")
+    segs = t.str.split(SENTENCE_SPLIT)
+    counts = segs.str.len().to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    flat = pd.Series(
+        np.fromiter(chain.from_iterable(segs), dtype=object, count=total)
+    )
+    ids = np.repeat(batch["doc_id"].to_numpy(), counts)
+    stripped = flat.str.strip(" ")
+    keep = stripped.ne("").to_numpy()
+    n_words = stripped[keep].str.count(WORD_RUN).to_numpy(dtype=np.int64)
+    if not keep.any():
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_sentences": pd.Series([], dtype="int64"),
+                "n_words": pd.Series([], dtype="int64"),
+                "mean_words_x100": pd.Series([], dtype="int64"),
+                "max_sentence_words": pd.Series([], dtype="int64"),
+            }
+        )
+    g = (
+        pd.DataFrame({"doc_id": ids[keep], "w": n_words})
+        .groupby("doc_id", as_index=False, sort=False)
+        .agg(n_sentences=("w", "size"), n_words=("w", "sum"),
+             max_sentence_words=("w", "max"))
+    )
+    g["mean_words_x100"] = (g["n_words"] * 100) // g["n_sentences"]
+    return g[
+        ["doc_id", "n_sentences", "n_words", "mean_words_x100",
+         "max_sentence_words"]
+    ].astype("int64")
+
+
+def q_sentence_stats(sf_dir: str):
+    from .util import read_sized
+
+    ds = read_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(sentence_stats, batch_format="pandas")

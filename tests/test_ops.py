@@ -787,3 +787,58 @@ class TestTextNormalize:
         pd.testing.assert_frame_equal(
             got, exp[got.columns], check_dtype=False
         )
+
+
+class TestSentenceStats:
+    """sentence_stats on PLANTED edge cases: consecutive terminators,
+    missing trailing punctuation, whitespace-only segments, empty docs."""
+
+    PLANTED = [
+        "One two three. Four five! Six?",      # 3 sentences: 3/2/1 words
+        "no terminal punctuation at all",      # 1 sentence, 5 words
+        "Wow!!! Really?! . ",                  # empties dropped: 1/1 words
+        "",                                    # no row
+        "a.b.c",                               # 3 one-word sentences
+        "tabs\there. and\nnewlines stay words.",
+    ]
+
+    def _frame(self):
+        return pd.DataFrame(
+            {"doc_id": np.arange(len(self.PLANTED), dtype=np.int64),
+             "text": self.PLANTED}
+        )
+
+    def test_planted_values(self):
+        from libpdf_ray.ops.text import sentence_stats
+
+        out = sentence_stats(self._frame()).sort_values(
+            "doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [0, 1, 2, 4, 5]
+        assert out["n_sentences"].tolist() == [3, 1, 2, 3, 2]
+        assert out["n_words"].tolist() == [6, 5, 2, 3, 6]
+        assert out["mean_words_x100"].tolist() == [200, 500, 100, 100, 300]
+        assert out["max_sentence_words"].tolist() == [3, 5, 1, 1, 4]
+
+    def test_matches_duckdb_oracle_on_planted(self, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entrymod
+        from libpdf_ray.ops.text import sentence_stats
+
+        df = self._frame()
+        pq.write_table(pa.Table.from_pandas(df),
+                       str(tmp_path / "documents.parquet"))
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        exp = con.sql(entrymod.oracle_sql()["sentence_stats"]).df()
+        got = sentence_stats(df)
+        exp = exp.sort_values("doc_id").reset_index(drop=True)
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, exp[got.columns], check_dtype=False
+        )

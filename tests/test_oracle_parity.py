@@ -101,6 +101,7 @@ CHECKED = [
     "pii_scrub",
     "tfidf_topk",
     "text_normalize",
+    "sentence_stats",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
