@@ -311,6 +311,12 @@ def _q_dedup_docs(sf_dir: str):
     return kept.select_columns(["doc_id", "lang", "source"])
 
 
+def _q_normalized_dedup(sf_dir: str):
+    from libpdf_ray.ops.dedup import q_normalized_dedup
+
+    return q_normalized_dedup(sf_dir)
+
+
 def _q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -635,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": S.q_tfidf_topk,
         "text_normalize": T.q_text_normalize,
         "sentence_stats": T.q_sentence_stats,
+        "normalized_dedup": _q_normalized_dedup,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -2072,5 +2079,20 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_words_x100,
                    CAST(MAX(n_words) AS BIGINT) AS max_sentence_words
             FROM w GROUP BY doc_id
+        """,
+        "normalized_dedup": """
+            -- exact dedup over the canonical (NFC + whitespace-collapsed
+            -- + trimmed) text — same normalization chain as
+            -- text_normalize, same keep-min-id stats as exact_dedup
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(nfc_normalize(text),
+                            '[ \\t\\n\\r\\f]+', ' ', 'g'), ' ') AS t
+                FROM documents
+            )
+            SELECT md5(t) AS content_hash,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM n GROUP BY 1
         """,
     }

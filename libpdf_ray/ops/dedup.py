@@ -1309,3 +1309,25 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", threshold: float = 0.95,
         max_bucket_ids=max_bucket_ids, candidate_mode=candidate_mode,
         payload_encode=lambda s: _pack_payload(s, np.float64),
     )
+
+
+def q_normalized_dedup(sf_dir: str):
+    """Exact dedup over the CANONICAL text form: whitespace-variant and
+    combining-sequence-variant duplicates (invisible to raw md5 dedup)
+    collapse to one group.  Composition of two tested stages — the
+    normalize map (:func:`~.text.add_normalized_text`, stateless Arrow
+    kernels) feeds :func:`exact_dedup_stats` unchanged with
+    ``text_col="norm_text"``; same keep-min-id / n_copies semantics and
+    the same size-adaptive plan as ``exact_dedup``."""
+    from .text import add_normalized_text
+    from .util import file_bytes, parquet_row_count, read_sized
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_sized(path, columns=["doc_id", "text"])
+    norm = ds.map_batches(add_normalized_text, batch_format="pyarrow")
+    return exact_dedup_stats(
+        norm,
+        text_col="norm_text",
+        est_keys=parquet_row_count(path),
+        est_bytes=file_bytes(path),
+    )

@@ -213,6 +213,48 @@ def q_pii_scrub(sf_dir: str):
 # ---- text normalization --------------------------------------------------
 
 
+def _normalized_strings(orig):
+    """NFC + whitespace-run collapse + edge trim over an Arrow string
+    array (see :func:`normalize_text` for the semantics and the pyarrow
+    NFC caveat).  Returns a combined-chunks Arrow string array."""
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ascii_mask = pc.string_is_ascii(orig).to_numpy(zero_copy_only=False)
+    if ascii_mask.all():
+        t = orig
+    else:
+        t = pa.array(
+            [
+                v if is_a else unicodedata.normalize("NFC", v)
+                for v, is_a in zip(orig.to_pylist(), ascii_mask)
+            ],
+            pa.string(),
+        )
+    t = pc.replace_substring_regex(
+        t, pattern="[ \t\n\r\f]+", replacement=" "
+    )
+    t = pc.utf8_trim(t, characters=" ")
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    return t
+
+
+def add_normalized_text(batch, text_col: str = "text"):
+    """(doc_id, norm_text) — the normalized STRING itself, for stages
+    that consume the canonical form (e.g. :func:`~.dedup.exact_dedup_stats`
+    over whitespace/unicode-variant duplicates)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = _normalized_strings(pc.fill_null(batch.column(text_col), ""))
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "norm_text": t}
+    )
+
+
 def normalize_text(batch, text_col: str = "text"):
     """Canonical text normalization — the first stage of any dedup /
     tokenize pipeline: Unicode NFC, whitespace-run collapse to a single
@@ -233,29 +275,12 @@ def normalize_text(batch, text_col: str = "text"):
     Output: (doc_id, norm_len, changed, norm_md5) — documents leave the
     stage as a 32-hex digest + codepoint length; stateless, no shuffle."""
     import hashlib
-    import unicodedata
 
     import pyarrow as pa
     import pyarrow.compute as pc
 
     orig = pc.fill_null(batch.column(text_col), "")
-    ascii_mask = pc.string_is_ascii(orig).to_numpy(zero_copy_only=False)
-    if ascii_mask.all():
-        t = orig
-    else:
-        t = pa.array(
-            [
-                v if is_a else unicodedata.normalize("NFC", v)
-                for v, is_a in zip(orig.to_pylist(), ascii_mask)
-            ],
-            pa.string(),
-        )
-    t = pc.replace_substring_regex(
-        t, pattern="[ \t\n\r\f]+", replacement=" "
-    )
-    t = pc.utf8_trim(t, characters=" ")
-    if isinstance(t, pa.ChunkedArray):
-        t = t.combine_chunks()
+    t = _normalized_strings(orig)
     md5s = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t.to_pylist()]
     return pa.table(
         {

@@ -842,3 +842,60 @@ class TestSentenceStats:
         pd.testing.assert_frame_equal(
             got, exp[got.columns], check_dtype=False
         )
+
+
+class TestNormalizedDedup:
+    """normalized_dedup: whitespace/NFC-variant duplicates (invisible to
+    raw-md5 exact dedup) collapse to one group with keep-min-id."""
+
+    def test_planted_variants(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from libpdf_ray.ops.dedup import q_normalized_dedup
+
+        texts = [
+            "hello   world",        # 0: collapses to "hello world"
+            "hello world",          # 1: canonical
+            " hello world  ",       # 2: trims to the same
+            "Café x",        # 3: composes to precomposed form
+            "Café x",         # 4: already precomposed — same group
+            "distinct text",        # 5: its own group
+        ]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                      "text": pa.array(texts)}),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = q_normalized_dedup(str(tmp_path)).to_pandas()
+        out = out.sort_values("keep_id").reset_index(drop=True)
+        assert out["keep_id"].tolist() == [0, 3, 5]
+        assert out["n_copies"].tolist() == [3, 2, 1]
+
+    def test_matches_duckdb_oracle(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entrymod
+        from libpdf_ray.ops.dedup import q_normalized_dedup
+
+        texts = ["a  b", "a b", "x", "x ", "", "  "]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                      "text": pa.array(texts)}),
+            str(tmp_path / "documents.parquet"),
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        exp = con.sql(
+            entrymod.oracle_sql()["normalized_dedup"]
+        ).df().sort_values("content_hash").reset_index(drop=True)
+        got = q_normalized_dedup(str(tmp_path)).to_pandas().sort_values(
+            "content_hash").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, exp[got.columns], check_dtype=False
+        )

@@ -102,6 +102,7 @@ CHECKED = [
     "tfidf_topk",
     "text_normalize",
     "sentence_stats",
+    "normalized_dedup",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
