@@ -317,6 +317,12 @@ def _q_normalized_dedup(sf_dir: str):
     return q_normalized_dedup(sf_dir)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    from libpdf_ray.ops.sketch import q_heavy_hitters
+
+    return q_heavy_hitters(sf_dir)
+
+
 def _q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -642,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": T.q_text_normalize,
         "sentence_stats": T.q_sentence_stats,
         "normalized_dedup": _q_normalized_dedup,
+        "heavy_hitters": _q_heavy_hitters,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -2094,5 +2101,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(doc_id) AS BIGINT) AS keep_id,
                    CAST(COUNT(*) AS BIGINT) AS n_copies
             FROM n GROUP BY 1
+        """,
+        "heavy_hitters": """
+            -- EXACT heavy hitters: terms with frequency > N/(k+1), k=64
+            -- (engine: Misra-Gries sketch pass + exact rescue count —
+            -- the vocabulary never shuffles; same integer filter here)
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS n FROM tok)
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok, tot GROUP BY term, tot.n
+            HAVING COUNT(*) * 65 > tot.n
         """,
     }

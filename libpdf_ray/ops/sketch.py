@@ -156,3 +156,111 @@ def quantile_sketch(ds, col: str, quantiles=(0.25, 0.5, 0.75, 0.95), k: int = 20
         return pd.DataFrame({"quantile": qs, "estimate": ests})
 
     return sample.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# ---- exact heavy hitters via Misra-Gries + rescue pass --------------------
+
+
+def _mg_truncate(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Reduce a (term, cnt) summary to ≤ ``k`` rows Misra-Gries style:
+    subtract the (k+1)-th largest count from every counter, drop the
+    non-positive ones.  Standard mergeable-summary guarantee (Agarwal et
+    al., "Mergeable Summaries", PODS'12 — public algorithm): after ANY
+    merge tree the surviving counts undercount true frequency by at most
+    N/(k+1), so every term with true frequency > N/(k+1) survives."""
+    if len(df) <= k:
+        return df
+    vals = df["cnt"].to_numpy()
+    thr = np.partition(vals, len(vals) - (k + 1))[len(vals) - (k + 1)]
+    out = df[df["cnt"] > thr].copy()
+    out["cnt"] = out["cnt"] - thr
+    return out
+
+
+def heavy_hitters(docs, k: int = 64, text_col: str = "text"):
+    """EXACT corpus-wide heavy hitters — every term with frequency
+    > N/(k+1) and its exact count — without ever shuffling the
+    vocabulary (the 100 TB shape; `vocab_stats` pays a vocab-sized
+    exchange for the same head).
+
+    Two passes:
+
+    1. **Sketch**: each batch emits an exact in-batch count summary
+       truncated to ≤ k rows (:func:`_mg_truncate`); summaries tree-merge
+       associatively (groupby-sum then re-truncate).  Every stage output
+       is ≤ k+1 rows, so the exchange moves kilobytes at any corpus
+       size.  One extra marker row carries the running total token count.
+    2. **Rescue**: the ≤ k candidate terms (a superset of the true heavy
+       hitters, by the MG guarantee) ship to every task in the batch-fn
+       closure; one more streaming pass counts ONLY candidates exactly,
+       and the filter ``cnt·(k+1) > N`` keeps exactly the SQL answer.
+
+    The merge order affects which NON-hitters pad the candidate set but
+    never the final output — the rescue pass makes the operator
+    deterministic and oracle-exact."""
+    from .corpus import _explode_tokens
+    from .util import tree_merge
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(df)
+        g = ex.groupby("term", as_index=False).agg(cnt=("term", "size"))
+        g["cnt"] = g["cnt"].astype("int64")
+        out = _mg_truncate(g, k)
+        total = pd.DataFrame({"term": [""], "cnt": [np.int64(len(ex))]})
+        out = pd.concat([out.assign(is_total=np.int64(0)),
+                         total.assign(is_total=np.int64(1))],
+                        ignore_index=True)
+        return out
+    # merge is associative over arbitrary subsets (combine_partials
+    # contract): groupby-sum is, and _mg_truncate only weakens counts in
+    # a way the rescue pass repairs — candidate-set variance by merge
+    # order is explicitly absorbed by pass 2
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["is_total", "term"], as_index=False)["cnt"].sum()
+        terms = _mg_truncate(g[g["is_total"] == 0], k)
+        return pd.concat([terms, g[g["is_total"] == 1]], ignore_index=True)
+
+    summary = tree_merge(
+        docs.map_batches(partial, batch_format="pandas"), merge, merge
+    ).to_pandas()
+    n_total = int(summary.loc[summary["is_total"] == 1, "cnt"].sum())
+    candidates = frozenset(
+        summary.loc[summary["is_total"] == 0, "term"].tolist()
+    )
+    if not candidates or n_total == 0:
+        return pd.DataFrame(
+            {"term": pd.Series([], dtype=object),
+             "cnt": pd.Series([], dtype="int64")}
+        )
+
+    def rescue(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(df)
+        ex = ex[ex["term"].isin(candidates)]
+        g = ex.groupby("term", as_index=False).agg(cnt=("term", "size"))
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    def rescue_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", as_index=False)["cnt"].sum()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", as_index=False)["cnt"].sum()
+        g = g[g["cnt"] * (k + 1) > n_total]
+        return g.sort_values(
+            ["cnt", "term"], ascending=[False, True]
+        ).reset_index(drop=True).astype({"cnt": "int64"})
+
+    return tree_merge(
+        docs.map_batches(rescue, batch_format="pandas"),
+        rescue_merge, finalize,
+    )
+
+
+def q_heavy_hitters(sf_dir: str):
+    from .util import read_sized
+
+    docs = read_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return heavy_hitters(docs, k=64)

@@ -899,3 +899,52 @@ class TestNormalizedDedup:
         pd.testing.assert_frame_equal(
             got, exp[got.columns], check_dtype=False
         )
+
+
+class TestHeavyHitters:
+    """heavy_hitters: Misra-Gries sketch + rescue pass is EXACT under
+    heavy truncation (every batch holds far more distinct terms than k,
+    so the sketch actually drops and undercounts candidates — the rescue
+    pass must still recover the precise SQL answer)."""
+
+    def test_exact_under_truncation(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.sketch import heavy_hitters
+
+        rng = np.random.default_rng(7)
+        k = 16  # threshold N/17 ~ 5.9%: alpha/beta/gamma all qualify
+        rows = []
+        # 3 planted hitters (~20% / 10% / 6% of tokens) in a sea of
+        # ~2000 distinct rare terms; 40 docs across many blocks
+        for d in range(40):
+            toks = (["alpha"] * 25 + ["beta"] * 12 + ["gamma"] * 8
+                    + [f"rare{rng.integers(2000)}" for _ in range(80)])
+            rng.shuffle(toks)
+            rows.append({"doc_id": d, "text": " ".join(toks)})
+        ds = rd.from_items(rows).repartition(10)
+        got = heavy_hitters(ds, k=k)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+
+        # brute-force reference with the same integer filter
+        from collections import Counter
+        c: Counter = Counter()
+        for r in rows:
+            c.update(r["text"].split())
+        n = sum(c.values())
+        want = sorted(
+            ((t, v) for t, v in c.items() if v * (k + 1) > n),
+            key=lambda tv: (-tv[1], tv[0]),
+        )
+        assert list(zip(got["term"], got["cnt"])) == want
+        assert {"alpha", "beta", "gamma"} <= set(got["term"])
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.sketch import heavy_hitters
+
+        ds = rd.from_items([{"doc_id": 0, "text": ""}])
+        got = heavy_hitters(ds, k=4)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        assert len(got) == 0

@@ -103,6 +103,7 @@ CHECKED = [
     "text_normalize",
     "sentence_stats",
     "normalized_dedup",
+    "heavy_hitters",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
