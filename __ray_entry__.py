@@ -649,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": T.q_sentence_stats,
         "normalized_dedup": _q_normalized_dedup,
         "heavy_hitters": _q_heavy_hitters,
+        "collocations": Co.q_collocations,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -2116,5 +2117,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM tok, tot GROUP BY term, tot.n
             HAVING COUNT(*) * 65 > tot.n
+        """,
+        "collocations": """
+            -- top-30 bigram collocations by integer-scaled PMI
+            -- (c_xy*N*SCALE)//(c_x*c_y), min_count 5 — HUGEINT holds the
+            -- product exactly, same floor division as the engine's
+            -- python-int scoring (ops/corpus.py COLLOC_* constants)
+            WITH t AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS w
+                FROM documents
+            ),
+            tok AS (SELECT unnest(w) AS term FROM t),
+            uni AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM tok),
+            b AS (
+                SELECT w[i] || ' ' || w[i+1] AS gram
+                FROM t, unnest(range(1, len(w))) AS r(i)
+                WHERE len(w) >= 2
+            ),
+            bc AS (
+                SELECT gram, COUNT(*) AS c_xy FROM b GROUP BY 1
+                HAVING COUNT(*) >= 5
+            )
+            SELECT gram, CAST(c_xy AS BIGINT) AS c_xy,
+                   CAST(u1.c AS BIGINT) AS c_x,
+                   CAST(u2.c AS BIGINT) AS c_y,
+                   CAST((CAST(c_xy AS HUGEINT) * n.n * 1000000)
+                        // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT)
+                       AS score
+            FROM bc
+            JOIN uni u1 ON u1.term = split_part(gram, ' ', 1)
+            JOIN uni u2 ON u2.term = split_part(gram, ' ', 2)
+            CROSS JOIN n
+            ORDER BY score DESC, gram LIMIT 30
         """,
     }

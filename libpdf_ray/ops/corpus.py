@@ -1004,3 +1004,176 @@ def q_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
         per_bucket, bin_merge, ["bin"],
         est_keys=est_bins, merge_fn=bin_merge,
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation extraction (bigram PMI)
+# ---------------------------------------------------------------------------
+
+#: PMI score scale — idf-style integer fixed point, shared with the oracle
+COLLOC_SCALE = 1_000_000
+#: a bigram must occur this often to be scored (PMI is noise for rare
+#: pairs; also the scale guard: score < SCALE·N/min_count, inside int64
+#: for any corpus where min_count grows with log N)
+COLLOC_MIN_COUNT = 5
+
+
+def collocations(docs, est_docs: int, k: int = 30,
+                 min_count: int = COLLOC_MIN_COUNT,
+                 scale: int = COLLOC_SCALE):
+    """Top-``k`` collocations: bigrams ranked by the integer-scaled PMI
+    ratio ``score = (c_xy · N · SCALE) // (c_x · c_y)`` (N = total token
+    occurrences) with ties broken by gram — the classic collocation
+    statistic in exact fixed-point form, so the SQL oracle (HUGEINT
+    intermediate, same floor division) matches bit-for-bit.
+
+    Scale shape — three compact exchanges, none vocabulary-broadcast:
+
+    1. unigram counts: per-batch partials → cardinality-routed combine
+       (the vocab_stats shuffle); total N is a ``sum()`` over the
+       compacted vocab table.
+    2. bigram counts ≥ ``min_count``: same partial/combine over grams;
+       the floor prunes the long tail BEFORE any join, so survivors are
+       ≤ N/min_count rows.
+    3. the join: surviving bigrams explode into (word, role) rows and
+       meet the unigram table in ONE word-hashed tagged co-group
+       (`_cogrouped`, inheriting its single-task small route); scored
+       rows regroup per gram (`_bucketed_groups`) where the two roles
+       pivot back together.  The per-gram score uses Python ints for the
+       ``c_xy·N·SCALE`` product (exceeds int64 before the division;
+       result is stored int64 — bounded by SCALE·N/min_count) on the
+       already-pruned candidate set only.
+
+    Output: (gram, c_xy, c_x, c_y, score), top-k by (score DESC, gram)."""
+    from itertools import chain
+
+    from .relational import _bucketed_groups, _cogrouped
+    from .util import file_bytes, shuffle_partitions  # noqa: F401
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize_series(df["text"])
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({"term": [], "cnt": []}).astype(
+                {"term": object, "cnt": "int64"})
+        flat = pd.Series(np.fromiter(
+            chain.from_iterable(toks), dtype=object, count=total))
+        g = flat.value_counts().rename_axis("term").reset_index(name="cnt")
+        return g.astype({"cnt": "int64"})
+
+    def red(col):
+        def _r(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(col, as_index=False)["cnt"].sum()
+        return _r
+
+    uni = combine_partials(
+        docs.map_batches(uni_partial, batch_format="pandas"),
+        red("term"), ["term"], est_keys=max(64, est_docs * 16),
+        merge_fn=red("term"),
+    ).materialize()
+    n_tok = int(uni.sum("cnt") or 0)
+    if n_tok == 0:
+        return pd.DataFrame({
+            "gram": pd.Series([], dtype=object),
+            "c_xy": pd.Series([], dtype="int64"),
+            "c_x": pd.Series([], dtype="int64"),
+            "c_y": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="int64"),
+        })
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize_series(df["text"])
+        grams = toks.map(
+            lambda ts: [f"{ts[i]} {ts[i+1]}" for i in range(len(ts) - 1)]
+        )
+        counts = grams.str.len().to_numpy(dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({"gram": [], "cnt": []}).astype(
+                {"gram": object, "cnt": "int64"})
+        flat = pd.Series(np.fromiter(
+            chain.from_iterable(grams), dtype=object, count=total))
+        g = flat.value_counts().rename_axis("gram").reset_index(name="cnt")
+        return g.astype({"cnt": "int64"})
+
+    big = combine_partials(
+        docs.map_batches(big_partial, batch_format="pandas"),
+        red("gram"), ["gram"], est_keys=max(64, est_docs * 64),
+        merge_fn=red("gram"),
+    ).map_batches(
+        lambda df: df[df["cnt"] >= min_count], batch_format="pandas"
+    )
+
+    # tagged union on word: unigram rows (role 0) + exploded gram roles
+    def explode_roles(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "word": pd.Series([], dtype=object),
+                "gram": pd.Series([], dtype=object),
+                "c_xy": pd.Series([], dtype="int64"),
+                "role": pd.Series([], dtype="int64"),
+            })
+        w = df["gram"].str.split(" ")
+        return pd.concat([
+            pd.DataFrame({"word": w.str[0], "gram": df["gram"],
+                          "c_xy": df["cnt"], "role": np.int64(1)}),
+            pd.DataFrame({"word": w.str[1], "gram": df["gram"],
+                          "c_xy": df["cnt"], "role": np.int64(2)}),
+        ], ignore_index=True)
+
+    left = uni.map_batches(
+        lambda df: pd.DataFrame({
+            "word": df["term"], "gram": "", "c_xy": df["cnt"],
+            "role": np.int64(0)}),
+        batch_format="pandas",
+    )
+    right = big.map_batches(explode_roles, batch_format="pandas")
+    cols = ["word", "gram", "c_xy", "role"]
+    tagged = left.select_columns(cols).union(right.select_columns(cols))
+
+    def hash_word(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(key=pd.util.hash_pandas_object(
+            df["word"], index=False).astype("int64").abs())
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uni_rows = g[g["role"] == 0][["word", "c_xy"]].rename(
+            columns={"c_xy": "c_word"})
+        gram_rows = g[g["role"] > 0][["word", "gram", "c_xy", "role"]]
+        m = gram_rows.merge(uni_rows, on="word", how="inner")
+        return m[["gram", "c_xy", "role", "c_word"]]
+
+    joined = _cogrouped(
+        tagged.map_batches(hash_word, batch_format="pandas"),
+        "key",
+        lambda g: join_bucket(g.drop(columns=["key"])),
+        num_buckets=shuffle_partitions(est_keys=max(64, est_docs * 16)),
+    )
+
+    def score_gram(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(index=["gram", "c_xy"], columns="role",
+                          values="c_word", aggfunc="first").reset_index()
+        p = p.rename(columns={1: "c_x", 2: "c_y"})
+        p.columns.name = None
+        # python-int product: c_xy·N·SCALE exceeds int64 before the
+        # division; runs only over the min_count-pruned candidates
+        p["score"] = [
+            (int(cxy) * n_tok * scale) // (int(cx) * int(cy))
+            for cxy, cx, cy in zip(p["c_xy"], p["c_x"], p["c_y"])
+        ]
+        return p[["gram", "c_xy", "c_x", "c_y", "score"]].astype(
+            {"c_xy": "int64", "c_x": "int64", "c_y": "int64",
+             "score": "int64"})
+
+    scored = _bucketed_groups(
+        joined, "gram",
+        shuffle_partitions(est_keys=max(64, est_docs * 4)),
+        score_gram,
+    )
+    return topk(scored, ["score", "gram"], [True, False], k)
+
+
+def q_collocations(sf_dir: str):
+    path = f"{sf_dir}/documents.parquet"
+    docs = read_sized(path, columns=["doc_id", "text"])
+    return collocations(docs, est_docs=parquet_row_count(path))

@@ -387,3 +387,60 @@ class TestPackSequences:
         )
         exp = self._reference(doc_ids, n_chars, 2048)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestCollocations:
+    """collocations: integer-PMI ranking is exact vs a single-process
+    reference, invariant to block count, and handles the repeated-word
+    bigram ('x x') and the min_count floor."""
+
+    def test_exact_vs_reference_many_blocks(self, ray_session):
+        import ray.data as rd
+        from collections import Counter
+
+        from libpdf_ray.ops.corpus import (
+            COLLOC_SCALE,
+            collocations,
+            tokenize_series,
+        )
+
+        rng = np.random.default_rng(11)
+        vocab = ["data", "engine", "ray", "shuffle", "batch", "arrow",
+                 "span", "table", "x"]
+        rows = []
+        for d in range(60):
+            toks = list(rng.choice(vocab, size=40))
+            toks += ["ray", "data"] * 3 + ["x", "x"] * 2   # planted pairs
+            rows.append({"doc_id": d, "text": " ".join(toks)})
+
+        got = collocations(
+            rd.from_items(rows).repartition(12), est_docs=60,
+            k=10, min_count=5,
+        )
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        got = got.sort_values(["score", "gram"],
+                              ascending=[False, True]).reset_index(drop=True)
+
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for r in rows:
+            ts = tokenize_series(pd.Series([r["text"]])).iloc[0]
+            uni.update(ts)
+            big.update(f"{a} {b}" for a, b in zip(ts, ts[1:]))
+        n = sum(uni.values())
+        cand = [
+            (g, c) for g, c in big.items() if c >= 5
+        ]
+        scored = [
+            (g, c, uni[g.split()[0]], uni[g.split()[1]],
+             (c * n * COLLOC_SCALE)
+             // (uni[g.split()[0]] * uni[g.split()[1]]))
+            for g, c in cand
+        ]
+        scored.sort(key=lambda t: (-t[4], t[0]))
+        want = pd.DataFrame(
+            scored[:10], columns=["gram", "c_xy", "c_x", "c_y", "score"]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert "ray data" in set(got["gram"])
+        assert "x x" in set(got["gram"])

@@ -104,6 +104,7 @@ CHECKED = [
     "sentence_stats",
     "normalized_dedup",
     "heavy_hitters",
+    "collocations",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
