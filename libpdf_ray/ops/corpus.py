@@ -1020,22 +1020,25 @@ COLLOC_MIN_COUNT = 5
 
 def collocations(docs, est_docs: int, k: int = 30,
                  min_count: int = COLLOC_MIN_COUNT,
-                 scale: int = COLLOC_SCALE):
+                 scale: int = COLLOC_SCALE,
+                 est_bytes: int | None = None):
     """Top-``k`` collocations: bigrams ranked by the integer-scaled PMI
     ratio ``score = (c_xy · N · SCALE) // (c_x · c_y)`` (N = total token
     occurrences) with ties broken by gram — the classic collocation
     statistic in exact fixed-point form, so the SQL oracle (HUGEINT
     intermediate, same floor division) matches bit-for-bit.
 
-    Scale shape — three compact exchanges, none vocabulary-broadcast:
+    Scale shape — ONE corpus pass, then compact exchanges only (nothing
+    vocabulary-broadcast):
 
-    1. unigram counts: per-batch partials → cardinality-routed combine
-       (the vocab_stats shuffle); total N is a ``sum()`` over the
-       compacted vocab table.
-    2. bigram counts ≥ ``min_count``: same partial/combine over grams;
-       the floor prunes the long tail BEFORE any join, so survivors are
-       ≤ N/min_count rows.
-    3. the join: surviving bigrams explode into (word, role) rows and
+    1. fused counts: a single tokenize per batch emits BOTH tagged
+       partials — (term, cnt, is_gram=0) and (gram, cnt, is_gram=1) —
+       into one cardinality-routed combine keyed on the string (the
+       corpus is read and tokenized exactly once); total N is a
+       ``sum()`` over the compacted unigram slice, and the
+       ``min_count`` floor prunes the gram tail BEFORE any join
+       (survivors ≤ N/min_count rows).
+    2. the join: surviving bigrams explode into (word, role) rows and
        meet the unigram table in ONE word-hashed tagged co-group
        (`_cogrouped`, inheriting its single-task small route); scored
        rows regroup per gram (`_bucketed_groups`) where the two roles
@@ -1050,29 +1053,53 @@ def collocations(docs, est_docs: int, k: int = 30,
     from .relational import _bucketed_groups, _cogrouped
     from .util import file_bytes, shuffle_partitions  # noqa: F401
 
-    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+    _EMPTY = pd.DataFrame({
+        "key": pd.Series([], dtype=object),
+        "cnt": pd.Series([], dtype="int64"),
+        "is_gram": pd.Series([], dtype="int64"),
+    })
+
+    def counts_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE tokenize serves both count families
         toks = tokenize_series(df["text"])
         counts = toks.str.len().to_numpy(dtype=np.int64)
         total = int(counts.sum())
         if total == 0:
-            return pd.DataFrame({"term": [], "cnt": []}).astype(
-                {"term": object, "cnt": "int64"})
-        flat = pd.Series(np.fromiter(
-            chain.from_iterable(toks), dtype=object, count=total))
-        g = flat.value_counts().rename_axis("term").reset_index(name="cnt")
-        return g.astype({"cnt": "int64"})
+            return _EMPTY.copy()
+        flat = np.fromiter(
+            chain.from_iterable(toks), dtype=object, count=total)
+        u = pd.Series(flat).value_counts().rename_axis(
+            "key").reset_index(name="cnt").assign(is_gram=np.int64(0))
+        # bigrams stay intra-document: mask out each doc's last token
+        keep = np.ones(max(total - 1, 0), dtype=bool)
+        # each doc's last-token index starts a cross-document pair — mask
+        # it (ends can be -1 for leading zero-token docs: exclude)
+        ends = np.cumsum(counts) - 1
+        keep[ends[(ends >= 0) & (ends < total - 1)]] = False
+        a, b = flat[:-1][keep], flat[1:][keep]
+        if len(a):
+            # pandas object-str concat: C loop over PyObjects, measured
+            # faster than a python f-string comprehension
+            grams = pd.Series(a, dtype=object) + " " + pd.Series(
+                b, dtype=object)
+            g = grams.value_counts().rename_axis(
+                "key").reset_index(name="cnt").assign(is_gram=np.int64(1))
+            u = pd.concat([u, g], ignore_index=True)
+        return u.astype({"cnt": "int64", "is_gram": "int64"})
 
-    def red(col):
-        def _r(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby(col, as_index=False)["cnt"].sum()
-        return _r
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["is_gram", "key"], as_index=False)["cnt"].sum()
 
-    uni = combine_partials(
-        docs.map_batches(uni_partial, batch_format="pandas"),
-        red("term"), ["term"], est_keys=max(64, est_docs * 16),
-        merge_fn=red("term"),
+    both = combine_partials(
+        docs.map_batches(counts_partial, batch_format="pandas"),
+        red, ["key"], est_keys=max(64, est_docs * 80), merge_fn=red,
     ).materialize()
-    n_tok = int(uni.sum("cnt") or 0)
+    n_tok = int(
+        both.map_batches(
+            lambda df: df[df["is_gram"] == 0][["cnt"]],
+            batch_format="pandas",
+        ).sum("cnt") or 0
+    )
     if n_tok == 0:
         return pd.DataFrame({
             "gram": pd.Series([], dtype=object),
@@ -1081,28 +1108,16 @@ def collocations(docs, est_docs: int, k: int = 30,
             "c_y": pd.Series([], dtype="int64"),
             "score": pd.Series([], dtype="int64"),
         })
-
-    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = tokenize_series(df["text"])
-        grams = toks.map(
-            lambda ts: [f"{ts[i]} {ts[i+1]}" for i in range(len(ts) - 1)]
-        )
-        counts = grams.str.len().to_numpy(dtype=np.int64)
-        total = int(counts.sum())
-        if total == 0:
-            return pd.DataFrame({"gram": [], "cnt": []}).astype(
-                {"gram": object, "cnt": "int64"})
-        flat = pd.Series(np.fromiter(
-            chain.from_iterable(grams), dtype=object, count=total))
-        g = flat.value_counts().rename_axis("gram").reset_index(name="cnt")
-        return g.astype({"cnt": "int64"})
-
-    big = combine_partials(
-        docs.map_batches(big_partial, batch_format="pandas"),
-        red("gram"), ["gram"], est_keys=max(64, est_docs * 64),
-        merge_fn=red("gram"),
-    ).map_batches(
-        lambda df: df[df["cnt"] >= min_count], batch_format="pandas"
+    uni = both.map_batches(
+        lambda df: df[df["is_gram"] == 0][["key", "cnt"]].rename(
+            columns={"key": "term"}),
+        batch_format="pandas",
+    )
+    big = both.map_batches(
+        lambda df: df[(df["is_gram"] == 1)
+                      & (df["cnt"] >= min_count)][["key", "cnt"]].rename(
+            columns={"key": "gram"}),
+        batch_format="pandas",
     )
 
     # tagged union on word: unigram rows (role 0) + exploded gram roles
@@ -1143,11 +1158,17 @@ def collocations(docs, est_docs: int, k: int = 30,
         m = gram_rows.merge(uni_rows, on="word", how="inner")
         return m[["gram", "c_xy", "role", "c_word"]]
 
+    # est_bytes (source file size) upper-bounds the compacted exchange
+    # (vocab + min_count-pruned grams ≤ the raw corpus): small corpora
+    # collapse both shuffles into single coalesced tasks, large ones keep
+    # the distributed plan — same size-adaptive rule as the dedup family
     joined = _cogrouped(
         tagged.map_batches(hash_word, batch_format="pandas"),
         "key",
         lambda g: join_bucket(g.drop(columns=["key"])),
-        num_buckets=shuffle_partitions(est_keys=max(64, est_docs * 16)),
+        num_buckets=(None if est_bytes is not None
+                     else shuffle_partitions(est_keys=max(64, est_docs * 16))),
+        est_bytes=est_bytes,
     )
 
     def score_gram(g: pd.DataFrame) -> pd.DataFrame:
@@ -1169,11 +1190,16 @@ def collocations(docs, est_docs: int, k: int = 30,
         joined, "gram",
         shuffle_partitions(est_keys=max(64, est_docs * 4)),
         score_gram,
+        est_bytes=est_bytes,
     )
     return topk(scored, ["score", "gram"], [True, False], k)
 
 
 def q_collocations(sf_dir: str):
+    from .util import file_bytes
+
     path = f"{sf_dir}/documents.parquet"
     docs = read_sized(path, columns=["doc_id", "text"])
-    return collocations(docs, est_docs=parquet_row_count(path))
+    return collocations(
+        docs, est_docs=parquet_row_count(path), est_bytes=file_bytes(path)
+    )

@@ -444,3 +444,14 @@ class TestCollocations:
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert "ray data" in set(got["gram"])
         assert "x x" in set(got["gram"])
+
+        # single-task route (est_bytes under the threshold) is identical
+        small = collocations(
+            rd.from_items(rows).repartition(12), est_docs=60,
+            k=10, min_count=5, est_bytes=1,
+        )
+        small = small.to_pandas() if hasattr(small, "to_pandas") else small
+        small = small.sort_values(
+            ["score", "gram"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(small, want, check_dtype=False)
