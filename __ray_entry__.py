@@ -650,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup": _q_normalized_dedup,
         "heavy_hitters": _q_heavy_hitters,
         "collocations": Co.q_collocations,
+        "train_split": Co.q_train_split,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -2152,5 +2153,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u2 ON u2.term = split_part(gram, ' ', 2)
             CROSS JOIN n
             ORDER BY score DESC, gram LIMIT 30
+        """,
+        "train_split": """
+            -- deterministic 80/10/10 split on the Knuth hash ring
+            -- (thresholds = ops/corpus.py SPLIT_TRAIN_UPPER/VAL_UPPER);
+            -- per-split counts + min doc pin the id-space partition
+            WITH a AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                                 % 4294967296 < 3435973836 THEN 'train'
+                            WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                                 % 4294967296 < 3865470566 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents
+            )
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS first_doc
+            FROM a GROUP BY split
         """,
     }

@@ -1203,3 +1203,68 @@ def q_collocations(sf_dir: str):
     return collocations(
         docs, est_docs=parquet_row_count(path), est_bytes=file_bytes(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+#: split fractions in 32-bit hash-ring units (80% / 10% / 10%); shared
+#: verbatim with the SQL oracle
+SPLIT_TRAIN_UPPER = int(0.8 * _HASH_MOD)
+SPLIT_VAL_UPPER = int(0.9 * _HASH_MOD)
+
+
+def train_split(docs):
+    """Deterministic train/val/test assignment — the dataset-freeze step
+    of a training pipeline: ``split = f((doc_id · 2654435761) mod 2^32)``
+    cut at 80%/90% of the ring.  Same exact-integer discipline as
+    :func:`hash_sample`: any engine, any resume, any cluster size
+    assigns every document identically, and the assignment column rides
+    along for downstream partitioned writes.  Pure in-stream map —
+    no shuffle, no randomness, no state."""
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df["doc_id"].to_numpy(dtype=np.uint64) * np.uint64(_HASH_MULT)
+        ) % np.uint64(_HASH_MOD)
+        split = np.where(
+            h < SPLIT_TRAIN_UPPER, "train",
+            np.where(h < SPLIT_VAL_UPPER, "val", "test"),
+        )
+        return df.assign(split=split)
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
+def q_train_split(sf_dir: str):
+    """Per-split summary (split, n_docs, n_chars, first_doc) — the
+    assignment itself is checked doc-for-doc because first_doc/min and
+    the counts pin the partition of the id space."""
+    docs = read_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    assigned = train_split(docs)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("split", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_chars=("n_chars", "sum"),
+            first_doc=("doc_id", "min"),
+        )
+        return g.astype(
+            {"n_docs": "int64", "n_chars": "int64", "first_doc": "int64"}
+        )
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("split", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_chars=("n_chars", "sum"),
+            first_doc=("first_doc", "min"),
+        )
+        return g.astype(
+            {"n_docs": "int64", "n_chars": "int64", "first_doc": "int64"}
+        )
+
+    return combine_partials(
+        assigned.map_batches(partial, batch_format="pandas"),
+        red, ["split"], est_keys=3, merge_fn=red,
+    )

@@ -455,3 +455,38 @@ class TestCollocations:
             ["score", "gram"], ascending=[False, True]
         ).reset_index(drop=True)
         pd.testing.assert_frame_equal(small, want, check_dtype=False)
+
+
+class TestTrainSplit:
+    """train_split: the 80/10/10 hash-ring assignment is deterministic,
+    exhaustive, and matches a single-process evaluation of the exact
+    integer hash (including ids past 2^33, where int64 multiply would
+    overflow)."""
+
+    def test_assignment_exact_and_exhaustive(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.corpus import (
+            _HASH_MOD,
+            _HASH_MULT,
+            SPLIT_TRAIN_UPPER,
+            SPLIT_VAL_UPPER,
+            train_split,
+        )
+
+        ids = list(range(500)) + [2**33 + 7, 2**40 + 1, 2**62]
+        ds = rd.from_items(
+            [{"doc_id": i, "n_chars": 10} for i in ids]
+        ).repartition(8)
+        got = train_split(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+
+        def ref(i):
+            h = (i * _HASH_MULT) % _HASH_MOD
+            if h < SPLIT_TRAIN_UPPER:
+                return "train"
+            return "val" if h < SPLIT_VAL_UPPER else "test"
+
+        assert got["split"].tolist() == [ref(i) for i in sorted(ids)]
+        # all three splits occur on 500 uniform ids
+        assert set(got["split"]) == {"train", "val", "test"}

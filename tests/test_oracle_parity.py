@@ -105,6 +105,7 @@ CHECKED = [
     "normalized_dedup",
     "heavy_hitters",
     "collocations",
+    "train_split",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
