@@ -323,6 +323,12 @@ def _q_heavy_hitters(sf_dir: str):
     return q_heavy_hitters(sf_dir)
 
 
+def _q_containment_pairs(sf_dir: str):
+    from libpdf_ray.ops.dedup import q_containment_pairs
+
+    return q_containment_pairs(sf_dir)
+
+
 def _q_embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -651,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "collocations": Co.q_collocations,
         "train_split": Co.q_train_split,
+        "containment_pairs": _q_containment_pairs,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -2171,5 +2178,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
                    CAST(MIN(doc_id) AS BIGINT) AS first_doc
             FROM a GROUP BY split
+        """,
+        "containment_pairs": """
+            -- exact shingle containment ≥ 0.8: inter / min(|A|,|B|) —
+            -- asymmetric near-dup (snippet-in-document); same trigram
+            -- shingles and integer boundary test as jaccard_pairs
+            WITH ws AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) >= 3 THEN
+                             list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                         WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                         ELSE CAST([] AS VARCHAR[]) END)) AS gram
+                FROM ws
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b, CAST(i.c AS BIGINT) AS inter,
+                   CAST(least(sa.n, sb.n) AS BIGINT) AS n_small,
+                   i.c * 1.0 / least(sa.n, sb.n) AS containment
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.id_a
+            JOIN sz sb ON sb.doc_id = i.id_b
+            WHERE i.c * 10000 >= 8000 * least(sa.n, sb.n)
         """,
     }

@@ -1083,11 +1083,41 @@ def _finish_jaccard(bucket: pd.DataFrame, thr: int) -> pd.DataFrame:
                          "jaccard": inter[keep] / uni[keep]})
 
 
+def _finish_containment(bucket: pd.DataFrame, thr: int) -> pd.DataFrame:
+    """(id_a, id_b, n_a, n_b) pair rows -> (id_a, id_b, inter, n_small,
+    containment) where containment = inter / min(n_a, n_b) — the
+    asymmetric near-dup statistic (a snippet fully quoted inside a larger
+    document scores 1.0 where jaccard stays low).  Same integer boundary
+    test as the jaccard finisher."""
+    if len(bucket) == 0:
+        return pd.DataFrame({"id_a": bucket["id_a"],
+                             "id_b": bucket["id_b"],
+                             "inter": pd.Series([], dtype="int64"),
+                             "n_small": pd.Series([], dtype="int64"),
+                             "containment": pd.Series([], dtype="float64")})
+    agg = (
+        bucket.groupby(["id_a", "id_b"], sort=False)
+        .agg(inter=("n_a", "size"), n_a=("n_a", "first"),
+             n_b=("n_b", "first"))
+        .reset_index()
+    )
+    inter = agg["inter"].to_numpy(dtype=np.int64)
+    small = np.minimum(agg["n_a"].to_numpy(dtype=np.int64),
+                       agg["n_b"].to_numpy(dtype=np.int64))
+    keep = inter * 10000 >= thr * small
+    return pd.DataFrame({"id_a": agg["id_a"].to_numpy()[keep],
+                         "id_b": agg["id_b"].to_numpy()[keep],
+                         "inter": inter[keep],
+                         "n_small": small[keep],
+                         "containment": inter[keep] / small[keep]})
+
+
 def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
                         k: int = 3, threshold: float = 0.5,
                         max_df: int | None = DEFAULT_JACCARD_MAX_DF,
                         est_docs: int | None = None,
-                        est_bytes: int | None = None):
+                        est_bytes: int | None = None,
+                        _finisher=None):
     """EXACT word-k-gram Jaccard for every document pair sharing ≥1 shingle.
 
     The exact companion (and recall oracle) to :func:`minhash_lsh_pairs`
@@ -1133,6 +1163,7 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
     from .util import shuffle_partitions
 
     thr = int(round(threshold * 10000))
+    fin = _finisher if _finisher is not None else _finish_jaccard
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         grams_col, ids_col, n_col = [], [], []
@@ -1159,7 +1190,7 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
 
     if est_bytes is not None and est_bytes * 8 <= SINGLE_TASK_DEDUP_BYTES:
         def single(df: pd.DataFrame) -> pd.DataFrame:
-            return _finish_jaccard(_gram_pairs(df, id_col, max_df), thr)
+            return fin(_gram_pairs(df, id_col, max_df), thr)
 
         return exploded.repartition(1).map_batches(
             single, batch_format="pandas", batch_size=None
@@ -1198,7 +1229,7 @@ def jaccard_pairs_exact(ds, id_col: str = "doc_id", text_col: str = "text",
         return df
 
     def finish(bucket: pd.DataFrame) -> pd.DataFrame:
-        return _finish_jaccard(bucket, thr)
+        return fin(bucket, thr)
 
     return (
         pair_rows.map_batches(add_pbucket, batch_format="pandas")
@@ -1329,5 +1360,35 @@ def q_normalized_dedup(sf_dir: str):
         norm,
         text_col="norm_text",
         est_keys=parquet_row_count(path),
+        est_bytes=file_bytes(path),
+    )
+
+
+def containment_pairs_exact(ds, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 3,
+                            threshold: float = 0.8,
+                            max_df: int | None = DEFAULT_JACCARD_MAX_DF,
+                            est_docs: int | None = None,
+                            est_bytes: int | None = None):
+    """EXACT shingle containment pairs: ``inter / min(|A|, |B|) ≥
+    threshold`` — the asymmetric companion to :func:`jaccard_pairs_exact`
+    for quote/snippet detection (a short document fully embedded in a
+    long one is invisible to symmetric jaccard).  Identical inverted-index
+    pipeline and integer boundary test; only the finisher differs
+    (:func:`_finish_containment`)."""
+    return jaccard_pairs_exact(
+        ds, id_col=id_col, text_col=text_col, k=k, threshold=threshold,
+        max_df=max_df, est_docs=est_docs, est_bytes=est_bytes,
+        _finisher=_finish_containment,
+    )
+
+
+def q_containment_pairs(sf_dir: str):
+    from .util import file_bytes, parquet_row_count, read_sized
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_sized(path, columns=["doc_id", "text"])
+    return containment_pairs_exact(
+        ds, threshold=0.8, est_docs=parquet_row_count(path),
         est_bytes=file_bytes(path),
     )

@@ -948,3 +948,47 @@ class TestHeavyHitters:
         got = heavy_hitters(ds, k=4)
         got = got.to_pandas() if hasattr(got, "to_pandas") else got
         assert len(got) == 0
+
+
+class TestContainmentPairs:
+    """containment_pairs: the snippet-in-document case scores 1.0 where
+    jaccard stays below threshold, and both routes agree."""
+
+    def test_snippet_detection_vs_jaccard(self, ray_session):
+        import ray.data as rd
+
+        from libpdf_ray.ops.dedup import (
+            containment_pairs_exact,
+            jaccard_pairs_exact,
+        )
+
+        snippet = "the quick brown fox jumps over the lazy dog"
+        long_doc = ("intro words here " + snippet
+                    + " and then a very long tail of unrelated content "
+                    + " ".join(f"w{i}" for i in range(60)))
+        rows = [
+            {"doc_id": 1, "text": snippet},
+            {"doc_id": 2, "text": long_doc},
+            {"doc_id": 3, "text": "completely different material again"},
+        ]
+        ds = rd.from_items(rows)
+        cont = containment_pairs_exact(
+            ds, threshold=0.8, est_docs=10
+        ).to_pandas()
+        # snippet ⊂ long_doc: all of doc1's shingles appear in doc2
+        assert set(zip(cont["id_a"], cont["id_b"])) == {(1, 2)}
+        assert cont["containment"].iloc[0] == 1.0
+        # symmetric jaccard misses the pair at the same threshold
+        jac = jaccard_pairs_exact(
+            ds, threshold=0.8, est_docs=10
+        ).to_pandas()
+        assert len(jac) == 0
+
+        # single-task route identical
+        small = containment_pairs_exact(
+            ds, threshold=0.8, est_docs=10, est_bytes=1
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            cont.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+            small.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        )

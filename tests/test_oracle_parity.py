@@ -106,6 +106,7 @@ CHECKED = [
     "heavy_hitters",
     "collocations",
     "train_split",
+    "containment_pairs",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
