@@ -658,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": Co.q_collocations,
         "train_split": Co.q_train_split,
         "containment_pairs": _q_containment_pairs,
+        "doc_length_percentiles": Co.q_doc_length_percentiles,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -2212,5 +2213,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = i.id_a
             JOIN sz sb ON sb.doc_id = i.id_b
             WHERE i.c * 10000 >= 8000 * least(sa.n, sb.n)
+        """,
+        "doc_length_percentiles": """
+            -- exact per-language length percentiles; percentile_disc =
+            -- value at 1-based rank ceil(p*n), the engine's histogram
+            -- walk selects both ranks in one pass
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (
+                       ORDER BY n_chars) AS BIGINT) AS median_chars,
+                   CAST(percentile_disc(0.95) WITHIN GROUP (
+                       ORDER BY n_chars) AS BIGINT) AS p95_chars
+            FROM documents GROUP BY lang
         """,
     }

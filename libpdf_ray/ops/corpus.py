@@ -1268,3 +1268,60 @@ def q_train_split(sf_dir: str):
         assigned.map_batches(partial, batch_format="pandas"),
         red, ["split"], est_keys=3, merge_fn=red,
     )
+
+
+# ---------------------------------------------------------------------------
+# per-language document-length percentiles
+# ---------------------------------------------------------------------------
+
+
+def q_doc_length_percentiles(sf_dir: str):
+    """EXACT per-language doc-length percentiles (median + p95) from ONE
+    distributed histogram — the corpus-profiling cut used to set length
+    filters per language.
+
+    Same shape as ``relational._grouped_price_percentile`` but both
+    ranks are selected in a single walk of each group's sorted
+    histogram: per-batch (lang, n_chars) counts collapse blocks to their
+    distinct lengths, the combine is keyed on the (lang, length) DOMAIN
+    (bounded by max doc length, not corpus size), and the final
+    selection is one tiny group per language.  percentile_disc
+    semantics: value at 1-based rank ceil(p·n)."""
+    docs = read_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"], as_index=False)["n"].sum()
+
+    hist = combine_partials(
+        docs.map_batches(partial, batch_format="pandas"),
+        red, ["lang", "n_chars"],
+        est_keys=parquet_row_count(f"{sf_dir}/documents.parquet"),
+        merge_fn=red,
+    )
+
+    def select_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_chars")
+        n = int(df["n"].sum())
+        cum = df["n"].cumsum()
+        out = {"lang": [df["lang"].iloc[0]],
+               "n_docs": np.array([n], dtype="int64")}
+        for col, p_num, p_den in (
+            ("median_chars", 1, 2), ("p95_chars", 19, 20),
+        ):
+            rank = (p_num * n + p_den - 1) // p_den
+            out[col] = np.array(
+                [int(df.loc[cum >= rank, "n_chars"].iloc[0])], dtype="int64"
+            )
+        return pd.DataFrame(out)
+
+    # explicit num_partitions (see _grouped_price_percentile): defaults
+    # spawn aggregators beyond the key count and can stall small sessions
+    return hist.groupby("lang", num_partitions=2).map_groups(
+        select_ranks, batch_format="pandas"
+    )

@@ -107,6 +107,7 @@ CHECKED = [
     "collocations",
     "train_split",
     "containment_pairs",
+    "doc_length_percentiles",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
