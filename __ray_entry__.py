@@ -659,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": Co.q_train_split,
         "containment_pairs": _q_containment_pairs,
         "doc_length_percentiles": Co.q_doc_length_percentiles,
+        "user_rolling_value": R.q_user_rolling_value,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -2224,5 +2225,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(percentile_disc(0.95) WITHIN GROUP (
                        ORDER BY n_chars) AS BIGINT) AS p95_chars
             FROM documents GROUP BY lang
+        """,
+        "user_rolling_value": """
+            -- trailing window (3 PRECEDING .. CURRENT), integer cents
+            -- summed then divided once — the bounded-frame companion to
+            -- user_running_value; width = relational.ROLLING_WINDOW_ROWS
+            SELECT event_id, user_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                   ) / 100.0 AS rolling_value
+            FROM events
         """,
     }

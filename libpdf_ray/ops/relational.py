@@ -1924,3 +1924,54 @@ def _anomaly_counts(g: pd.DataFrame) -> pd.DataFrame:
     return out.astype(
         {"user_id": "int64", "n_events": "int64", "n_anomalies": "int64"}
     )
+
+
+#: trailing-window width for q_user_rolling_value (frame = W PRECEDING
+#: .. CURRENT ROW); shared verbatim with the SQL oracle
+ROLLING_WINDOW_ROWS = 3
+
+
+def q_user_rolling_value(sf_dir: str, window: int = ROLLING_WINDOW_ROWS):
+    """Bounded-frame window: SUM(value) OVER (PARTITION BY user ORDER BY
+    ts, event_id ROWS BETWEEN ``window`` PRECEDING AND CURRENT ROW) —
+    the trailing-window companion to the unbounded cumsum
+    (:func:`q_user_running_value`); same ONE-shuffle machinery, same
+    integer-cents exactness (the trailing sum accumulates int64 cents
+    via cumsum-minus-shifted-cumsum and divides once at emission).
+
+    The difference kernel is exact for any frame width: within each
+    sorted user run, ``rolling = cs - shift(cs, window+1, fill=0)``
+    evaluated per user with numpy segment arithmetic — no pandas
+    .rolling() python dispatch in the bucket kernel."""
+    ds = read_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    fb = file_bytes(f"{sf_dir}/events.parquet")
+    n_parts = shuffle_partitions(est_bytes=fb)
+    w1 = window + 1
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = _cents(g["value"]).to_numpy()
+        users = g["user_id"].to_numpy()
+        # segment-local positions: index within each user's sorted run
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        seg_id = np.cumsum(np.r_[True, users[1:] != users[:-1]]) - 1
+        pos = np.arange(len(users)) - starts[seg_id]
+        cs = np.cumsum(cents)
+        base = np.where(
+            pos >= w1,
+            cs[np.arange(len(users)) - w1],
+            # frame start precedes the user's run: subtract everything
+            # before the run (exclusive prefix at the segment start)
+            cs[starts[seg_id]] - cents[starts[seg_id]],
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": users,
+                "rolling_value": (cs - base) / 100.0,
+            }
+        )
+
+    return _bucketed_groups(ds, "user_id", n_parts, rolling, est_bytes=fb)

@@ -992,3 +992,47 @@ class TestContainmentPairs:
             cont.sort_values(["id_a", "id_b"]).reset_index(drop=True),
             small.sort_values(["id_a", "id_b"]).reset_index(drop=True),
         )
+
+
+class TestUserRollingValue:
+    """q_user_rolling_value: the cumsum-difference frame kernel equals
+    pandas groupby-rolling on shuffled multi-user input, including runs
+    shorter than the window."""
+
+    def test_matches_groupby_rolling(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from libpdf_ray.ops.relational import q_user_rolling_value
+
+        rng = np.random.default_rng(3)
+        n = 400
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 25, n).astype(np.int64),  # short runs
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, n), unit="s"
+            ),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        })
+        pq.write_table(pa.Table.from_pandas(df),
+                       str(tmp_path / "events.parquet"))
+        got = (
+            q_user_rolling_value(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        s = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = (s["value"] * 100).round().astype("int64")
+        ref = (
+            cents.groupby(s["user_id"].to_numpy())
+            .rolling(4, min_periods=1).sum()
+            .reset_index(level=0, drop=True)
+        )
+        want = pd.DataFrame({
+            "event_id": s["event_id"].to_numpy(),
+            "rolling_value": ref.to_numpy() / 100.0,
+        }).sort_values("event_id").reset_index(drop=True)
+        assert (got["event_id"] == want["event_id"]).all()
+        assert (got["rolling_value"] == want["rolling_value"]).all()

@@ -108,6 +108,7 @@ CHECKED = [
     "train_split",
     "containment_pairs",
     "doc_length_percentiles",
+    "user_rolling_value",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
