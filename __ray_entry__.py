@@ -660,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "doc_length_percentiles": Co.q_doc_length_percentiles,
         "user_rolling_value": R.q_user_rolling_value,
+        "trimmed_mean_price": R.q_trimmed_mean_price,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -2236,5 +2237,20 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
                    ) / 100.0 AS rolling_value
             FROM events
+        """,
+        "trimmed_mean_price": """
+            -- exact 5%-trimmed mean by RANK (row_number semantics; ties
+            -- at the cut value contribute exactly the copies their rank
+            -- window covers — the engine's histogram rank arithmetic)
+            WITH r AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       row_number() OVER (ORDER BY o_totalprice) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM orders
+            )
+            SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   SUM(cents) * 1.0 / COUNT(*) / 100.0 AS trimmed_mean
+            FROM r WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
         """,
     }

@@ -1975,3 +1975,67 @@ def q_user_rolling_value(sf_dir: str, window: int = ROLLING_WINDOW_ROWS):
         )
 
     return _bucketed_groups(ds, "user_id", n_parts, rolling, est_bytes=fb)
+
+
+#: trim fraction numerator/denominator for q_trimmed_mean_price — shared
+#: verbatim with the SQL oracle (5% per tail)
+TRIM_NUM, TRIM_DEN = 5, 100
+
+
+def q_trimmed_mean_price(sf_dir: str):
+    """EXACT 5%-trimmed mean of order prices — the outlier-robust mean,
+    computed WITHOUT sorting the data: the same integer-cents histogram
+    as the grouped percentiles, then pure rank arithmetic on the sorted
+    histogram.  Rows with 1-based rank in (k, n−k] survive, where
+    ``k = n·5//100`` and ties at the cut values contribute exactly the
+    number of copies their rank window covers (``overlap of [cum−cnt+1,
+    cum] with (k, n−k]``) — identical to SQL's row_number() trim.  Sum
+    of surviving cents is int64; ONE double division at emission."""
+    from .util import combine_partials, parquet_row_count
+
+    ds = read_sized(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame({"cents": _cents(df["o_totalprice"])})
+            .groupby("cents", as_index=False).size()
+            .rename(columns={"size": "n"})
+        )
+        return g.astype({"n": "int64"})
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cents", as_index=False)["n"].sum()
+
+    hist = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        red, ["cents"],
+        est_keys=parquet_row_count(f"{sf_dir}/orders.parquet"),
+        merge_fn=red,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("cents")
+        cnt = df["n"].to_numpy(dtype=np.int64)
+        cents = df["cents"].to_numpy(dtype=np.int64)
+        n = int(cnt.sum())
+        k = (n * TRIM_NUM) // TRIM_DEN
+        lo, hi = k, n - k  # keep ranks in (lo, hi], 1-based
+        cum = np.cumsum(cnt)
+        first = cum - cnt + 1
+        # copies of each distinct value whose rank lands inside the window
+        take = np.clip(np.minimum(cum, hi) - np.maximum(first - 1, lo), 0, None)
+        kept = int(take.sum())
+        total = int((take * cents).sum())
+        return pd.DataFrame(
+            {
+                "n_orders": np.array([n], dtype="int64"),
+                "n_kept": np.array([kept], dtype="int64"),
+                "trimmed_mean": [total / kept / 100.0 if kept else 0.0],
+            }
+        )
+
+    # the histogram is domain-bounded (~1e7 distinct cents) — one final
+    # task walks it; rank arithmetic replaces any global sort of rows
+    return hist.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )

@@ -1036,3 +1036,40 @@ class TestUserRollingValue:
         }).sort_values("event_id").reset_index(drop=True)
         assert (got["event_id"] == want["event_id"]).all()
         assert (got["rolling_value"] == want["rolling_value"]).all()
+
+
+class TestTrimmedMean:
+    """q_trimmed_mean_price: histogram rank arithmetic handles ties that
+    STRADDLE a trim boundary — a value with many copies must contribute
+    exactly the copies whose ranks survive, matching row_number trim."""
+
+    def test_tie_straddles_boundary(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entrymod
+        from libpdf_ray.ops.relational import q_trimmed_mean_price
+
+        # n=40 -> k=2 per tail; the value 1.00 occupies ranks 1..5 so 2
+        # of its 5 copies are trimmed and 3 survive; 99.0 occupies the
+        # top 4 ranks so 2 survive
+        prices = [1.00] * 5 + [float(v) for v in range(2, 33)] + [99.0] * 4
+        assert len(prices) == 40
+        pq.write_table(
+            pa.table({"o_orderkey": pa.array(range(40), pa.int64()),
+                      "o_totalprice": pa.array(prices, pa.float64())}),
+            str(tmp_path / "orders.parquet"),
+        )
+        got = q_trimmed_mean_price(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/orders.parquet')"
+        )
+        exp = con.sql(entrymod.oracle_sql()["trimmed_mean_price"]).df()
+        pd.testing.assert_frame_equal(got, exp[got.columns])
+        assert got["n_kept"].iloc[0] == 36
+        # hand check: 3 copies of 1.00 and 2 copies of 99.0 survive
+        kept = [1.0] * 3 + [float(v) for v in range(2, 33)] + [99.0] * 2
+        assert abs(got["trimmed_mean"].iloc[0] - sum(kept) / len(kept)) < 1e-9

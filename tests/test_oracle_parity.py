@@ -109,6 +109,7 @@ CHECKED = [
     "containment_pairs",
     "doc_length_percentiles",
     "user_rolling_value",
+    "trimmed_mean_price",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
