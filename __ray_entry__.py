@@ -661,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_percentiles": Co.q_doc_length_percentiles,
         "user_rolling_value": R.q_user_rolling_value,
         "trimmed_mean_price": R.q_trimmed_mean_price,
+        "source_drift": Co.q_source_drift,
         # relational operator suite (SQL-checked)
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
@@ -2252,5 +2253,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    SUM(cents) * 1.0 / COUNT(*) / 100.0 AS trimmed_mean
             FROM r WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
+        """,
+        "source_drift": """
+            -- exact two-sample KS between src0 and the rest over doc
+            -- length: integer numerator max|s0*n1 - s1*n0| over merged
+            -- cumulative counts; ks_at = smallest length achieving it
+            WITH h AS (
+                SELECT n_chars AS v,
+                       COUNT(*) FILTER (source = 'src0') AS c0,
+                       COUNT(*) FILTER (source <> 'src0') AS c1
+                FROM documents GROUP BY 1
+            ),
+            c AS (
+                SELECT v,
+                       SUM(c0) OVER (ORDER BY v) AS s0,
+                       SUM(c1) OVER (ORDER BY v) AS s1
+                FROM h
+            ),
+            t AS (SELECT (SELECT SUM(c0) FROM h) AS n0,
+                         (SELECT SUM(c1) FROM h) AS n1),
+            d AS (SELECT v, ABS(s0 * t.n1 - s1 * t.n0) AS diff FROM c, t)
+            SELECT CAST(t.n0 AS BIGINT) AS n_ref,
+                   CAST(t.n1 AS BIGINT) AS n_other,
+                   CAST((SELECT MAX(diff) FROM d) AS BIGINT) AS ks_num,
+                   CAST((SELECT MIN(v) FROM d WHERE diff =
+                        (SELECT MAX(diff) FROM d)) AS BIGINT) AS ks_at,
+                   (SELECT MAX(diff) FROM d) * 1.0 / (t.n0 * t.n1)
+                       AS ks_stat
+            FROM t
         """,
     }

@@ -1325,3 +1325,82 @@ def q_doc_length_percentiles(sf_dir: str):
     return hist.groupby("lang", num_partitions=2).map_groups(
         select_ranks, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift between sources (exact two-sample KS)
+# ---------------------------------------------------------------------------
+
+#: the reference slice for q_source_drift — shared with the SQL oracle
+DRIFT_REF_SOURCE = "src0"
+
+
+def q_source_drift(sf_dir: str, ref_source: str = DRIFT_REF_SOURCE):
+    """EXACT two-sample Kolmogorov–Smirnov distance between the
+    reference source's doc-length distribution and everything else —
+    the drift check run when a new crawl/source joins a training mix.
+
+    Integer-exact: KS = max |F0(v) − F1(v)| = max |s0·n1 − s1·n0| /
+    (n0·n1), where s are cumulative counts over the merged value
+    domain — the numerator is pure int64, so the max (and its argmin
+    location ``ks_at``) are deterministic; ONE double division emits
+    the statistic.  Shape: a (source-flag, n_chars) domain-keyed
+    histogram combine (blocks collapse to distinct lengths — nothing
+    scales with corpus rows) and one final sorted walk."""
+
+    docs = read_sized(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (df["source"] == ref_source).to_numpy()
+        g = (
+            pd.DataFrame({
+                "v": df["n_chars"].to_numpy(dtype=np.int64),
+                "c0": is_ref.astype(np.int64),
+                "c1": (~is_ref).astype(np.int64),
+            })
+            .groupby("v", as_index=False).sum()
+        )
+        return g.astype({"c0": "int64", "c1": "int64"})
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("v", as_index=False)[["c0", "c1"]].sum()
+
+    hist = combine_partials(
+        docs.map_batches(partial, batch_format="pandas"),
+        red, ["v"],
+        est_keys=parquet_row_count(f"{sf_dir}/documents.parquet"),
+        merge_fn=red,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("v")
+        s0 = df["c0"].to_numpy(dtype=np.int64).cumsum()
+        s1 = df["c1"].to_numpy(dtype=np.int64).cumsum()
+        n0, n1 = int(s0[-1]) if len(s0) else 0, int(s1[-1]) if len(s1) else 0
+        if n0 == 0 or n1 == 0:
+            return pd.DataFrame({
+                "n_ref": np.array([n0], dtype="int64"),
+                "n_other": np.array([n1], dtype="int64"),
+                "ks_num": np.array([0], dtype="int64"),
+                "ks_at": np.array([0], dtype="int64"),
+                "ks_stat": [0.0],
+            })
+        # int64 bound: s0·n1 ≤ n0·n1 — exact while n0·n1 < 2^63
+        # (≈3·10^9 docs per side; past that, move the walk to python
+        # ints — it is one task over the length DOMAIN, not the corpus)
+        diff = np.abs(s0 * n1 - s1 * n0)
+        ks_num = int(diff.max())
+        ks_at = int(df["v"].to_numpy()[diff == ks_num].min())
+        return pd.DataFrame({
+            "n_ref": np.array([n0], dtype="int64"),
+            "n_other": np.array([n1], dtype="int64"),
+            "ks_num": np.array([ks_num], dtype="int64"),
+            "ks_at": np.array([ks_at], dtype="int64"),
+            "ks_stat": [ks_num / (n0 * n1)],
+        })
+
+    return hist.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )

@@ -490,3 +490,31 @@ class TestTrainSplit:
         assert got["split"].tolist() == [ref(i) for i in sorted(ids)]
         # all three splits occur on 500 uniform ids
         assert set(got["split"]) == {"train", "val", "test"}
+
+
+class TestSourceDrift:
+    """q_source_drift: KS on a PLANTED shifted distribution — the exact
+    integer numerator and the smallest-argmax location."""
+
+    def test_planted_shift(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from libpdf_ray.ops.corpus import q_source_drift
+
+        # ref uniform on {10..19}, other uniform on {15..24}: the CDF gap
+        # peaks at v=14 with F0=0.5, F1=0 -> ks=0.5 exactly
+        ref = [10 + i % 10 for i in range(40)]
+        oth = [15 + i % 10 for i in range(60)]
+        df = pd.DataFrame({
+            "doc_id": np.arange(100, dtype=np.int64),
+            "source": ["src0"] * 40 + ["srcX"] * 60,
+            "n_chars": np.array(ref + oth, dtype=np.int64),
+        })
+        pq.write_table(pa.Table.from_pandas(df),
+                       str(tmp_path / "documents.parquet"))
+        out = q_source_drift(str(tmp_path)).to_pandas()
+        assert out["n_ref"].iloc[0] == 40 and out["n_other"].iloc[0] == 60
+        assert out["ks_stat"].iloc[0] == 0.5
+        assert out["ks_at"].iloc[0] == 14
+        assert out["ks_num"].iloc[0] == 20 * 60  # s0=20, s1=0 at v=14

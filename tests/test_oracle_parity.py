@@ -110,6 +110,7 @@ CHECKED = [
     "doc_length_percentiles",
     "user_rolling_value",
     "trimmed_mean_price",
+    "source_drift",
 ]
 
 # queries without a SQL oracle (approximate / iterative / env-stub by
