@@ -200,15 +200,44 @@ def extract_spans_pdf_split(
             files = [paths]
     else:
         files = list(paths)
+    # materialize: the probe is consumed by BOTH branches plus the range
+    # count below — one xref probe per file instead of three, and the
+    # materialized rows are tiny scalars (path, doc_id, n_pages)
     probe = ray.data.from_items(
         [{"path": p} for p in files],
         override_num_blocks=max(1, len(files) // 16),
-    ).map_batches(_probe_batch, batch_format="pyarrow")
+    ).map_batches(_probe_batch, batch_format="pyarrow").materialize()
 
     light = probe.map_batches(
         _light_parse, fn_kwargs={"cfg": cfg, "heavy_pages": heavy_pages},
         batch_format="pyarrow", batch_size=16,
     )
+
+    # exact range-row count: bounds the spread repartition so that NO
+    # post-repartition block is empty.  Empty blocks here are the
+    # intermittent ArrowInvalid in the reassembly groupby: _range_rows'
+    # 0-row fallback tables and any over-partitioned split are
+    # RANGE-schema blocks, map UDFs are skipped on empties, and a
+    # range-schema empty surviving into the hash shuffle mixes schemas
+    # inside an aggregator (reproduced ~1/6 full-suite runs).  All
+    # pre-repartition blocks share the range schema, so the repartition
+    # concats the fallbacks away — and with target ≤ n_ranges every
+    # rebuilt block carries ≥ 1 row, so _prepare_range runs on ALL of
+    # them and only prepared-schema blocks reach the shuffle.
+    def _count_ranges(batch: pa.Table) -> pa.Table:
+        n = 0
+        for ri in range(batch.num_rows):
+            pages = int(batch.column("n_pages")[ri].as_py())
+            if pages >= heavy_pages:
+                n += -(-pages // split_pages)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_ranges = int(
+        probe.map_batches(_count_ranges, batch_format="pyarrow").sum("n")
+        or 0
+    )
+    if n_ranges == 0:
+        return light
 
     heavy = (
         probe.map_batches(
@@ -217,8 +246,9 @@ def extract_spans_pdf_split(
                        "heavy_pages": heavy_pages},
             batch_format="pyarrow", batch_size=4,
         )
-        # spread sub-rows so one manual's ranges run on many workers
-        .repartition(num_partitions * 4)
+        # spread sub-rows so one manual's ranges run on many workers —
+        # capped at the row count (see n_ranges note above)
+        .repartition(max(1, min(num_partitions * 4, n_ranges)))
         .map_batches(
             _prepare_range, fn_kwargs={"cfg": cfg},
             batch_format="pyarrow", batch_size=1,

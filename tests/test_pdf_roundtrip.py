@@ -230,3 +230,38 @@ def test_ray_pipeline_over_written_pdfs(ray_session, tmp_path):
     assert len(out) == n
     assert (out["error"] == "").all()
     assert (out["n_spans"] > 0).all()
+
+
+def test_pdf_split_no_heavy_docs(ray_session, tmp_path):
+    """All-light corpus: the heavy branch short-circuits (n_ranges == 0)
+    and the light-only result is still span-identical to the monolithic
+    path — the empty-block seam never forms."""
+    from libpdf_ray.pipelines.extract import extract_spans
+    from libpdf_ray.pipelines.pdf_split import extract_spans_pdf_split
+    from libpdf_ray.stages.pdf_decoder import PdfByteDecoder, read_pdf_files
+
+    docs = [build_document(700 + i, DEFAULT_FAMILIES[i], skew_pages=4)
+            for i in range(3)]
+    for d in docs:
+        (tmp_path / f"{d['doc_id']}.pdf").write_bytes(write_pdf(d))
+
+    def spans_by_doc(df):
+        return {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"])
+                          for s in r["spans"]]
+            for _, r in df.iterrows()
+        }
+
+    split = spans_by_doc(
+        extract_spans_pdf_split(
+            str(tmp_path), SMART_CROP_CONFIG,
+            heavy_pages=40, split_pages=16, num_partitions=2,
+        ).to_pandas()
+    )
+    mono = spans_by_doc(
+        extract_spans(
+            read_pdf_files(str(tmp_path)), SMART_CROP_CONFIG,
+            decoder=PdfByteDecoder(),
+        ).to_pandas()
+    )
+    assert split == mono and len(split) == 3
